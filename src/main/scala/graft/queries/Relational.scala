@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2-§2.6) expressed as
+  * driver-checkable queries over the TPC-H-ish testdata.
+  *
+  * Every query here has a DuckDB oracle; column names and rounding are
+  * aligned on both sides (see SparkEntry scaladoc). All results are
+  * fully deterministically ordered (ORDER BY covers a unique key).
+  *
+  * Scale notes (100 TB stance):
+  *  - dims (region/nation/customer/supplier/part) are broadcast;
+  *    fact-fact joins shuffle on their join key only.
+  *  - aggregations are partial+final (map-side combine) automatically;
+  *    no driver-side collect anywhere.
+  *  - `events.ts` is ns-precision parquet; Spark truncates to µs, so no
+  *    query emits or compares raw `ts` — always date_trunc ≥ second.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** A1: conditional-count pivot by enum + sum, per event-time minute.
+    * Mirrors the reference's 1-min windowed counter aggregation
+    * (rt_content_events_aggregator.py:318-342). */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(when(col("event_type") === "error", 1)).as("errors"),
+        round(sum(col("value")), 2).as("value_sum"),
+        count(lit(1)).as("n_events"))
+      .orderBy("minute")
+  }
+
+  /** A2/W3: rolling 30-minute metrics via RANGE-interval window frame
+    * (reference rt_video_metrics_serving.sql:9-26). DataFrame API uses
+    * the epoch-cast rangeBetween; semantics = SQL
+    * `RANGE BETWEEN INTERVAL '29' MINUTE PRECEDING AND CURRENT ROW`. */
+  def rolling30m(s: SparkSession, dir: String): DataFrame = {
+    val perMin = t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("minute").cast("long"))
+      .rangeBetween(-29L * 60, 0)
+    perMin.select(
+        col("user_id"), col("minute"),
+        sum(col("n")).over(w).as("n_30m"),
+        round(sum(col("v")).over(w), 2).as("v_30m"))
+      .orderBy("user_id", "minute")
+  }
+
+  /** J1: fact → broadcast-dim left join chain (orders → customer →
+    * nation → region), aggregated per region/nation. */
+  def dimJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("region", "nation")
+  }
+
+  /** TPC-H Q5-style multiway join: revenue per nation. lineitem⋈orders
+    * shuffles on the orderkey; all dims broadcast. Revenue is exact at
+    * 4 decimals (price 2dp × discount 2dp) → round(_, 4). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("nation")
+  }
+
+  /** J2: 1-row anchor aggregate cross-joined (broadcast) to bound a
+    * time window — the reference's dashboard anchor pattern
+    * (metabase pack:25-37). */
+  def anchorWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val anchor = e.agg(max(date_trunc("minute", col("ts"))).as("anchor_minute"))
+    e.crossJoin(broadcast(anchor))
+      .filter(col("ts") >= col("anchor_minute") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** J6: NOT EXISTS → left-anti join (customers with no orders). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** EXISTS → left-semi join (customers with ≥1 high-value order). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J7: scalar-subquery battery — one row of independent counts
+    * (reference grain-acceptance query rt_video_metrics_serving.sql:191-196).
+    * Built as broadcast cross-joins of 1-row aggregates. */
+  def scalarSubqueries(s: SparkSession, dir: String): DataFrame = {
+    def cnt(n: String, as: String) = t(s, dir, n).agg(count(lit(1)).as(as))
+    cnt("lineitem", "n_lineitem")
+      .crossJoin(broadcast(cnt("orders", "n_orders")))
+      .crossJoin(broadcast(cnt("customer", "n_customer")))
+      .crossJoin(broadcast(t(s, dir, "orders")
+        .agg(round(max(col("o_totalprice")), 2).as("max_order_price"))))
+      .crossJoin(broadcast(t(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_users"))))
+  }
+
+  /** W1/W2: latest row per key via ROW_NUMBER (ORDER BY ts DESC with a
+    * deterministic id tiebreak — the reference's CDC latest-wins dedup,
+    * rt_video_cdc_upsert_sql.py:136-144). */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** A3: duplicate-grain detection — GROUP BY key HAVING COUNT(*)>1
+    * (reference uniqueness acceptance, rt_video_metrics_serving.sql:173-190). */
+  def dupGrains(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("user_id", "minute")
+  }
+
+  /** A4: distinct counts per day (active users trend, metabase pack:50-57). */
+  def distinctActive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy("day")
+  }
+
+  /** A9: long→wide pivot via MAX(CASE WHEN) (thresholds pivot,
+    * rt_video_metrics_serving.sql:71-87). */
+  def pivotMaxCase(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        round(max(when(col("event_type") === "purchase", col("value"))), 2).as("max_purchase"),
+        round(max(when(col("event_type") === "click", col("value"))), 2).as("max_click"),
+        round(min(when(col("event_type") === "view", col("value"))), 2).as("min_view"))
+      .orderBy("user_id")
+  }
+
+  /** A11: exact interpolated percentiles per group (threshold baseline
+    * computation, metric-contract.md:62-75). At 100 TB the publish path
+    * swaps `percentile` → `percentile_approx`; exact kept here because
+    * the oracle (quantile_cont) is exact. */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.4)"), 4).as("p40"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("sample_size"))
+      .orderBy("event_type")
+  }
+
+  /** O2: ORDER BY + LIMIT top-k → TakeOrderedAndProject (no global sort
+    * materialization; the reference's ranking guardrail). */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value"), date_trunc("second", col("ts")).as("ts_sec"))
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(100)
+  }
+
+  /** O5: set operations (union / intersect / except), surfaced as one
+    * labelled result. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def users(et: String) = e.filter(col("event_type") === et).select(col("user_id")).distinct()
+    val purchasers = users("purchase")
+    val clickers = users("click")
+    val errored = users("error")
+    purchasers.intersect(clickers).withColumn("set_op", lit("purchase_and_click"))
+      .unionByName(purchasers.except(errored).withColumn("set_op", lit("purchase_not_error")))
+      .select(col("set_op"), col("user_id"))
+      .orderBy("set_op", "user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conditional_agg" -> conditionalAgg,
+    "q_rolling_30m" -> rolling30m,
+    "q_dim_join" -> dimJoin,
+    "q_revenue_by_nation" -> revenueByNation,
+    "q_anchor_window" -> anchorWindow,
+    "q_anti_join" -> antiJoin,
+    "q_semi_join" -> semiJoin,
+    "q_scalar_subqueries" -> scalarSubqueries,
+    "q_latest_per_key" -> latestPerKey,
+    "q_dup_grains" -> dupGrains,
+    "q_distinct_active" -> distinctActive,
+    "q_pivot_maxcase" -> pivotMaxCase,
+    "q_quantiles" -> quantiles,
+    "q_topk" -> topK,
+    "q_set_ops" -> setOps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_conditional_agg" ->
+      """SELECT date_trunc('minute', ts) AS minute,
+        | count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        | count(*) FILTER (WHERE event_type = 'view') AS views,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signups,
+        | count(*) FILTER (WHERE event_type = 'error') AS errors,
+        | round(sum(value), 2) AS value_sum,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_30m" ->
+      """WITH per_min AS (
+        |  SELECT user_id, date_trunc('minute', ts) AS minute,
+        |         count(*) AS n, sum(value) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, minute,
+        |  sum(n) OVER w AS n_30m,
+        |  round(sum(v) OVER w, 2) AS v_30m
+        |FROM per_min
+        |WINDOW w AS (PARTITION BY user_id ORDER BY minute
+        |  RANGE BETWEEN INTERVAL '29' MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, minute""".stripMargin,
+    "q_dim_join" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        | count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_revenue_by_nation" ->
+      """SELECT n.n_name AS nation,
+        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anchor_window" ->
+      """WITH anchor AS (SELECT max(date_trunc('minute', ts)) AS anchor_minute FROM events)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events CROSS JOIN anchor
+        |WHERE ts >= anchor_minute - INTERVAL '30' MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_subqueries" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem) AS n_lineitem,
+        | (SELECT count(*) FROM orders) AS n_orders,
+        | (SELECT count(*) FROM customer) AS n_customer,
+        | (SELECT round(max(o_totalprice), 2) FROM orders) AS max_order_price,
+        | (SELECT count(DISTINCT user_id) FROM events) AS n_users""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, date_trunc('second', ts) AS ts_sec, event_type, value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_dup_grains" ->
+      """SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY user_id, minute""".stripMargin,
+    "q_distinct_active" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot_maxcase" ->
+      """SELECT user_id,
+        | round(max(CASE WHEN event_type = 'purchase' THEN value END), 2) AS max_purchase,
+        | round(max(CASE WHEN event_type = 'click' THEN value END), 2) AS max_click,
+        | round(min(CASE WHEN event_type = 'view' THEN value END), 2) AS min_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.4), 4) AS p40,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | count(*) AS sample_size
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_topk" ->
+      """SELECT event_id, user_id, event_type, value, date_trunc('second', ts) AS ts_sec
+        |FROM events ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'purchase_and_click' AS set_op, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+        |UNION ALL
+        |SELECT 'purchase_not_error' AS set_op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |ORDER BY set_op, user_id""".stripMargin,
+  )
+}
