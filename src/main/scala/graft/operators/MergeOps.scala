@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed upsert (MERGE) semantics without a table format — the reference's
+  * MERGE INTO contracts (rt_content_events_aggregator_sql.py:128-172,
+  * rt_video_cdc_upsert_sql.py:113-172) re-expressed as pure dataflow:
+  * MERGE = dedup-latest(source) ∪ (target ⟕̸ source-keys).
+  *
+  * Scale notes: the anti-join and the window dedup both shuffle on the
+  * merge key only; with the target bucketed/partitioned by the same key a
+  * real deployment (Delta/Iceberg merge-on-read) avoids rewriting
+  * untouched files — this emulation keeps identical *semantics* so query
+  * results are storage-format independent.
+  */
+object MergeOps {
+
+  /** Latest row per key: ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    * orderBy DESC...) = 1 — the reference's CDC pre-dedup (W1), with the
+    * caller supplying the full deterministic tiebreak ordering. */
+  def dedupLatest(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MERGE target←source ON keys: WHEN MATCHED UPDATE (source row wins)
+    * WHEN NOT MATCHED INSERT. Source is pre-deduped latest-wins. Both
+    * sides must share the same schema. */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+             orderBy: Seq[Column]): DataFrame = {
+    val latest = dedupLatest(source, keys, orderBy)
+    val cols = target.columns.map(col).toSeq
+    latest.select(cols: _*)
+      .unionByName(target.join(latest, keys, "left_anti").select(cols: _*))
+  }
+
+  /** Idempotent seed insert (reference S9/J6: INSERT ... WHERE NOT EXISTS):
+    * append only rows whose key is absent from the target. */
+  def insertIfAbsent(target: DataFrame, rows: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(rows.join(target, keys, "left_anti").select(target.columns.map(col).toSeq: _*))
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Decisions
+import graft.operators.{MergeOps, Validation}
+import graft.serving.Serving
+
+/** Lakehouse-pipeline operator surface: validation/quarantine split,
+  * serving decision context, queue production, MERGE-upsert semantics,
+  * health/freshness gates (SURVEY.md §2.2, §2.7-§2.8 analogs on the
+  * testdata events stream).
+  */
+object Lakehouse {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** P6/P13: precedence-ordered error-code annotation + split, reported
+    * as per-code row counts (quarantine telemetry). */
+  def validationSplit(s: SparkSession, dir: String): DataFrame =
+    Validation.annotate(t(s, dir, "events"), Validation.eventRules())
+      .groupBy(coalesce(col("error_code"), lit("VALID")).as("error_code"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("error_code")
+
+  /** P1/P4: JSON payload probe — extract typed field from the JSON body,
+    * aggregate per enum. */
+  def jsonMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 4).as("k_avg"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(when(col("k").isNull, 1)).as("k_nulls"))
+      .orderBy("event_type")
+
+  /** D1-D3: the full serving decision context (rounded metric columns). */
+  def decisionContext(s: SparkSession, dir: String): DataFrame =
+    Serving.decisionContextFromEvents(t(s, dir, "events"))
+      .select(
+        col("user_id"), col("minute"),
+        col("views_30m"), col("clicks_30m"), col("purchases_30m"), col("errors_30m"),
+        round(col("velocity_30m"), 4).as("velocity_30m"),
+        round(col("completion_rate_30m"), 4).as("completion_rate_30m"),
+        round(col("skip_rate_30m"), 4).as("skip_rate_30m"),
+        col("candidate_flag"), col("quality_gate_pass"), col("under_exposed_flag"),
+        col("decision_type_preview"))
+      .orderBy("user_id", "minute")
+
+  /** A10: decision distribution snapshot. */
+  def decisionDistribution(s: SparkSession, dir: String): DataFrame =
+    Serving.decisionContextFromEvents(t(s, dir, "events"))
+      .groupBy(col("decision_type_preview"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("decision_type_preview")
+
+  /** D4/D5: action-queue rows — NO_ACTION suppressed, priority/TTL maps,
+    * deterministic sha-256 action ids. */
+  def actionQueue(s: SparkSession, dir: String): DataFrame =
+    Serving.actionQueue(
+        Serving.decisionContextFromEvents(t(s, dir, "events")), "graft_rules_v1")
+      .orderBy("user_id", "minute")
+
+  /** J4/J5: MERGE-upsert semantics — split the stream at a date, upsert
+    * the newer half's latest-per-key rows into the older snapshot. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("user_id"), col("event_type"), col("value"),
+      date_trunc("second", col("ts")).as("ts_sec"), col("ts"), col("event_id"))
+    val cut = lit("2024-01-04").cast("timestamp")
+    val ord = Seq(col("ts").desc, col("event_id").desc)
+    val target = MergeOps.dedupLatest(e.filter(col("ts") < cut), Seq("user_id"), ord)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_sec"))
+    val source = e.filter(col("ts") >= cut)
+    val merged = MergeOps.upsert(
+      target,
+      source.select(col("user_id"), col("event_type"), col("value"), col("ts_sec"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_sec"), col("ts"), col("event_id")),
+      Seq("user_id"), ord)
+    merged.select(col("user_id"), col("event_type"), col("value"), col("ts_sec")).orderBy("user_id")
+  }
+
+  /** P14/P16: per-key activity span in seconds (date_diff port). */
+  def timeDiff(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        (max(date_trunc("second", col("ts"))).cast("long") -
+         min(date_trunc("second", col("ts"))).cast("long")).as("span_seconds"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** A7: conditional null-count battery in one aggregate pass. */
+  def nullBattery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val e = t(s, dir, "events")
+    val oAgg = o.agg(
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("o_custkey_nulls"),
+      sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("o_totalprice_nulls"),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("o_orderdate_nulls"),
+      count(lit(1)).as("n_orders"))
+    val eAgg = e.agg(
+      sum(when(get_json_object(col("props"), "$.k").isNull, 1).otherwise(0)).as("k_nulls"),
+      sum(when(col("props").isNull, 1).otherwise(0)).as("props_nulls"),
+      count(lit(1)).as("n_events"))
+    oAgg.crossJoin(broadcast(eAgg))
+  }
+
+  /** A6/P14: freshness anchors — per-type last event second + lag vs the
+    * global anchor (reference freshness SLO query). */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val anchor = e.agg(max(date_trunc("second", col("ts"))).as("anchor_sec"))
+    e.groupBy(col("event_type"))
+      .agg(max(date_trunc("second", col("ts"))).as("last_sec"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(anchor))
+      .select(
+        col("event_type"), col("last_sec"),
+        (col("anchor_sec").cast("long") - col("last_sec").cast("long")).as("lag_seconds"),
+        col("n"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validation_split" -> validationSplit,
+    "q_json_metrics" -> jsonMetrics,
+    "q_decision_context" -> decisionContext,
+    "q_decision_distribution" -> decisionDistribution,
+    "q_action_queue" -> actionQueue,
+    "q_merge_upsert" -> mergeUpsert,
+    "q_time_diff" -> timeDiff,
+    "q_null_battery" -> nullBattery,
+    "q_freshness" -> freshness,
+  )
+
+  private val decisionContextSql =
+    """WITH per_min AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS minute,
+      |    count(*) FILTER (WHERE event_type = 'view') AS views,
+      |    count(*) FILTER (WHERE event_type = 'click') AS clicks,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+      |    count(*) FILTER (WHERE event_type = 'error') AS errors
+      |  FROM events GROUP BY 1, 2),
+      |roll AS (
+      |  SELECT user_id, minute,
+      |    sum(views) OVER w AS views_30m,
+      |    sum(clicks) OVER w AS clicks_30m,
+      |    sum(purchases) OVER w AS purchases_30m,
+      |    sum(errors) OVER w AS errors_30m
+      |  FROM per_min
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY minute
+      |    RANGE BETWEEN INTERVAL '29' MINUTE PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT *,
+      |    (clicks_30m + 5.0 * purchases_30m) / greatest(views_30m, 5) AS velocity_30m,
+      |    1.0 * purchases_30m / greatest(clicks_30m, 1) AS completion_rate_30m,
+      |    1.0 * errors_30m / greatest(clicks_30m, 1) AS skip_rate_30m
+      |  FROM roll),
+      |f AS (
+      |  SELECT *,
+      |    coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false) AS candidate_flag,
+      |    completion_rate_30m >= 0.5 AND skip_rate_30m <= 0.5 AND clicks_30m >= 1 AS quality_gate_pass,
+      |    coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 AS under_exposed_flag
+      |  FROM m)
+      |SELECT user_id, minute, views_30m, clicks_30m, purchases_30m, errors_30m,
+      |  round(velocity_30m, 4) AS velocity_30m,
+      |  round(completion_rate_30m, 4) AS completion_rate_30m,
+      |  round(skip_rate_30m, 4) AS skip_rate_30m,
+      |  candidate_flag, quality_gate_pass, under_exposed_flag,
+      |  CASE WHEN candidate_flag AND quality_gate_pass THEN 'BOOST'
+      |       WHEN candidate_flag THEN 'REVIEW'
+      |       WHEN under_exposed_flag THEN 'RESCUE'
+      |       ELSE 'NO_ACTION' END AS decision_type_preview
+      |FROM f""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_validation_split" ->
+      """SELECT coalesce(
+        |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'E_PARSE_ERROR'
+        |       WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'E_INVALID_EVENT_TYPE'
+        |       WHEN CAST(json_extract_string(props, '$.k') AS INT) > 80 THEN 'E_K_OUT_OF_RANGE'
+        |       WHEN value > 195.0 THEN 'E_VALUE_OUT_OF_RANGE' END,
+        |  'VALID') AS error_code,
+        | count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_json_metrics" ->
+      """SELECT event_type,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS k_avg,
+        | min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+        | max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+        | count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS k_nulls
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decision_context" -> (decisionContextSql + "\nORDER BY user_id, minute"),
+    "q_decision_distribution" ->
+      ("WITH ctx AS (" + decisionContextSql.replace("\n", "\n  ") +
+        ")\nSELECT decision_type_preview, count(*) AS n FROM ctx GROUP BY 1 ORDER BY 1"),
+    "q_action_queue" ->
+      ("WITH ctx AS (" + decisionContextSql.replace("\n", "\n  ") + """)
+        |SELECT user_id, minute, decision_type_preview AS decision,
+        |  CASE decision_type_preview WHEN 'RESCUE' THEN 1 WHEN 'REVIEW' THEN 2 WHEN 'BOOST' THEN 3 END AS priority,
+        |  CASE decision_type_preview WHEN 'BOOST' THEN 15 WHEN 'REVIEW' THEN 30 WHEN 'RESCUE' THEN 30 END AS ttl_minutes,
+        |  sha256(concat_ws('|', user_id, strftime(minute, '%Y-%m-%d %H:%M:%S'),
+        |                   decision_type_preview, 'graft_rules_v1')) AS action_id
+        |FROM ctx WHERE decision_type_preview <> 'NO_ACTION'
+        |ORDER BY user_id, minute""".stripMargin),
+    "q_merge_upsert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value, date_trunc('second', ts) AS ts_sec,
+        |         date_trunc('microseconds', ts) AS ts_us, event_id
+        |  FROM events),
+        |tgt AS (
+        |  SELECT user_id, event_type, value, ts_sec FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts_us < TIMESTAMP '2024-01-04') WHERE rn = 1),
+        |src AS (
+        |  SELECT user_id, event_type, value, ts_sec FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts_us >= TIMESTAMP '2024-01-04') WHERE rn = 1)
+        |SELECT user_id, event_type, value, ts_sec FROM src
+        |UNION ALL
+        |SELECT user_id, event_type, value, ts_sec FROM tgt
+        |WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.user_id = tgt.user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_time_diff" ->
+      """SELECT user_id,
+        | date_diff('second', min(date_trunc('second', ts)), max(date_trunc('second', ts))) AS span_seconds,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_null_battery" ->
+      """SELECT
+        | (SELECT count(*) FILTER (WHERE o_custkey IS NULL) FROM orders) AS o_custkey_nulls,
+        | (SELECT count(*) FILTER (WHERE o_totalprice IS NULL) FROM orders) AS o_totalprice_nulls,
+        | (SELECT count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders) AS o_orderdate_nulls,
+        | (SELECT count(*) FROM orders) AS n_orders,
+        | (SELECT count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) FROM events) AS k_nulls,
+        | (SELECT count(*) FILTER (WHERE props IS NULL) FROM events) AS props_nulls,
+        | (SELECT count(*) FROM events) AS n_events""".stripMargin,
+    "q_freshness" ->
+      """WITH anchor AS (SELECT max(date_trunc('second', ts)) AS anchor_sec FROM events)
+        |SELECT event_type, max(date_trunc('second', ts)) AS last_sec,
+        |  date_diff('second', max(date_trunc('second', ts)), (SELECT anchor_sec FROM anchor)) AS lag_seconds,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

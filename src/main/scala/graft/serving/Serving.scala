@@ -1,0 +1,96 @@
+package graft.serving
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Decisions
+import graft.functions.Decisions.Thresholds
+
+/** The serving layer: per-minute counters → rolling 30-minute metrics →
+  * flags → decision, re-expressed from the reference's Trino views
+  * `v_rt_video_metrics_30m_1m` / `v_rt_video_decision_context_30m_1m`
+  * (rt_video_metrics_serving.sql:8-158) over the testdata `events`
+  * stream analog (key = user_id, enum = event_type).
+  *
+  * Plan shape at scale: one shuffle on (key, minute) for the counter
+  * aggregation (partial+final), one shuffle on key for the rolling
+  * window — nothing else. The decision stage is pure projection
+  * (whole-stage codegen). The thresholds are a broadcast 1-row cross
+  * join in the reference; here they are compile-time literals folded
+  * by Catalyst — both avoid any scan-side work.
+  */
+object Serving {
+
+  /** 1-minute grain conditional-count pivot (reference gold
+    * rt_video_stats_1min, A1). */
+  def perMinuteCounters(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(when(col("event_type") === "error", 1)).as("errors"),
+        sum(col("value")).as("value_sum"))
+
+  /** Rolling 30-minute counters: RANGE-interval frame over event time
+    * (reference A2/W3; DataFrame form = epoch-cast rangeBetween). */
+  def rolling30m(perMinute: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("minute").cast("long"))
+      .rangeBetween(-29L * 60, 0)
+    perMinute.select(
+      col("user_id"), col("minute"),
+      sum(col("views")).over(w).as("views_30m"),
+      sum(col("clicks")).over(w).as("clicks_30m"),
+      sum(col("purchases")).over(w).as("purchases_30m"),
+      sum(col("errors")).over(w).as("errors_30m"))
+  }
+
+  /** Metrics + flags + decision — the decision-context view (D1-D3). */
+  def decisionContext(rolling: DataFrame, th: Thresholds): DataFrame = {
+    val vel = Decisions.velocityExpr(col("views_30m"), col("clicks_30m"), col("purchases_30m"))
+    val compl = Decisions.completionExpr(col("clicks_30m"), col("purchases_30m"))
+    val skip = Decisions.skipRateExpr(col("clicks_30m"), col("errors_30m"))
+    val withMetrics = rolling
+      .withColumn("velocity_30m", vel)
+      .withColumn("completion_rate_30m", compl)
+      .withColumn("skip_rate_30m", skip)
+    withMetrics
+      .withColumn("candidate_flag",
+        Decisions.candidateExpr(col("velocity_30m"), col("views_30m"), th))
+      .withColumn("quality_gate_pass",
+        Decisions.qualityGateExpr(col("completion_rate_30m"), col("skip_rate_30m"), col("clicks_30m"), th))
+      .withColumn("under_exposed_flag",
+        Decisions.underExposedExpr(col("views_30m"), col("clicks_30m"), col("purchases_30m"), th))
+      .withColumn("decision_type_preview",
+        Decisions.decisionExpr(col("candidate_flag"), col("quality_gate_pass"), col("under_exposed_flag")))
+  }
+
+  /** Full pipeline from raw events. */
+  def decisionContextFromEvents(events: DataFrame, th: Thresholds = Thresholds()): DataFrame =
+    decisionContext(rolling30m(perMinuteCounters(events)), th)
+
+  /** Action-queue candidate rows: NO_ACTION suppressed (D4), priority/TTL
+    * maps + deterministic sha-256 action ids (D5). */
+  def actionQueue(context: DataFrame, ruleVersion: String): DataFrame =
+    context
+      .filter(col("decision_type_preview") =!= Decisions.NoAction)
+      .select(
+        col("user_id"), col("minute"),
+        col("decision_type_preview").as("decision"),
+        Decisions.priorityExpr(col("decision_type_preview")).as("priority"),
+        Decisions.ttlMinutesExpr(col("decision_type_preview")).as("ttl_minutes"),
+        Decisions.actionIdExpr(
+          col("user_id"),
+          date_format(col("minute"), "yyyy-MM-dd HH:mm:ss"),
+          col("decision_type_preview"),
+          lit(ruleVersion)).as("action_id"))
+
+  /** Register the serving surface as SQL views (reference S12). */
+  def registerViews(spark: SparkSession, events: DataFrame, th: Thresholds = Thresholds()): Unit = {
+    perMinuteCounters(events).createOrReplaceTempView("v_stats_1min")
+    decisionContextFromEvents(events, th).createOrReplaceTempView("v_decision_context_30m_1m")
+  }
+}
