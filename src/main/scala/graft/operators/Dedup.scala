@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operator family for training-data pipelines:
+  * exact, prefix near-dup, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): every stage is a shuffle on a SMALL derived
+  * key (hash / band key), never on document text; candidate generation
+  * is band-explode + equi-join (shuffle-friendly; no OR-condition
+  * nested-loop join); exact verification runs only on the candidate
+  * pairs, carrying shingle arrays for just those rows.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash grouping. Returns one row per distinct
+    * content with its canonical (min) id and duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, contentCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Normalized-prefix near-dup grouping (cheap first-pass: catches
+    * boilerplate/prefix duplication before the MinHash stage). */
+  def prefixGroups(docs: DataFrame, idCol: String, contentCol: String, prefixLen: Int = 40): DataFrame =
+    docs
+      .groupBy(substring(regexp_replace(lower(col(contentCol)), "\\s+", " "), 1, prefixLen).as("prefix"))
+      .agg(min(col(idCol)).as("canonical_id"), max(col(idCol)).as("max_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash signatures (k permutations) over 3-gram shingles.
+    * Permutation j = min over shingles of md5("j:" + shingle) — the
+    * md5-with-seed-prefix trick keeps the oracle (DuckDB) bit-identical.
+    * One explode + one groupBy(id) shuffle; signature width k columns. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, shingleN: Int = 3): DataFrame = {
+    val toks = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .withColumn("__shingle", explode(TextAnalysis.shingles("__tokens", shingleN)))
+    val mins = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("__shingle")))).as(s"mh$j"))
+    toks.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: signature → (band_id, band_key) rows. rowsPerBand
+    * minhashes are md5-combined into one band key. */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Candidate pairs: ids sharing any band bucket, deduped, with the
+    * MinHash Jaccard estimate (fraction of equal signature positions).
+    * Equi-join on (band_id, band_key) → plain shuffled hash join. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = lshBands(signatures, idCol, k, rowsPerBand)
+    val a = bands.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
+    val b = bands.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = signatures.select(col(idCol).as("id_a") +: (0 until k).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = signatures.select(col(idCol).as("id_b") +: (0 until k).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val eq = (0 until k).map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), (eq.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs: join the
+    * shingle sets back in (only for candidate ids) and compute
+    * |∩| / |∪|. This is the verify stage of the MinHash flow — and a
+    * standalone exact n-gram-Jaccard dedup when fed all-pairs. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol), TextAnalysis.shingles("__tokens", shingleN).as("sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** SimHash (16-bit): per-token 16-bit hash from the md5 hex prefix;
+    * each bit votes ±1 weighted by token multiplicity; the sign vector
+    * is the fingerprint. Near-dups = small Hamming distance. Pure
+    * conditional aggregation — one shuffle on the id. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .withColumn("__tok", explode(col("__tokens")))
+      .withColumn("__h", expr("cast(conv(substr(md5(__tok), 1, 4), 16, 10) as int)"))
+    val bitSums = (0 until 16).map(b =>
+      sum(when(expr(s"(shiftright(__h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b"))
+    val combined = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), combined.as("simhash16"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup pairing). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup pairs above a similarity threshold,
+    * bucketed by a coarse SimHash-of-sign-bits key so candidate
+    * generation is an equi-join, not a cross join (scale path). Exact
+    * brute-force variant lives in Similarity.bruteForceTopK. */
+  def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, signBits: Int = 8): DataFrame = {
+    val keyed = embeddings.withColumn("__bucket",
+      expr(s"aggregate(slice($vecCol, 1, $signBits), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"))
+    val a = keyed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = keyed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosineExpr("va", "vb"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

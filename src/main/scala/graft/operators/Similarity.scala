@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exact baseline;
+  * IVF (inverted-file) restricts each query to its nearest coarse
+  * centroid's bucket — the 100 TB path: candidate set shrinks by the
+  * number of buckets, and the join is a broadcast of the (small)
+  * centroid table plus an equi-join on bucket id instead of a cross
+  * join against the whole corpus.
+  *
+  * All vector math is double-precision fold expressions (codegen'd;
+  * element order fixed → bit-stable across engines for the oracle).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision: zip_with + sequential fold. */
+  def dotExpr(aCol: String, bCol: String): Column =
+    expr(s"""aggregate(zip_with($aCol, $bCol,
+            | (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  def normExpr(aCol: String): Column = sqrt(dotExpr(aCol, aCol))
+
+  def cosineExpr(aCol: String, bCol: String): Column =
+    dotExpr(aCol, bCol) / (normExpr(aCol) * normExpr(bCol))
+
+  /** Exact brute-force cosine top-k: every query row against the full
+    * corpus. Correctness baseline and small-corpus path; the corpus
+    * side stays partitioned, queries are broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineExpr("qv", "cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic coarse "training" stub: every strideth vector is a
+    * centroid (id % stride == 0). A production pipeline would plug a
+    * k-means fit here; the operator downstream is identical. */
+  def strideCentroids(corpus: DataFrame, idCol: String, vecCol: String, stride: Int): DataFrame =
+    corpus.filter(col(idCol) % stride === 0)
+      .select((col(idCol) / stride).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Assign each vector to its max-cosine centroid (broadcast join +
+    * window argmax; one shuffle on the corpus id). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineExpr(vecCol, "centroid_vec"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+  }
+
+  /** IVF top-k: queries search only their own bucket (nprobe=1).
+    * Equi-join on bucket replaces the cross join — the candidate set
+    * per query is corpus/buckets on average. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, stride: Int): DataFrame = {
+    val centroids = strideCentroids(corpus, idCol, vecCol, stride)
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val qAssigned = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val cAssigned = assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+    val scored = broadcast(qAssigned).join(cAssigned, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineExpr("qv", "cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -21,7 +21,7 @@ object Lakehouse {
   def validationSplit(s: SparkSession, dir: String): DataFrame =
     Validation.annotate(t(s, dir, "events"), Validation.eventRules())
       .groupBy(coalesce(col("error_code"), lit("VALID")).as("error_code"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n"), rd(sum(col("value")), 2).as("value_sum"))
       .orderBy("error_code")
 
   /** P1/P4: JSON payload probe — extract typed field from the JSON body,
@@ -31,7 +31,7 @@ object Lakehouse {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(
-        round(avg(col("k")), 4).as("k_avg"),
+        rd(avg(col("k")), 4).as("k_avg"),
         min(col("k")).as("k_min"),
         max(col("k")).as("k_max"),
         count(when(col("k").isNull, 1)).as("k_nulls"))
@@ -43,9 +43,9 @@ object Lakehouse {
       .select(
         col("user_id"), col("minute"),
         col("views_30m"), col("clicks_30m"), col("purchases_30m"), col("errors_30m"),
-        round(col("velocity_30m"), 4).as("velocity_30m"),
-        round(col("completion_rate_30m"), 4).as("completion_rate_30m"),
-        round(col("skip_rate_30m"), 4).as("skip_rate_30m"),
+        rd(col("velocity_30m"), 4).as("velocity_30m"),
+        rd(col("completion_rate_30m"), 4).as("completion_rate_30m"),
+        rd(col("skip_rate_30m"), 4).as("skip_rate_30m"),
         col("candidate_flag"), col("quality_gate_pass"), col("under_exposed_flag"),
         col("decision_type_preview"))
       .orderBy("user_id", "minute")
@@ -166,9 +166,9 @@ object Lakehouse {
       |    coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 AS under_exposed_flag
       |  FROM m)
       |SELECT user_id, minute, views_30m, clicks_30m, purchases_30m, errors_30m,
-      |  round(velocity_30m, 4) AS velocity_30m,
-      |  round(completion_rate_30m, 4) AS completion_rate_30m,
-      |  round(skip_rate_30m, 4) AS skip_rate_30m,
+      |  floor((velocity_30m)*10000 + 0.5)/10000 AS velocity_30m,
+      |  floor((completion_rate_30m)*10000 + 0.5)/10000 AS completion_rate_30m,
+      |  floor((skip_rate_30m)*10000 + 0.5)/10000 AS skip_rate_30m,
       |  candidate_flag, quality_gate_pass, under_exposed_flag,
       |  CASE WHEN candidate_flag AND quality_gate_pass THEN 'BOOST'
       |       WHEN candidate_flag THEN 'REVIEW'
@@ -184,11 +184,11 @@ object Lakehouse {
         |       WHEN CAST(json_extract_string(props, '$.k') AS INT) > 80 THEN 'E_K_OUT_OF_RANGE'
         |       WHEN value > 195.0 THEN 'E_VALUE_OUT_OF_RANGE' END,
         |  'VALID') AS error_code,
-        | count(*) AS n, round(sum(value), 2) AS value_sum
+        | count(*) AS n, floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_metrics" ->
       """SELECT event_type,
-        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS k_avg,
+        | floor((avg(CAST(json_extract_string(props, '$.k') AS INT)))*10000 + 0.5)/10000 AS k_avg,
         | min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
         | max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
         | count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS k_nulls

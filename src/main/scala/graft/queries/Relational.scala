@@ -36,7 +36,7 @@ object Relational {
         count(when(col("event_type") === "purchase", 1)).as("purchases"),
         count(when(col("event_type") === "signup", 1)).as("signups"),
         count(when(col("event_type") === "error", 1)).as("errors"),
-        round(sum(col("value")), 2).as("value_sum"),
+        rd(sum(col("value")), 2).as("value_sum"),
         count(lit(1)).as("n_events"))
       .orderBy("minute")
   }
@@ -55,7 +55,7 @@ object Relational {
     perMin.select(
         col("user_id"), col("minute"),
         sum(col("n")).over(w).as("n_30m"),
-        round(sum(col("v")).over(w), 2).as("v_30m"))
+        rd(sum(col("v")).over(w), 2).as("v_30m"))
       .orderBy("user_id", "minute")
   }
 
@@ -72,13 +72,13 @@ object Relational {
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_price"))
+        rd(sum(col("o_totalprice")), 2).as("total_price"))
       .orderBy("region", "nation")
   }
 
   /** TPC-H Q5-style multiway join: revenue per nation. lineitem⋈orders
     * shuffles on the orderkey; all dims broadcast. Revenue is exact at
-    * 4 decimals (price 2dp × discount 2dp) → round(_, 4). */
+    * 4 decimals (price 2dp × discount 2dp) → rd(_, 4). */
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
@@ -89,7 +89,7 @@ object Relational {
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("nation")
   }
@@ -103,7 +103,7 @@ object Relational {
     e.crossJoin(broadcast(anchor))
       .filter(col("ts") >= col("anchor_minute") - expr("INTERVAL 30 MINUTES"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .agg(count(lit(1)).as("n"), rd(sum(col("value")), 2).as("value_sum"))
       .orderBy("event_type")
   }
 
@@ -134,7 +134,7 @@ object Relational {
       .crossJoin(broadcast(cnt("orders", "n_orders")))
       .crossJoin(broadcast(cnt("customer", "n_customer")))
       .crossJoin(broadcast(t(s, dir, "orders")
-        .agg(round(max(col("o_totalprice")), 2).as("max_order_price"))))
+        .agg(rd(max(col("o_totalprice")), 2).as("max_order_price"))))
       .crossJoin(broadcast(t(s, dir, "events")
         .agg(countDistinct(col("user_id")).as("n_users"))))
   }
@@ -181,9 +181,9 @@ object Relational {
     t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(
-        round(max(when(col("event_type") === "purchase", col("value"))), 2).as("max_purchase"),
-        round(max(when(col("event_type") === "click", col("value"))), 2).as("max_click"),
-        round(min(when(col("event_type") === "view", col("value"))), 2).as("min_view"))
+        rd(max(when(col("event_type") === "purchase", col("value"))), 2).as("max_purchase"),
+        rd(max(when(col("event_type") === "click", col("value"))), 2).as("max_click"),
+        rd(min(when(col("event_type") === "view", col("value"))), 2).as("min_view"))
       .orderBy("user_id")
   }
 
@@ -195,9 +195,9 @@ object Relational {
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.4)"), 4).as("p40"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        rd(expr("percentile(value, 0.9)"), 4).as("p90"),
+        rd(expr("percentile(value, 0.4)"), 4).as("p40"),
+        rd(expr("percentile(value, 0.95)"), 4).as("p95"),
         count(lit(1)).as("sample_size"))
       .orderBy("event_type")
   }
@@ -253,7 +253,7 @@ object Relational {
         | count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
         | count(*) FILTER (WHERE event_type = 'signup') AS signups,
         | count(*) FILTER (WHERE event_type = 'error') AS errors,
-        | round(sum(value), 2) AS value_sum,
+        | floor((sum(value))*100 + 0.5)/100 AS value_sum,
         | count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_30m" ->
@@ -263,14 +263,14 @@ object Relational {
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, minute,
         |  sum(n) OVER w AS n_30m,
-        |  round(sum(v) OVER w, 2) AS v_30m
+        |  floor((sum(v) OVER w)*100 + 0.5)/100 AS v_30m
         |FROM per_min
         |WINDOW w AS (PARTITION BY user_id ORDER BY minute
         |  RANGE BETWEEN INTERVAL '29' MINUTE PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, minute""".stripMargin,
     "q_dim_join" ->
       """SELECT r.r_name AS region, n.n_name AS nation,
-        | count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+        | count(*) AS n_orders, floor((sum(o.o_totalprice))*100 + 0.5)/100 AS total_price
         |FROM orders o
         |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -278,7 +278,7 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_revenue_by_nation" ->
       """SELECT n.n_name AS nation,
-        | round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue,
         | count(*) AS n_items
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -287,7 +287,7 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_anchor_window" ->
       """WITH anchor AS (SELECT max(date_trunc('minute', ts)) AS anchor_minute FROM events)
-        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |SELECT event_type, count(*) AS n, floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM events CROSS JOIN anchor
         |WHERE ts >= anchor_minute - INTERVAL '30' MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -305,7 +305,7 @@ object Relational {
         | (SELECT count(*) FROM lineitem) AS n_lineitem,
         | (SELECT count(*) FROM orders) AS n_orders,
         | (SELECT count(*) FROM customer) AS n_customer,
-        | (SELECT round(max(o_totalprice), 2) FROM orders) AS max_order_price,
+        | (SELECT floor((max(o_totalprice))*100 + 0.5)/100 FROM orders) AS max_order_price,
         | (SELECT count(DISTINCT user_id) FROM events) AS n_users""".stripMargin,
     "q_latest_per_key" ->
       """SELECT user_id, date_trunc('second', ts) AS ts_sec, event_type, value
@@ -325,15 +325,15 @@ object Relational {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot_maxcase" ->
       """SELECT user_id,
-        | round(max(CASE WHEN event_type = 'purchase' THEN value END), 2) AS max_purchase,
-        | round(max(CASE WHEN event_type = 'click' THEN value END), 2) AS max_click,
-        | round(min(CASE WHEN event_type = 'view' THEN value END), 2) AS min_view
+        | floor((max(CASE WHEN event_type = 'purchase' THEN value END))*100 + 0.5)/100 AS max_purchase,
+        | floor((max(CASE WHEN event_type = 'click' THEN value END))*100 + 0.5)/100 AS max_click,
+        | floor((min(CASE WHEN event_type = 'view' THEN value END))*100 + 0.5)/100 AS min_view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quantiles" ->
       """SELECT event_type,
-        | round(quantile_cont(value, 0.9), 4) AS p90,
-        | round(quantile_cont(value, 0.4), 4) AS p40,
-        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | floor((quantile_cont(value, 0.9))*10000 + 0.5)/10000 AS p90,
+        | floor((quantile_cont(value, 0.4))*10000 + 0.5)/10000 AS p40,
+        | floor((quantile_cont(value, 0.95))*10000 + 0.5)/10000 AS p95,
         | count(*) AS sample_size
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_topk" ->

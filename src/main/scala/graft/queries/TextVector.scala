@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data-pipeline operator surface: text analysis, dedup family
+  * (exact / prefix / MinHash+LSH / n-gram Jaccard / SimHash), embedding
+  * similarity search (brute force + IVF), multimodal binary columns.
+  */
+object TextVector {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** Shared DuckDB CTE: tokens + distinct 3-gram shingles per doc. */
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3
+      |    THEN list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)])
+      |    ELSE [] END AS sh
+      |  FROM toks)""".stripMargin
+
+  private val sigCte =
+    shingleCte + """,
+      |shx AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0:'||tok)) AS mh0, min(md5('1:'||tok)) AS mh1,
+      |    min(md5('2:'||tok)) AS mh2, min(md5('3:'||tok)) AS mh3,
+      |    min(md5('4:'||tok)) AS mh4, min(md5('5:'||tok)) AS mh5,
+      |    min(md5('6:'||tok)) AS mh6, min(md5('7:'||tok)) AS mh7
+      |  FROM shx GROUP BY 1)""".stripMargin
+
+  private val lshPairsCte =
+    sigCte + """,
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    ((a.mh0=b.mh0)::INT+(a.mh1=b.mh1)::INT+(a.mh2=b.mh2)::INT+(a.mh3=b.mh3)::INT
+      |    +(a.mh4=b.mh4)::INT+(a.mh5=b.mh5)::INT+(a.mh6=b.mh6)::INT+(a.mh7=b.mh7)::INT)/8.0 AS est_jaccard
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |       (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+      |    OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)))""".stripMargin
+
+  // ---- text analysis -------------------------------------------------------
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rd(avg(size(col("toks"))), 4).as("avg_tokens"),
+        rd(avg(size(array_distinct(col("toks")))), 4).as("avg_distinct_tokens"),
+        rd(avg(length(col("text"))), 4).as("avg_chars"))
+      .orderBy("lang")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stopword_ratio", TextAnalysis.stopwordRatio("toks"))
+      .withColumn("punct_ratio", TextAnalysis.punctRatio("text"))
+      .withColumn("score",
+        TextAnalysis.qualityScore(col("n_tokens"), col("stopword_ratio"), col("punct_ratio")))
+    d.select(
+        col("doc_id"), col("n_tokens"),
+        rd(col("stopword_ratio"), 4).as("stopword_ratio"),
+        rd(col("punct_ratio"), 4).as("punct_ratio"),
+        rd(col("score"), 4).as("score"),
+        TextAnalysis.qualityBand(col("score")).as("quality_band"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic — no SQL oracle (profile tables); driver does
+    * the rows-only check. Grouped so the result is small + stable. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("lang_guess", TextAnalysis.langGuess("toks"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_guess")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("fp", TextAnalysis.fingerprint("toks"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("fp")).as("n_fingerprints"), count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  // ---- dedup ---------------------------------------------------------------
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("n_copies")).as("n_docs"),
+        count(when(col("n_copies") > 1, 1)).as("n_dup_groups"),
+        sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0)).as("n_dup_docs"))
+
+  def dedupPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixGroups(docs(s, dir), "doc_id", "text")
+      .select(md5(col("prefix")).as("prefix_hash"), col("canonical_id"), col("max_id"), col("n_docs"))
+      .orderBy("prefix_hash")
+
+  def minhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b"), rd(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(d, "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+    Dedup.ngramJaccard(pairs.select("id_a", "id_b"), d, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("n_inter"), rd(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  // ---- similarity search ---------------------------------------------------
+
+  def embedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def embedIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, stride = 100)
+      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
+        rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- multimodal ----------------------------------------------------------
+
+  def multimodalAssets(s: SparkSession, dir: String): DataFrame =
+    Multimodal.assetsFromDocuments(docs(s, dir))
+      .select(
+        col("asset_id"), col("kind"),
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        col("meta.origin").as("origin"),
+        col("meta.declared_chars").as("declared_chars"))
+      .orderBy("asset_id")
+
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.decodeStub(Multimodal.assetsFromDocuments(docs(s, dir)))
+      .toDF()
+      .select(col("asset_id"), col("kind"), col("n_bytes"),
+        rd(col("mean_byte"), 4).as("mean_byte"),
+        rd(element_at(col("features"), 2), 4).as("f1"))
+      .orderBy("asset_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> textStats,
+    "q_text_quality" -> textQuality,
+    "q_lang_id" -> langId,
+    "q_fingerprint" -> fingerprint,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_prefix" -> dedupPrefix,
+    "q_minhash_sig" -> minhashSig,
+    "q_lsh_pairs" -> lshPairs,
+    "q_ngram_jaccard" -> ngramJaccard,
+    "q_simhash" -> simhash,
+    "q_embed_topk" -> embedTopK,
+    "q_embed_ivf" -> embedIvf,
+    "q_multimodal_assets" -> multimodalAssets,
+    "q_multimodal_features" -> multimodalFeatures,
+  )
+
+  private val simhashSums = (0 until 16)
+    .map(b => s"sum(CASE WHEN (h>>$b)&1=1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+  private val simhashCombine = (0 until 16)
+    .map(b => s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  private val cosineCtes =
+    """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      |  FROM q, c WHERE query_id <> neighbor_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | floor((avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))))*10000 + 0.5)/10000 AS avg_tokens,
+        | floor((avg(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))))*10000 + 0.5)/10000 AS avg_distinct_tokens,
+        | floor((avg(length(text)))*10000 + 0.5)/10000 AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
+        |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
+        |  FROM d),
+        |sc AS (
+        |  SELECT *, 0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio) AS score
+        |  FROM m)
+        |SELECT doc_id, n_tokens,
+        |  floor((stopword_ratio)*10000 + 0.5)/10000 AS stopword_ratio,
+        |  floor((punct_ratio)*10000 + 0.5)/10000 AS punct_ratio,
+        |  floor((score)*10000 + 0.5)/10000 AS score,
+        |  CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS quality_band
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    list_min(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> md5(t))) AS fp
+        |  FROM documents)
+        |SELECT lang, count(DISTINCT fp) AS n_fingerprints, count(*) AS n_docs
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_distinct, sum(n_copies) AS n_docs,
+        |  count(*) FILTER (WHERE n_copies > 1) AS n_dup_groups,
+        |  coalesce(sum(n_copies) FILTER (WHERE n_copies > 1), 0) AS n_dup_docs
+        |FROM g""".stripMargin,
+    "q_dedup_prefix" ->
+      """SELECT md5(prefix) AS prefix_hash, canonical_id, max_id, n_docs FROM (
+        |  SELECT substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 40) AS prefix,
+        |    min(doc_id) AS canonical_id, max(doc_id) AS max_id, count(*) AS n_docs
+        |  FROM documents GROUP BY 1 HAVING count(*) > 1)
+        |ORDER BY prefix_hash""".stripMargin,
+    "q_minhash_sig" ->
+      ("WITH " + sigCte + "\nSELECT * FROM sig ORDER BY doc_id"),
+    "q_lsh_pairs" ->
+      ("WITH " + lshPairsCte +
+        "\nSELECT id_a, id_b, floor((est_jaccard)*10000 + 0.5)/10000 AS est_jaccard FROM pairs ORDER BY id_a, id_b"),
+    "q_ngram_jaccard" ->
+      ("WITH " + lshPairsCte + """,
+        |j AS (
+        |  SELECT p.id_a, p.id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+        |    1.0 * len(list_intersect(a.sh, b.sh)) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, n_inter, floor((jaccard)*10000 + 0.5)/10000 AS jaccard FROM j ORDER BY id_a, id_b""".stripMargin),
+    "q_simhash" ->
+      (s"""WITH toksm AS (
+         |  SELECT doc_id, CAST('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))),1,4) AS INT) AS h
+         |  FROM documents),
+         |bits AS (SELECT doc_id, $simhashSums FROM toksm GROUP BY 1)
+         |SELECT doc_id, $simhashCombine AS simhash16 FROM bits ORDER BY doc_id""".stripMargin),
+    "q_embed_topk" ->
+      ("WITH " + cosineCtes + """,
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_embed_ivf" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, v, centroid_id AS bucket FROM (
+        |    SELECT c.vec_id, c.v, ct.centroid_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.v, ct.centroid_vec) /
+        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.centroid_vec, ct.centroid_vec))) DESC,
+        |        ct.centroid_id) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM assign WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, q.bucket, a.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, a.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cosine
+        |  FROM q JOIN assign a ON a.bucket = q.bucket AND a.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, bucket, rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_multimodal_assets" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(text) AS n_bytes, md5(text) AS content_md5,
+        |  source AS origin, n_chars AS declared_chars
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // q_lang_id, q_multimodal_features: rows-only (profile-table / stub-decode
+    // logic intentionally not mirrored in SQL).
+  )
+}
