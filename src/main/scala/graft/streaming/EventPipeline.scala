@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Validation
+
+/** Structured-Streaming re-expression of the reference's realtime jobs
+  * (rt_content_events_aggregator.py): JSON envelope parse → lineage
+  * projection → validation split → three sinks (bronze append /
+  * quarantine append / gold 1-min windowed MERGE).
+  *
+  * Source-agnostic: callers pass any streaming DataFrame of
+  * (raw_value STRING, source_topic, source_partition, source_offset) —
+  * Kafka in production, MemoryStream/file source in tests. Each sink
+  * gets its own checkpoint + trigger (reference contract: raw 10 s,
+  * gold 1 min), and the gold path applies watermark + event-id dedup
+  * BEFORE aggregation while bronze stays un-deduped append-only.
+  */
+object EventPipeline {
+
+  /** Envelope schema — fixed, declared, never inferred (reference
+    * rt_content_events_aggregator.py:133-160). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("event_timestamp", StringType),
+    StructField("user_id", StringType),
+    StructField("event_type", StringType),
+    StructField("schema_version", StringType),
+    StructField("payload_json", StringType)))
+
+  val AllowedEventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Parse + annotate: from_json against the declared schema, nested
+    * extraction, timestamp parse (null ⇒ invalid), payload probe. */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("event", from_json(col("raw_value"), EventSchema))
+      .withColumn("event_id", col("event.event_id"))
+      // try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+      // default) the plain cast THROWS on malformed input; the contract
+      // is null ⇒ INVALID_EVENT_TIMESTAMP quarantine, never job failure.
+      .withColumn("ts", try_to_timestamp(col("event.event_timestamp")))
+      .withColumn("user_id", col("event.user_id"))
+      .withColumn("event_type", col("event.event_type"))
+      .withColumn("schema_version", coalesce(col("event.schema_version"), lit("unknown")))
+      .withColumn("payload_json", col("event.payload_json"))
+      .withColumn("watch_time_ms",
+        get_json_object(col("payload_json"), "$.watch_time_ms").cast("long"))
+      .withColumn("ingested_at", current_timestamp())
+
+  /** Error-code precedence ladder (reference 5-level contract:
+    * PARSE > MISSING_FIELD > INVALID_TIMESTAMP > INVALID_TYPE > INVALID_PAYLOAD). */
+  def validationRules: Seq[Validation.Rule] = Seq(
+    // PERMISSIVE from_json returns an all-null struct (not a null struct)
+    // for corrupt records — treat "every envelope field null" as a parse
+    // failure so broken JSON lands in PARSE_ERROR, not MISSING_FIELD.
+    Validation.Rule("PARSE_ERROR",
+      col("event").isNull ||
+        coalesce(col("event.event_id"), col("event.event_timestamp"), col("event.user_id"),
+          col("event.event_type"), col("event.schema_version"), col("event.payload_json")).isNull),
+    Validation.Rule("MISSING_REQUIRED_FIELD",
+      col("event_id").isNull || col("event.event_timestamp").isNull || col("user_id").isNull),
+    Validation.Rule("INVALID_EVENT_TIMESTAMP", col("ts").isNull),
+    Validation.Rule("INVALID_EVENT_TYPE", !col("event_type").isin(AllowedEventTypes: _*)),
+    // get_json_object(x, '$') returns null iff x is not valid JSON —
+    // the parseability probe (from_json is useless here: PERMISSIVE
+    // mode returns an all-null struct for corrupt payloads).
+    Validation.Rule("INVALID_PAYLOAD_JSON",
+      col("payload_json").isNotNull &&
+        get_json_object(col("payload_json"), "$").isNull))
+
+  def annotate(parsed: DataFrame): DataFrame = Validation.annotate(parsed, validationRules)
+
+  /** Bronze projection: lineage + envelope, append-only, NOT deduped
+    * (immutable replay log). */
+  def bronze(annotated: DataFrame): DataFrame =
+    annotated.filter(col("error_code").isNull).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("schema_version"), col("payload_json"), col("watch_time_ms"),
+      col("source_topic"), col("source_partition"), col("source_offset"),
+      col("ingested_at"))
+
+  /** Quarantine projection with deterministic invalid id
+    * topic:partition:offset (reference S8/P8). */
+  def quarantine(annotated: DataFrame): DataFrame =
+    annotated.filter(col("error_code").isNotNull).select(
+      concat_ws(":", coalesce(col("source_topic"), lit("unknown")),
+        col("source_partition"), col("source_offset")).as("invalid_event_id"),
+      col("error_code"),
+      col("raw_value"), col("source_topic"), col("source_partition"),
+      col("source_offset"), col("ingested_at"))
+
+  /** Gold: watermark → stateful event-id dedup → 1-minute tumbling
+    * window conditional-count aggregation (T1-T4). Update output mode +
+    * MERGE sink ⇒ late rows within the watermark re-emit and overwrite. */
+  def goldAggregate(annotated: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    annotated
+      .filter(col("error_code").isNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(when(col("event_type") === "error", 1)).as("errors"),
+        sum(coalesce(col("watch_time_ms"), lit(0L))).as("watch_time_sum_ms"))
+      // processed_at is stamped AFTER aggregation: non-deterministic
+      // expressions are illegal inside streaming aggregates.
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("user_id"), col("views"), col("clicks"), col("purchases"),
+        col("signups"), col("errors"), col("watch_time_sum_ms"),
+        current_timestamp().as("processed_at"))
+}

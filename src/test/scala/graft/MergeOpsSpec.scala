@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MergeOps
+
+class MergeOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dedupLatest keeps highest (order, tiebreak) row per key") {
+    val df = Seq(
+      ("u1", 1L, 10L, "a"), ("u1", 2L, 5L, "b"), ("u1", 2L, 7L, "c"),
+      ("u2", 1L, 1L, "d")).toDF("k", "ts", "off", "v")
+    val got = MergeOps.dedupLatest(df, Seq("k"), Seq(col("ts").desc, col("off").desc))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(got == Map("u1" -> "c", "u2" -> "d"))
+  }
+
+  test("upsert: source latest wins, unmatched target rows survive") {
+    val target = Seq(("u1", 1L, "old1"), ("u2", 1L, "old2")).toDF("k", "ts", "v")
+    val source = Seq(("u1", 2L, "new1a"), ("u1", 3L, "new1b"), ("u3", 1L, "new3")).toDF("k", "ts", "v")
+    val got = MergeOps.upsert(target, source, Seq("k"), Seq(col("ts").desc))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(got == Map("u1" -> "new1b", "u2" -> "old2", "u3" -> "new3"))
+  }
+
+  test("insertIfAbsent is idempotent") {
+    val target = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val rows = Seq(("b", 99), ("c", 3)).toDF("k", "v")
+    val once = MergeOps.insertIfAbsent(target, rows, Seq("k"))
+    val twice = MergeOps.insertIfAbsent(once, rows, Seq("k"))
+    val got = twice.as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    assert(twice.count() == 3)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{DropRatioListener, EventPipeline, ParquetUpsertSink}
+
+/** End-to-end Structured Streaming slice: MemoryStream JSON → parse →
+  * validate → watermark+dedup+1-min window → foreachBatch MERGE into
+  * parquet — asserting the reference's contracts: error precedence,
+  * event-id dedup, late-update convergence (counter overwrite), and
+  * beyond-watermark drop observability.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def json(id: String, ts: String, user: String = "u1", typ: String = "view"): String =
+    s"""{"event_id":"$id","event_timestamp":"$ts","user_id":"$user","event_type":"$typ","schema_version":"v1","payload_json":"{\\"watch_time_ms\\":100}"}"""
+
+  private def raw(events: MemoryStream[String]) = {
+    import spark.implicits._
+    events.toDF()
+      .select(col("value").as("raw_value"))
+      .withColumn("source_topic", lit("test_topic"))
+      .withColumn("source_partition", lit(0))
+      .withColumn("source_offset", xxhash64(col("raw_value"))) // mono-id is illegal in streaming plans
+  }
+
+  test("validation precedence + quarantine ids on a batch") {
+    import spark.implicits._
+    val rows = Seq(
+      json("e1", "2024-01-01T00:00:10Z"),                        // valid
+      "not json at all",                                          // PARSE_ERROR
+      """{"event_timestamp":"2024-01-01T00:00:11Z","user_id":"u","event_type":"view"}""", // missing event_id
+      json("e2", "bad-timestamp"),                                // INVALID_EVENT_TIMESTAMP
+      json("e3", "2024-01-01T00:00:12Z", typ = "dance"),          // INVALID_EVENT_TYPE
+      s"""{"event_id":"e4","event_timestamp":"2024-01-01T00:00:13Z","user_id":"u1","event_type":"view","schema_version":"v1","payload_json":"{not-json"}""")
+      .zipWithIndex
+    val df = rows.toDF("raw_value", "source_offset")
+      .withColumn("source_topic", lit("t")).withColumn("source_partition", lit(0))
+    val annotated = EventPipeline.annotate(EventPipeline.parse(df))
+    val codes = annotated.select("source_offset", "error_code")
+      .as[(Int, Option[String])].collect().toMap
+    assert(codes(0).isEmpty)
+    assert(codes(1).contains("PARSE_ERROR"))
+    assert(codes(2).contains("MISSING_REQUIRED_FIELD"))
+    assert(codes(3).contains("INVALID_EVENT_TIMESTAMP"))
+    assert(codes(4).contains("INVALID_EVENT_TYPE"))
+    assert(codes(5).contains("INVALID_PAYLOAD_JSON"))
+    val q = EventPipeline.quarantine(annotated)
+    assert(q.filter(col("invalid_event_id") === "t:0:1").count() == 1)
+  }
+
+  test("gold stream: dedup, late-update merge convergence, watermark drops observed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new DropRatioListener
+    spark.streams.addListener(listener)
+    val events = MemoryStream[String]
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val sink = new ParquetUpsertSink(spark, s"$dir/gold",
+      keys = Seq("user_id", "window_start"), orderBy = Seq("processed_at"))
+    val q = EventPipeline.goldAggregate(
+        EventPipeline.annotate(EventPipeline.parse(raw(events))), watermark = "2 minutes")
+      .writeStream
+      .foreachBatch(sink.foreachBatchFn)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update")
+      .start()
+
+    // batch 1: 3 events in minute 00, one duplicated event_id
+    events.addData(
+      json("a1", "2024-01-01T00:00:05Z"),
+      json("a1", "2024-01-01T00:00:05Z"), // duplicate id -> dropped by dedup
+      json("a2", "2024-01-01T00:00:20Z", typ = "click"),
+      json("a3", "2024-01-01T00:10:00Z")) // advances watermark to 00:08
+    q.processAllAvailable()
+
+    val after1 = sink.read().filter(col("window_start") === "2024-01-01 00:00:00")
+      .select("views", "clicks").as[(Long, Long)].collect()
+    assert(after1.toSeq == Seq((1L, 1L)))
+
+    // batch 2: late-but-within-watermark event for minute 00 (watermark
+    // floor is 00:08 but state for window 00:00 is kept until watermark
+    // passes window end... with 2-min watermark after max 00:10, events
+    // >= 00:08 accepted; minute 00 is older -> dropped. So use an event
+    // at 00:09 (late vs max-seen 00:10, within watermark) instead.
+    events.addData(json("a4", "2024-01-01T00:09:30Z", typ = "click"))
+    q.processAllAvailable()
+    val after2 = sink.read().filter(col("window_start") === "2024-01-01 00:09:00")
+      .select("clicks").as[Long].collect()
+    assert(after2.toSeq == Seq(1L))
+
+    // batch 3: event far beyond watermark -> dropped, observed by listener
+    events.addData(json("a5", "2024-01-01T00:00:40Z"))
+    q.processAllAvailable()
+    val minute0 = sink.read().filter(col("window_start") === "2024-01-01 00:00:00")
+      .select("views", "clicks").as[(Long, Long)].collect()
+    assert(minute0.toSeq == Seq((1L, 1L))) // unchanged: late row dropped
+    q.stop()
+    spark.streams.removeListener(listener)
+    assert(listener.rowsDropped >= 1, s"expected watermark drops, got ${listener.rowsDropped}")
+  }
+
+  test("StreamingJob fan-out: bronze append, quarantine append, gold merge from one stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[String]
+    val dir = Files.createTempDirectory("graft_job").toString
+    val cfg = graft.streaming.StreamingJobConfig(
+      checkpointRoot = s"$dir/ckpt", bronzePath = s"$dir/bronze",
+      quarantinePath = s"$dir/quarantine", goldPath = s"$dir/gold",
+      bronzeTrigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      goldTrigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val job = graft.streaming.StreamingJob.start(spark, raw(events), cfg)
+    events.addData(
+      json("j1", "2024-01-01T00:00:05Z"),
+      json("j2", "2024-01-01T00:00:06Z", typ = "click"),
+      "broken{json")
+    job.processAllAvailable()
+    job.stopAll()
+    assert(spark.read.parquet(s"$dir/bronze").count() == 2)
+    val q = spark.read.parquet(s"$dir/quarantine")
+    assert(q.count() == 1 && q.select("error_code").as[String].head() == "PARSE_ERROR")
+    val gold = spark.read.parquet(s"$dir/gold")
+    assert(gold.select("views", "clicks").as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+  }
+
+  test("gold counters are overwritten (not incremented) on re-emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[String]
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val sink = new ParquetUpsertSink(spark, s"$dir/gold",
+      keys = Seq("user_id", "window_start"), orderBy = Seq("processed_at"))
+    val q = EventPipeline.goldAggregate(
+        EventPipeline.annotate(EventPipeline.parse(raw(events))), watermark = "10 minutes")
+      .writeStream
+      .foreachBatch(sink.foreachBatchFn)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update")
+      .start()
+
+    events.addData(json("b1", "2024-01-01T00:00:05Z"))
+    q.processAllAvailable()
+    events.addData(json("b2", "2024-01-01T00:00:06Z")) // same window re-emits with updated counters
+    q.processAllAvailable()
+    val got = sink.read().filter(col("window_start") === "2024-01-01 00:00:00")
+      .select("views").as[Long].collect()
+    assert(got.toSeq == Seq(2L)) // overwrite => 2, increment bug would give 3
+    q.stop()
+  }
+}

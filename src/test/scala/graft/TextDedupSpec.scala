@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: short docs yield empty array, not descending-sequence garbage") {
+    val df = Seq((1L, "one two"), (2L, "one two three four")).toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("sh", TextAnalysis.shingles("toks", 3))
+    val got = df.select("doc_id", "sh").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq())
+    assert(got(2L) == Seq("one two three", "two three four"))
+  }
+
+  test("exact dedup groups duplicates under canonical min id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs share full signature; est_jaccard = 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words nothing shared here at all ok")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", k = 8, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs get identical fingerprints, hamming 0") {
+    val docs = Seq((1L, "spark window join"), (2L, "spark window join"), (3L, "cat dog mouse"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash16(docs, "doc_id", "text")
+    val m = sh.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val d = sh.toDF("id", "s")
+    val ham = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.id") === 1 && col("b.id") === 2)
+      .select(Dedup.hamming(col("a.s"), col("b.s"))).as[Long].head()
+    assert(ham == 0L)
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0, topk ranks by similarity") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.1f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val self = vs.filter(col("vec_id") === 0).select(Similarity.cosineExpr("embedding", "embedding"))
+      .as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    val topk = Similarity.bruteForceTopK(vs, vs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sorted.toSeq
+    assert(topk == Seq((1, 2L), (2, 1L), (3, 3L)))
+  }
+
+  test("quality band thresholds") {
+    val df = Seq(0.71, 0.69, 0.5, 0.49).toDF("s")
+    val got = df.select(TextAnalysis.qualityBand(col("s"))).as[String].collect().toSeq
+    assert(got == Seq("high", "medium", "medium", "low"))
+  }
+}
