@@ -24,13 +24,17 @@ class ParquetUpsertSink(spark: SparkSession, tablePath: String, keys: Seq[String
   def read(): DataFrame = spark.read.parquet(tablePath)
 
   /** MERGE one micro-batch: latest-wins on `keys` ordered by `orderBy`
-    * DESC. Counter columns are OVERWRITTEN, not incremented — replay-safe
-    * under update-mode re-emission (reference T4 contract). */
+    * DESC — across the STORED snapshot too (union + dedup-latest), so a
+    * stale row arriving in a later batch loses against what's already
+    * merged (CDC "stale ts must lose" contract). Counter columns are
+    * OVERWRITTEN, not incremented — replay-safe under update-mode
+    * re-emission (reference T4 contract). */
   def merge(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
+    val ord = orderBy.map(col(_).desc)
     val merged =
-      if (!exists) MergeOps.dedupLatest(batch, keys, orderBy.map(col(_).desc))
-      else MergeOps.upsert(read(), batch, keys, orderBy.map(col(_).desc))
+      if (!exists) MergeOps.dedupLatest(batch, keys, ord)
+      else MergeOps.dedupLatest(read().unionByName(batch.select(read().columns.map(col).toSeq: _*)), keys, ord)
     val tmp = new Path(tablePath + s"__tmp_$batchId")
     merged.write.mode("overwrite").parquet(tmp.toString)
     val dest = new Path(tablePath)
