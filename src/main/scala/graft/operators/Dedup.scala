@@ -58,20 +58,37 @@ object Dedup {
 
   /** Candidate pairs: ids sharing any band bucket, deduped, with the
     * MinHash Jaccard estimate (fraction of equal signature positions).
-    * Equi-join on (band_id, band_key) → plain shuffled hash join. */
+    *
+    * Shape for scale: the signature table is persisted (it would
+    * otherwise be recomputed — shingle explode included — once per
+    * plan leg), band rows CARRY the full signature so the estimate is
+    * computed inline on the (band_id, band_key) equi-join with no
+    * second/third join back to the signatures, and the final dedup is
+    * a groupBy on the pair key (a pair matching in several bands is
+    * collapsed; the estimate is identical in each). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val bands = lshBands(signatures, idCol, k, rowsPerBand)
-    val a = bands.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
-    val b = bands.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
-    val pairs = a.join(b, Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sa = signatures.select(col(idCol).as("id_a") +: (0 until k).map(j => col(s"mh$j").as(s"a$j")): _*)
-    val sb = signatures.select(col(idCol).as("id_b") +: (0 until k).map(j => col(s"mh$j").as(s"b$j")): _*)
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val sig = signatures.persist()
+    val bandStructs = (0 until k / rowsPerBand).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
+    val bands = sig
+      .select(col(idCol) +: explode(array(bandStructs: _*)).as("band") +:
+        (0 until k).map(j => col(s"mh$j")): _*)
+      .select(col(idCol) +: col("band.band_id").as("band_id") +: col("band.band_key").as("band_key") +:
+        (0 until k).map(j => col(s"mh$j")): _*)
+    val a = bands.select(col("band_id") +: col("band_key") +: col(idCol).as("id_a") +:
+      (0 until k).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = bands.select(col("band_id") +: col("band_key") +: col(idCol).as("id_b") +:
+      (0 until k).map(j => col(s"mh$j").as(s"b$j")): _*)
     val eq = (0 until k).map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(sa, "id_a").join(sb, "id_b")
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), (eq.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs: join the

@@ -17,16 +17,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) in double precision: zip_with + sequential fold. */
+  /** dot(a, b) in double precision — custom codegen'd Catalyst
+    * expression (tight primitive loop; see plans.VectorExpressions). */
   def dotExpr(aCol: String, bCol: String): Column =
+    graft.plans.VectorExpressions.dot(col(aCol), col(bCol))
+
+  def normExpr(aCol: String): Column = sqrt(dotExpr(aCol, aCol))
+
+  /** cosine(a, b) — one-pass custom expression (dot + both norms in a
+    * single array traversal). Bit-identical to the fold formulation:
+    * sequential element-order accumulation. */
+  def cosineExpr(aCol: String, bCol: String): Column =
+    graft.plans.VectorExpressions.cosine(col(aCol), col(bCol))
+
+  /** Built-in higher-order-function formulation (kept as the reference
+    * semantics twin for tests; ~10× slower than the custom expression). */
+  def dotFoldExpr(aCol: String, bCol: String): Column =
     expr(s"""aggregate(zip_with($aCol, $bCol,
             | (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
             | CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
-  def normExpr(aCol: String): Column = sqrt(dotExpr(aCol, aCol))
-
-  def cosineExpr(aCol: String, bCol: String): Column =
-    dotExpr(aCol, bCol) / (normExpr(aCol) * normExpr(bCol))
+  def cosineFoldExpr(aCol: String, bCol: String): Column =
+    dotFoldExpr(aCol, bCol) / (sqrt(dotFoldExpr(aCol, aCol)) * sqrt(dotFoldExpr(bCol, bCol)))
 
   /** Exact brute-force cosine top-k: every query row against the full
     * corpus. Correctness baseline and small-corpus path; the corpus

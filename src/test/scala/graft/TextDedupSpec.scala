@@ -72,6 +72,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(topk == Seq((1, 2L), (2, 1L), (3, 3L)))
   }
 
+  test("custom CosineSim/DotProduct expressions are bit-identical to the fold formulation") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < 20 && col("ib") < 20)
+    val diff = pairs.select(
+        (Similarity.cosineExpr("va", "vb") - Similarity.cosineFoldExpr("va", "vb")).as("dc"),
+        (Similarity.dotExpr("va", "vb") - Similarity.dotFoldExpr("va", "vb")).as("dd"))
+      .agg(max(abs(col("dc"))), max(abs(col("dd")))).as[(Double, Double)].head()
+    assert(diff == ((0.0, 0.0)), s"custom vs fold drift: $diff")
+  }
+
+  test("cosine_sim registered for SQL") {
+    graft.plans.VectorExpressions.register(spark)
+    graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings").createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT cosine_sim(a.embedding, a.embedding) c, dot_product(a.embedding, a.embedding) d FROM emb_t a WHERE a.vec_id = 0")
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12 && r._2 > 0.0)
+  }
+
   test("quality band thresholds") {
     val df = Seq(0.71, 0.69, 0.5, 0.49).toDF("s")
     val got = df.select(TextAnalysis.qualityBand(col("s"))).as[String].collect().toSeq
