@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Lakehouse.queries ++
-      graft.queries.TextVector.queries
+      graft.queries.TextVector.queries ++
+      graft.queries.Dashboards.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Lakehouse.oracles ++
-      graft.queries.TextVector.oracles
+      graft.queries.TextVector.oracles ++
+      graft.queries.Dashboards.oracles
 }

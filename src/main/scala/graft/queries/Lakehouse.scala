@@ -136,7 +136,11 @@ object Lakehouse {
     "q_freshness" -> freshness,
   )
 
-  private val decisionContextSql =
+  /** Decision-context CTE chain ending at the UNROUNDED flags+decision
+    * relation `f` — shared by every oracle that consumes the context
+    * (the rounded projection is applied per final query, so aggregates
+    * over the context see raw values on both engines). */
+  private[queries] val decisionContextCoreSql =
     """WITH per_min AS (
       |  SELECT user_id, date_trunc('minute', ts) AS minute,
       |    count(*) FILTER (WHERE event_type = 'view') AS views,
@@ -159,22 +163,26 @@ object Lakehouse {
       |    1.0 * purchases_30m / greatest(clicks_30m, 1) AS completion_rate_30m,
       |    1.0 * errors_30m / greatest(clicks_30m, 1) AS skip_rate_30m
       |  FROM roll),
-      |f AS (
+      |ctx_core AS (
       |  SELECT *,
       |    coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false) AS candidate_flag,
       |    completion_rate_30m >= 0.5 AND skip_rate_30m <= 0.5 AND clicks_30m >= 1 AS quality_gate_pass,
-      |    coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 AS under_exposed_flag
-      |  FROM m)
+      |    coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 AS under_exposed_flag,
+      |    CASE WHEN coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false)
+      |              AND (completion_rate_30m >= 0.5 AND skip_rate_30m <= 0.5 AND clicks_30m >= 1) THEN 'BOOST'
+      |         WHEN coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false) THEN 'REVIEW'
+      |         WHEN coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 THEN 'RESCUE'
+      |         ELSE 'NO_ACTION' END AS decision_type_preview
+      |  FROM m)""".stripMargin
+
+  private[queries] val decisionContextSql =
+    decisionContextCoreSql + """
       |SELECT user_id, minute, views_30m, clicks_30m, purchases_30m, errors_30m,
       |  floor((velocity_30m)*10000 + 0.5)/10000 AS velocity_30m,
       |  floor((completion_rate_30m)*10000 + 0.5)/10000 AS completion_rate_30m,
       |  floor((skip_rate_30m)*10000 + 0.5)/10000 AS skip_rate_30m,
-      |  candidate_flag, quality_gate_pass, under_exposed_flag,
-      |  CASE WHEN candidate_flag AND quality_gate_pass THEN 'BOOST'
-      |       WHEN candidate_flag THEN 'REVIEW'
-      |       WHEN under_exposed_flag THEN 'RESCUE'
-      |       ELSE 'NO_ACTION' END AS decision_type_preview
-      |FROM f""".stripMargin
+      |  candidate_flag, quality_gate_pass, under_exposed_flag, decision_type_preview
+      |FROM ctx_core""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_validation_split" ->
@@ -195,16 +203,16 @@ object Lakehouse {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decision_context" -> (decisionContextSql + "\nORDER BY user_id, minute"),
     "q_decision_distribution" ->
-      ("WITH ctx AS (" + decisionContextSql.replace("\n", "\n  ") +
-        ")\nSELECT decision_type_preview, count(*) AS n FROM ctx GROUP BY 1 ORDER BY 1"),
+      (decisionContextCoreSql +
+        "\nSELECT decision_type_preview, count(*) AS n FROM ctx_core GROUP BY 1 ORDER BY 1"),
     "q_action_queue" ->
-      ("WITH ctx AS (" + decisionContextSql.replace("\n", "\n  ") + """)
+      (decisionContextCoreSql + """
         |SELECT user_id, minute, decision_type_preview AS decision,
         |  CASE decision_type_preview WHEN 'RESCUE' THEN 1 WHEN 'REVIEW' THEN 2 WHEN 'BOOST' THEN 3 END AS priority,
         |  CASE decision_type_preview WHEN 'BOOST' THEN 15 WHEN 'REVIEW' THEN 30 WHEN 'RESCUE' THEN 30 END AS ttl_minutes,
         |  sha256(concat_ws('|', user_id, strftime(minute, '%Y-%m-%d %H:%M:%S'),
         |                   decision_type_preview, 'graft_rules_v1')) AS action_id
-        |FROM ctx WHERE decision_type_preview <> 'NO_ACTION'
+        |FROM ctx_core WHERE decision_type_preview <> 'NO_ACTION'
         |ORDER BY user_id, minute""".stripMargin),
     "q_merge_upsert" ->
       """WITH e AS (
