@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.plans.{GuardrailViolation, ServingGuardrails}
+import graft.serving.Serving
+
+class GuardrailsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def registered(): Unit =
+    Serving.registerViews(spark, Tables(spark, "/root/testdata/sf0.001", "events"))
+
+  test("unbounded serving-view scan is rejected") {
+    registered()
+    val plan = spark.sql("SELECT * FROM v_decision_context_30m_1m").queryExecution.analyzed
+    val ex = intercept[GuardrailViolation](ServingGuardrails.check(plan))
+    assert(ex.getMessage.contains("no event-time bound"))
+  }
+
+  test("time-bounded scan passes (the anchor pattern)") {
+    registered()
+    val plan = spark.sql(
+      """WITH anchor AS (SELECT max(minute) AS m FROM v_decision_context_30m_1m)
+        |SELECT * FROM v_decision_context_30m_1m CROSS JOIN anchor
+        |WHERE minute >= m - INTERVAL 30 MINUTES""".stripMargin).queryExecution.analyzed
+    ServingGuardrails.check(plan) // must not throw
+  }
+
+  test("fact-to-fact join between different serving views is rejected") {
+    registered()
+    val plan = spark.sql(
+      """SELECT * FROM v_decision_context_30m_1m a
+        |JOIN v_stats_1min b ON a.user_id = b.user_id
+        |WHERE a.minute >= TIMESTAMP '2024-01-01'""".stripMargin).queryExecution.analyzed
+    val ex = intercept[GuardrailViolation](ServingGuardrails.check(plan))
+    assert(ex.getMessage.contains("read-time join"))
+  }
+
+  test("non-serving queries are untouched") {
+    val plan = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .groupBy("o_orderstatus").count().queryExecution.analyzed
+    ServingGuardrails.check(plan)
+  }
+
+  test("extension wiring injects the check rule without error") {
+    // buildCheckRules is private[sql]; assert the injection itself works
+    val ext = new graft.plans.GraftExtensions
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext(e) // throws if injectCheckRule signature drifts
+    registered()
+    val bad = spark.sql("SELECT count(*) FROM v_decision_context_30m_1m").queryExecution.analyzed
+    assert(intercept[GuardrailViolation](ServingGuardrails.check(bad)).getMessage.contains("guardrail"))
+  }
+}
