@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Lakehouse.queries ++
       graft.queries.TextVector.queries ++
-      graft.queries.Dashboards.queries
+      graft.queries.Dashboards.queries ++
+      graft.queries.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Lakehouse.oracles ++
       graft.queries.TextVector.oracles ++
-      graft.queries.Dashboards.oracles
+      graft.queries.Dashboards.oracles ++
+      graft.queries.Tpch.oracles
 }

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Classic TPC-H-shaped queries over the testdata (bench depth for the
+  * relational surface; adapted to the columns the testdata carries).
+  */
+object Tpch {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Q1: pricing summary — wide aggregate battery with date bound. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        rd(sum(col("l_quantity")), 2).as("sum_qty"),
+        rd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        rd(avg(col("l_quantity")), 6).as("avg_qty"),
+        rd(avg(col("l_extendedprice")), 6).as("avg_price"),
+        rd(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3: shipping priority — segment filter, 3-way join, top-10 revenue. */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q6: forecasting revenue — pure scan-filter-aggregate (the pushdown
+    * showcase: all three predicates reach the parquet scan). */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(rd(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** ROLLUP: hierarchical totals region → nation → grand total
+    * (beyond-reference completeness; group keys coalesced to 'ALL' so
+    * both engines order identically). */
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), rd(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_orders"), col("total_price"))
+      .orderBy("region", "nation")
+  }
+
+  /** Approx sketches — the 100 TB swap-ins for exact distinct/quantile
+    * (HLL++ / KLL-style). No SQL oracle (sketch internals differ across
+    * engines); ApproxSpec asserts tolerance vs exact instead. */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        rd(expr("percentile_approx(value, 0.9, 10000)"), 2).as("approx_p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> q1,
+    "q_tpch_q3" -> q3,
+    "q_tpch_q6" -> q6,
+    "q_rollup" -> rollup,
+    "q_approx_stats" -> approxStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | floor((sum(l_quantity))*100 + 0.5)/100 AS sum_qty,
+        | floor((sum(l_extendedprice))*100 + 0.5)/100 AS sum_base_price,
+        | floor((sum(l_extendedprice * (1.0 - l_discount)))*10000 + 0.5)/10000 AS sum_disc_price,
+        | floor((sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)))*10000 + 0.5)/10000 AS sum_charge,
+        | floor((avg(l_quantity))*1000000 + 0.5)/1000000 AS avg_qty,
+        | floor((avg(l_extendedprice))*1000000 + 0.5)/1000000 AS avg_price,
+        | floor((avg(l_discount))*1000000 + 0.5)/1000000 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT floor((sum(l_extendedprice * l_discount))*10000 + 0.5)/10000 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_orders, floor((sum(o_totalprice))*100 + 0.5)/100 AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    // q_approx_stats: rows-only (sketches are engine-specific).
+  )
+}
