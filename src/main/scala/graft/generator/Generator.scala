@@ -71,7 +71,9 @@ object Generator {
     Scenario("viral_high", 0.20, "BOOST",
       Seq("view" -> 0.3, "click" -> 0.3, "purchase" -> 0.3, "signup" -> 0.05, "error" -> 0.05), "gaming"),
     Scenario("viral_low", 0.10, "REVIEW",
-      Seq("view" -> 0.3, "click" -> 0.4, "purchase" -> 0.05, "signup" -> 0.05, "error" -> 0.2), "sports"),
+      // high engagement velocity (clicks ≫ views) but poor completion →
+      // candidate that fails the quality gate → REVIEW
+      Seq("view" -> 0.2, "click" -> 0.5, "purchase" -> 0.05, "signup" -> 0.05, "error" -> 0.2), "sports"),
     Scenario("cold_start", 0.10, "RESCUE",
       Seq("view" -> 0.1, "click" -> 0.4, "purchase" -> 0.3, "signup" -> 0.1, "error" -> 0.1), "education"),
     Scenario("invalid_burst", 0.05, "QUARANTINE",
@@ -90,9 +92,9 @@ object Generator {
       * malformed variant (bad timestamp, broken payload, missing type). */
     def json: String =
       if (valid)
-        s"""{"event_id":"$eventId","event_timestamp":"$eventTimestamp","user_id":"$userId","event_type":"$eventType","schema_version":"m1_v1","payload_json":"{\\"watch_time_ms\\":100,\\"scenario_id\\":\\"$scenario\\"}"}"""
+        s"""{"event_id":"$eventId","event_timestamp":"$eventTimestamp","video_id":"$videoId","user_id":"$userId","event_type":"$eventType","schema_version":"m1_v1","payload_json":"{\\"watch_time_ms\\":100,\\"scenario_id\\":\\"$scenario\\"}"}"""
       else
-        s"""{"event_id":"$eventId","event_timestamp":"bad-timestamp","user_id":"$userId","schema_version":"m1_v1","payload_json":"{not-valid-json"}"""
+        s"""{"event_id":"$eventId","event_timestamp":"bad-timestamp","video_id":"$videoId","user_id":"$userId","schema_version":"m1_v1","payload_json":"{not-valid-json"}"""
   }
 
   final case class RegistryRow(videoId: String, scenario: String, category: String,

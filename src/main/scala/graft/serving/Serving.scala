@@ -23,9 +23,9 @@ object Serving {
 
   /** 1-minute grain conditional-count pivot (reference gold
     * rt_video_stats_1min, A1). */
-  def perMinuteCounters(events: DataFrame): DataFrame =
+  def perMinuteCounters(events: DataFrame, key: String = "user_id"): DataFrame =
     events
-      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col(key), date_trunc("minute", col("ts")).as("minute"))
       .agg(
         count(when(col("event_type") === "view", 1)).as("views"),
         count(when(col("event_type") === "click", 1)).as("clicks"),
@@ -36,12 +36,12 @@ object Serving {
 
   /** Rolling 30-minute counters: RANGE-interval frame over event time
     * (reference A2/W3; DataFrame form = epoch-cast rangeBetween). */
-  def rolling30m(perMinute: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
+  def rolling30m(perMinute: DataFrame, key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key))
       .orderBy(col("minute").cast("long"))
       .rangeBetween(-29L * 60, 0)
     perMinute.select(
-      col("user_id"), col("minute"),
+      col(key), col("minute"),
       sum(col("views")).over(w).as("views_30m"),
       sum(col("clicks")).over(w).as("clicks_30m"),
       sum(col("purchases")).over(w).as("purchases_30m"),
@@ -69,8 +69,9 @@ object Serving {
   }
 
   /** Full pipeline from raw events. */
-  def decisionContextFromEvents(events: DataFrame, th: Thresholds = Thresholds()): DataFrame =
-    decisionContext(rolling30m(perMinuteCounters(events)), th)
+  def decisionContextFromEvents(events: DataFrame, th: Thresholds = Thresholds(),
+                                key: String = "user_id"): DataFrame =
+    decisionContext(rolling30m(perMinuteCounters(events, key), key), th)
 
   /** Action-queue candidate rows: NO_ACTION suppressed (D4), priority/TTL
     * maps + deterministic sha-256 action ids (D5). */

@@ -25,6 +25,7 @@ object EventPipeline {
     StructField("event_id", StringType),
     StructField("event_timestamp", StringType),
     StructField("user_id", StringType),
+    StructField("video_id", StringType),
     StructField("event_type", StringType),
     StructField("schema_version", StringType),
     StructField("payload_json", StringType)))
@@ -42,6 +43,7 @@ object EventPipeline {
       // is null ⇒ INVALID_EVENT_TIMESTAMP quarantine, never job failure.
       .withColumn("ts", try_to_timestamp(col("event.event_timestamp")))
       .withColumn("user_id", col("event.user_id"))
+      .withColumn("video_id", col("event.video_id"))
       .withColumn("event_type", col("event.event_type"))
       .withColumn("schema_version", coalesce(col("event.schema_version"), lit("unknown")))
       .withColumn("payload_json", col("event.payload_json"))
@@ -76,7 +78,7 @@ object EventPipeline {
     * (immutable replay log). */
   def bronze(annotated: DataFrame): DataFrame =
     annotated.filter(col("error_code").isNull).select(
-      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("event_id"), col("ts"), col("user_id"), col("video_id"), col("event_type"),
       col("schema_version"), col("payload_json"), col("watch_time_ms"),
       col("source_topic"), col("source_partition"), col("source_offset"),
       col("ingested_at"))
