@@ -57,6 +57,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Heap-based top-k: same results as [[bruteForceTopK]], different
+    * physical shape — a typed `Aggregator` with a size-k buffer, so the
+    * shuffle carries at most k candidates per partition per query
+    * instead of the full scored cross product (see functions.TopK). */
+  def heapTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{udaf => _, _}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("id"), cosineExpr("qv", "cv").as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (qid, id, s) => (qid, graft.functions.TopK.Scored(id, s)) }
+    val agg = graft.functions.TopK.topK(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (sc, i) => (qid, i + 1, sc.id, sc.score) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Deterministic coarse "training" stub: every strideth vector is a
     * centroid (id % stride == 0). A production pipeline would plug a
     * k-means fit here; the operator downstream is identical. */

@@ -128,6 +128,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(gold.select("views", "clicks").as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
   }
 
+  test("file-source streaming: JSONL directory drives the same pipeline (prod S1 shape)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_files")
+    val src = dir.resolve("in"); Files.createDirectory(src)
+    val lines = (1 to 5).map(i => json(s"f$i", f"2024-01-01T00:00:0$i%dZ")) :+ "broken{"
+    Files.write(src.resolve("batch1.jsonl"), String.join("\n", lines: _*).getBytes)
+    val raw = spark.readStream.textFile(src.toString).toDF("raw_value")
+      .withColumn("source_topic", lit("file"))
+      .withColumn("source_partition", lit(0))
+      .withColumn("source_offset", xxhash64(col("raw_value")))
+    val annotated = graft.streaming.EventPipeline.annotate(graft.streaming.EventPipeline.parse(raw))
+    val q = annotated.groupBy("error_code").count()
+      .writeStream.format("memory").queryName("file_src_counts").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("file_src_counts")
+      .as[(Option[String], Long)].collect().toMap
+    assert(counts(None) == 5L && counts(Some("PARSE_ERROR")) == 1L)
+  }
+
   test("gold counters are overwritten (not incremented) on re-emission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -93,6 +93,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(r._1 - 1.0) < 1e-12 && r._2 > 0.0)
   }
 
+  test("heapTopK (bounded Aggregator) matches window bruteForceTopK exactly") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 12)
+    val win = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val heap = Similarity.heapTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(heap == win)
+  }
+
   test("quality band thresholds") {
     val df = Seq(0.71, 0.69, 0.5, 0.49).toDF("s")
     val got = df.select(TextAnalysis.qualityBand(col("s"))).as[String].collect().toSeq
