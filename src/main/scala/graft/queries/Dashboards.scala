@@ -111,9 +111,38 @@ object Dashboards {
     invalidRate.unionByName(dupEvents).unionByName(volume).unionByName(freshness)
   }
 
+  /** A10/B8 analog: decision distribution trend per minute over the
+    * last 60 minutes from the anchor. */
+  def decisionTrend(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS anchor_minute FROM v_decision_context_30m_1m)
+        |SELECT minute, decision_type_preview, count(*) AS n
+        |FROM v_decision_context_30m_1m CROSS JOIN anchor
+        |WHERE minute >= anchor_minute - INTERVAL 60 MINUTES
+        |GROUP BY minute, decision_type_preview
+        |ORDER BY minute, decision_type_preview""".stripMargin)
+  }
+
+  /** A7/P16: COUNT_IF + NULLIF null-rate pack over the context view
+    * (the reference's data-quality dashboard, metabase pack:274-337). */
+  def nullRatePack(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """SELECT
+        |  count(*) AS n_rows,
+        |  count_if(velocity_30m IS NULL) AS velocity_nulls,
+        |  count_if(completion_rate_30m IS NULL) AS completion_nulls,
+        |  count_if(decision_type_preview IS NULL) AS decision_nulls,
+        |  floor((count_if(views_30m = 0) / CAST(nullif(count(*), 0) AS DOUBLE))*1000000 + 0.5)/1000000 AS zero_view_rate
+        |FROM v_decision_context_30m_1m""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dash_latest" -> latestPerVideo,
     "q_dash_health" -> platformHealth,
+    "q_dash_decision_trend" -> decisionTrend,
+    "q_dash_nullrate" -> nullRatePack,
     "q_reconciliation" -> reconciliation,
     "q_health_gates" -> healthGates,
   )
@@ -145,6 +174,23 @@ object Dashboards {
         |FROM ctx_core CROSS JOIN anchor
         |WHERE minute >= anchor_minute - INTERVAL '30' MINUTE
         |GROUP BY minute ORDER BY minute""".stripMargin),
+    "q_dash_decision_trend" ->
+      (Lakehouse.decisionContextCoreSql.stripSuffix(")") + """),
+        |anchor AS (SELECT max(minute) AS anchor_minute FROM ctx_core)
+        |SELECT minute, decision_type_preview, count(*) AS n
+        |FROM ctx_core CROSS JOIN anchor
+        |WHERE minute >= anchor_minute - INTERVAL '60' MINUTE
+        |GROUP BY minute, decision_type_preview
+        |ORDER BY minute, decision_type_preview""".stripMargin),
+    "q_dash_nullrate" ->
+      (Lakehouse.decisionContextCoreSql + """
+        |SELECT
+        |  count(*) AS n_rows,
+        |  count(*) FILTER (WHERE velocity_30m IS NULL) AS velocity_nulls,
+        |  count(*) FILTER (WHERE completion_rate_30m IS NULL) AS completion_nulls,
+        |  count(*) FILTER (WHERE decision_type_preview IS NULL) AS decision_nulls,
+        |  floor((count(*) FILTER (WHERE views_30m = 0) / CAST(nullif(count(*), 0) AS DOUBLE))*1000000 + 0.5)/1000000 AS zero_view_rate
+        |FROM ctx_core""".stripMargin),
     "q_reconciliation" ->
       """WITH rt AS (
         |  SELECT date_trunc('minute', ts) AS minute, count(*) AS rt_n,
