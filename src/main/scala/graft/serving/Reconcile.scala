@@ -1,0 +1,33 @@
+package graft.serving
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RT-vs-batch reconciliation helpers (reference reconciliation-and-slo
+  * contract + verify_rt_content_events_aggregator.py:216-232).
+  */
+object Reconcile {
+
+  /** Derived watermark-drop ratio: max(unique_raw − gold_total, 0) /
+    * unique_raw — the portable fallback when StreamingQueryProgress
+    * isn't retained (the reference's formula verbatim). */
+  def watermarkDropRatio(bronze: DataFrame, gold: DataFrame): Double = {
+    val uniqueRaw = bronze.select(col("event_id")).distinct().count()
+    if (uniqueRaw == 0) return 0.0
+    val goldTotal = gold.agg(
+      sum(coalesce(col("views"), lit(0L)) + coalesce(col("clicks"), lit(0L)) +
+        coalesce(col("purchases"), lit(0L)) + coalesce(col("signups"), lit(0L)) +
+        coalesce(col("errors"), lit(0L))).as("t"))
+      .collect()(0).getLong(0)
+    math.max(uniqueRaw - goldTotal, 0L).toDouble / uniqueRaw
+  }
+
+  /** Minute-level count reconciliation between an RT aggregate and a
+    * batch recompute: p95 of abs(rt−batch)/max(batch, floor). */
+  def countDiffP95(rt: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                   rtCount: String, batchCount: String, floor: Long = 100L): Double =
+    batch.join(rt, keyCols, "left")
+      .select((abs(coalesce(col(rtCount), lit(0L)) - col(batchCount)).cast("double") /
+        greatest(col(batchCount), lit(floor))).as("ratio"))
+      .agg(expr("percentile(ratio, 0.95)")).collect()(0).getDouble(0)
+}
