@@ -89,6 +89,33 @@ object Serving {
           col("decision_type_preview"),
           lit(ruleVersion)).as("action_id"))
 
+  /** Full queue-row shape (reference action-queue-contract: 11 core
+    * fields incl. reason_codes ARRAY and TTL-derived expiry) — composes
+    * with QueueValidation.split for the typed D6 reject path. */
+  def actionQueueRows(context: DataFrame, ruleVersion: String, key: String = "user_id"): DataFrame =
+    context
+      .filter(col("decision_type_preview") =!= Decisions.NoAction)
+      .withColumn("reason_codes", array_compact(array(
+        when(col("candidate_flag"), "VELOCITY_GE_P90"),
+        when(col("quality_gate_pass"), "QUALITY_GATE_PASS"),
+        when(col("under_exposed_flag"), "UNDER_EXPOSED"))))
+      .withColumn("decided_at", current_timestamp())
+      .select(
+        Decisions.actionIdExpr(
+          col(key), date_format(col("minute"), "yyyy-MM-dd HH:mm:ss"),
+          col("decision_type_preview"), lit(ruleVersion)).as("action_id"),
+        col(key).cast("string").as("video_id"),
+        col("minute").as("window_start"),
+        (col("minute") + expr("INTERVAL 1 MINUTE")).as("window_end"),
+        col("decision_type_preview").as("decision_type"),
+        Decisions.priorityExpr(col("decision_type_preview")).as("priority"),
+        Decisions.ttlMinutesExpr(col("decision_type_preview")).as("ttl_minutes"),
+        lit(ruleVersion).as("rule_version"),
+        col("reason_codes"),
+        col("decided_at"),
+        (col("decided_at") + Decisions.ttlMinutesExpr(col("decision_type_preview"))
+          * expr("INTERVAL 1 MINUTE")).as("expires_at"))
+
   /** Register the serving surface as SQL views (reference S12). */
   def registerViews(spark: SparkSession, events: DataFrame, th: Thresholds = Thresholds()): Unit = {
     perMinuteCounters(events).createOrReplaceTempView("v_stats_1min")
