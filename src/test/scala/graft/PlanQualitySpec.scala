@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale are asserted, not just benchmarked — a change that
+  * un-broadcasts a dim join or drops predicate pushdown fails here
+  * before it shows up as a 10× bench regression at 100 TB.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_tpch_q6: all predicates pushed to the parquet scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(p.contains("LessThanOrEqual(l_discount,0.07)"), "discount bound not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity bound not pushed")
+  }
+
+  test("q_tpch_q6: scan is column-pruned to the 4 needed columns") {
+    val p = plan("q_tpch_q6")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && read.contains("l_discount"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan reads more than needed: $read")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_dim_join and q_revenue_by_nation broadcast their dims") {
+    assert(plan("q_dim_join").contains("BroadcastHashJoin"))
+    assert(plan("q_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("q_latest_per_key gets the WindowGroupLimit rank pushdown") {
+    assert(plan("q_latest_per_key").contains("WindowGroupLimit"))
+  }
+
+  test("no accidental nested-loop/cartesian joins in the join queries") {
+    Seq("q_revenue_by_nation", "q_dim_join", "q_merge_upsert", "q_lsh_pairs", "q_ngram_jaccard")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+  }
+
+  test("aggregations are partial+final (map-side combine present)") {
+    val p = plan("q_conditional_agg")
+    // two HashAggregate stages around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("hashpartitioning("))
+  }
+}
