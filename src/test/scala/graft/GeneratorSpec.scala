@@ -74,6 +74,19 @@ class GeneratorSpec extends AnyFunSuite {
     assert(msgs.count(_.contains("_u")) >= out.registry.size)
   }
 
+  test("artifacts: run manifest + expected actions + replay JSONL round-trip") {
+    val spark = TestSpark.spark
+    val out = Generator.run(cfg)
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
+    graft.generator.Artifacts.write(spark, dir, cfg, out)
+    val manifest = spark.read.parquet(s"$dir/run_manifest").collect()
+    assert(manifest.length == 1 && manifest(0).getAs[String]("run_id") == cfg.runId)
+    val expected = spark.read.parquet(s"$dir/expected_actions")
+    assert(expected.count() == Scenarios.size.toLong)
+    val replayed = spark.read.json(s"$dir/events_jsonl")
+    assert(replayed.count() == cfg.totalEvents.toLong)
+  }
+
   test("generated events flow through the streaming pipeline: invalid_burst quarantined") {
     val spark = TestSpark.spark
     import spark.implicits._
