@@ -158,7 +158,8 @@ object TextVector {
         length(col("content")).as("n_bytes"),
         md5(col("content")).as("content_md5"),
         col("meta.origin").as("origin"),
-        col("meta.declared_chars").as("declared_chars"))
+        col("meta.declared_chars").as("declared_chars"),
+        to_json(col("meta")).as("meta_json"))
       .orderBy("asset_id")
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -301,7 +302,8 @@ object TextVector {
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         |  length(text) AS n_bytes, md5(text) AS content_md5,
-        |  source AS origin, n_chars AS declared_chars
+        |  source AS origin, n_chars AS declared_chars,
+        |  '{"origin":"' || source || '","declared_chars":' || n_chars || '}' AS meta_json
         |FROM documents ORDER BY asset_id""".stripMargin,
     // q_lang_id, q_multimodal_features: rows-only (profile-table / stub-decode
     // logic intentionally not mirrored in SQL).

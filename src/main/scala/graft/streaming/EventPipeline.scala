@@ -95,12 +95,23 @@ object EventPipeline {
 
   /** Gold: watermark → stateful event-id dedup → 1-minute tumbling
     * window conditional-count aggregation (T1-T4). Update output mode +
-    * MERGE sink ⇒ late rows within the watermark re-emit and overwrite. */
-  def goldAggregate(annotated: DataFrame, watermark: String = "2 minutes"): DataFrame =
-    annotated
+    * MERGE sink ⇒ late rows within the watermark re-emit and overwrite.
+    *
+    * `boundedDedupState = true` uses dropDuplicatesWithinWatermark:
+    * dedup state EXPIRES with the watermark instead of growing with
+    * every event-id ever seen — the 100 TB deployment choice. Default
+    * false = the reference's exact dropDuplicates semantics (a dup
+    * arriving arbitrarily late is still dropped, at unbounded state
+    * cost). */
+  def goldAggregate(annotated: DataFrame, watermark: String = "2 minutes",
+                    boundedDedupState: Boolean = false): DataFrame = {
+    val watermarked = annotated
       .filter(col("error_code").isNull)
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+    val deduped =
+      if (boundedDedupState) watermarked.dropDuplicatesWithinWatermark("event_id")
+      else watermarked.dropDuplicates("event_id")
+    deduped
       .groupBy(window(col("ts"), "1 minute"), col("user_id"))
       .agg(
         count(when(col("event_type") === "view", 1)).as("views"),
@@ -117,4 +128,5 @@ object EventPipeline {
         col("user_id"), col("views"), col("clicks"), col("purchases"),
         col("signups"), col("errors"), col("watch_time_sum_ms"),
         current_timestamp().as("processed_at"))
+  }
 }

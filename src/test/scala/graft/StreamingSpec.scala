@@ -183,6 +183,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(views == Seq(3L), s"expected 3 views after recovery, got $views")
   }
 
+  test("boundedDedupState: dropDuplicatesWithinWatermark dedups within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[String]
+    val dir = Files.createTempDirectory("graft_bounded").toString
+    val sink = new ParquetUpsertSink(spark, s"$dir/gold",
+      keys = Seq("user_id", "window_start"), orderBy = Seq("processed_at"))
+    val q = EventPipeline.goldAggregate(
+        EventPipeline.annotate(EventPipeline.parse(raw(events))),
+        watermark = "10 minutes", boundedDedupState = true)
+      .writeStream
+      .foreachBatch(sink.foreachBatchFn)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update").start()
+    events.addData(
+      json("d1", "2024-01-01T00:00:05Z"),
+      json("d1", "2024-01-01T00:00:05Z"), // in-window duplicate -> dropped
+      json("d2", "2024-01-01T00:00:30Z"))
+    q.processAllAvailable()
+    q.stop()
+    val views = sink.read().filter(col("window_start") === "2024-01-01 00:00:00")
+      .select("views").as[Long].collect().toSeq
+    assert(views == Seq(2L))
+  }
+
   test("watermark-drop ratio: derived formula sees the dropped late event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
