@@ -43,18 +43,21 @@ object Dedup {
     toks.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: signature → (band_id, band_key) rows. rowsPerBand
-    * minhashes are md5-combined into one band key. */
-  def lshBands(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+  /** (band_id, band_key) struct per band: rowsPerBand minhashes
+    * md5-combined into one key. */
+  private def bandStructs(k: Int, rowsPerBand: Int): Seq[Column] = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
-    val bands = (0 until k / rowsPerBand).map { b =>
+    (0 until k / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
     }
-    signatures
-      .select(col(idCol), explode(array(bands: _*)).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_key"))
   }
+
+  /** LSH banding: signature → (band_id, band_key) rows. */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame =
+    signatures
+      .select(col(idCol), explode(array(bandStructs(k, rowsPerBand): _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
 
   /** Candidate pairs: ids sharing any band bucket, deduped, with the
     * MinHash Jaccard estimate (fraction of equal signature positions).
@@ -67,14 +70,9 @@ object Dedup {
     * a groupBy on the pair key (a pair matching in several bands is
     * collapsed; the estimate is identical in each). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
-    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val sig = signatures.persist()
-    val bandStructs = (0 until k / rowsPerBand).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
-    }
     val bands = sig
-      .select(col(idCol) +: explode(array(bandStructs: _*)).as("band") +:
+      .select(col(idCol) +: explode(array(bandStructs(k, rowsPerBand): _*)).as("band") +:
         (0 until k).map(j => col(s"mh$j")): _*)
       .select(col(idCol) +: col("band.band_id").as("band_id") +: col("band.band_key").as("band_key") +:
         (0 until k).map(j => col(s"mh$j")): _*)

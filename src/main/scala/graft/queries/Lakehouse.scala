@@ -75,11 +75,7 @@ object Lakehouse {
     val target = MergeOps.dedupLatest(e.filter(col("ts") < cut), Seq("user_id"), ord)
       .select(col("user_id"), col("event_type"), col("value"), col("ts_sec"))
     val source = e.filter(col("ts") >= cut)
-    val merged = MergeOps.upsert(
-      target,
-      source.select(col("user_id"), col("event_type"), col("value"), col("ts_sec"), col("ts"), col("event_id"))
-        .select(col("user_id"), col("event_type"), col("value"), col("ts_sec"), col("ts"), col("event_id")),
-      Seq("user_id"), ord)
+    val merged = MergeOps.upsert(target, source, Seq("user_id"), ord)
     merged.select(col("user_id"), col("event_type"), col("value"), col("ts_sec")).orderBy("user_id")
   }
 
