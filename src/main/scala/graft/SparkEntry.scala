@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Lakehouse.queries ++
       graft.queries.TextVector.queries ++
       graft.queries.Dashboards.queries ++
-      graft.queries.Tpch.queries
+      graft.queries.Tpch.queries ++
+      graft.queries.Behavioral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Lakehouse.oracles ++
       graft.queries.TextVector.oracles ++
       graft.queries.Dashboards.oracles ++
-      graft.queries.Tpch.oracles
+      graft.queries.Tpch.oracles ++
+      graft.queries.Behavioral.oracles
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Behavioral analytics over the events stream: gap-based
+  * sessionization (lag + cumulative gap counter — the batch twin of a
+  * streaming session window) and a view→click→purchase conversion
+  * funnel. Extends the window-function surface beyond the reference
+  * (which uses no lag/lead) — standard ops any events lakehouse needs.
+  */
+object Behavioral {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Sessionize with a 30-minute inactivity gap: session_id = running
+    * count of gap-starts per user (ordered by event time). Two window
+    * passes over the same (user_id, ts) ordering — Catalyst runs both
+    * in one Window operator chain with a single shuffle on user_id. */
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(date_trunc("second", col("ts"))).as("session_start"),
+        (max(date_trunc("second", col("ts"))).cast("long") -
+          min(date_trunc("second", col("ts"))).cast("long")).as("duration_seconds"),
+        count(lit(1)).as("n_events"),
+        rd(sum(col("value")), 2).as("value_sum"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** Conversion funnel per user: first view → first click after that →
+    * first purchase after that; counts users reaching each stage. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    // stage predicates live IN the join condition: a user whose clicks
+    // all precede the first view must survive as a null-stage row, not
+    // vanish (LEFT JOIN ON ts >= stage, not join-then-filter).
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("t_click"))
+    val firstClick = firstView.join(clicks,
+        col("user_id") === col("c_user") && col("t_click") >= col("t_view"), "left")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("t_click")).as("t_click"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("t_purchase"))
+    val full = firstClick.join(purchases,
+        col("user_id") === col("p_user") && col("t_purchase") >= col("t_click"), "left")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("t_purchase")).as("t_purchase"))
+    full.agg(
+      count(lit(1)).as("n_viewers"),
+      count(col("t_click")).as("n_clickers"),
+      count(col("t_purchase")).as("n_purchasers"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> ((s, d) => sessionize(s, d)),
+    "q_funnel" -> funnel,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', date_trunc('microseconds', lag(ts) OVER w),
+        |                        date_trunc('microseconds', ts)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id, session_no,
+        |  min(date_trunc('second', ts)) AS session_start,
+        |  date_diff('second', min(date_trunc('second', ts)), max(date_trunc('second', ts))) AS duration_seconds,
+        |  count(*) AS n_events,
+        |  floor((sum(value))*100 + 0.5)/100 AS value_sum
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+        |fc AS (
+        |  SELECT fv.user_id, fv.t_view, min(c.ts) AS t_click
+        |  FROM fv LEFT JOIN events c
+        |    ON c.user_id = fv.user_id AND c.event_type = 'click' AND c.ts >= fv.t_view
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT fc.user_id, fc.t_view, fc.t_click, min(p.ts) AS t_purchase
+        |  FROM fc LEFT JOIN events p
+        |    ON p.user_id = fc.user_id AND p.event_type = 'purchase' AND p.ts >= fc.t_click
+        |  GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_viewers, count(t_click) AS n_clickers,
+        |  count(t_purchase) AS n_purchasers
+        |FROM fp""".stripMargin,
+  )
+}
