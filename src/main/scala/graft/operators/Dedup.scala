@@ -126,6 +126,46 @@ object Dedup {
       .select(col(idCol), combined.as("simhash16"))
   }
 
+  /** Connected components over an undirected pair list (the dedup
+    * endgame: candidate pairs → duplicate CLUSTERS → one canonical doc
+    * per cluster). Min-label propagation to fixpoint: every node's
+    * label converges to the smallest id reachable from it.
+    *
+    * The driver loop is a scalar iteration count (graph diameter), not
+    * a data loop — each step is a distributed join+groupBy; labels are
+    * persisted per round and the loop exits when no label changes.
+    * (GraphX does the same thing with more machinery.) */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("neighbor_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label")).limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Hamming distance between two simhash values (for near-dup pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -129,6 +129,18 @@ object TextVector {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dedup clusters: LSH candidate pairs (est_jaccard >= 0.5) ->
+    * connected components -> cluster membership (cluster_id = min doc
+    * id in the component). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
@@ -182,6 +194,7 @@ object TextVector {
     "q_minhash_sig" -> minhashSig,
     "q_lsh_pairs" -> lshPairs,
     "q_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
@@ -262,6 +275,19 @@ object TextVector {
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
         |SELECT id_a, id_b, n_inter, floor((jaccard)*10000 + 0.5)/10000 AS jaccard FROM j ORDER BY id_a, id_b""".stripMargin),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + lshPairsCte.replace("WITH ", "") + """,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= 0.5),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin),
     "q_simhash" ->
       (s"""WITH toksm AS (
          |  SELECT doc_id, CAST('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))),1,4) AS INT) AS h
