@@ -30,8 +30,15 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("bucketed catalog table joins without a shuffle") {
-    spark.sql("DROP TABLE IF EXISTS g_bucket_a")
-    spark.sql("DROP TABLE IF EXISTS g_bucket_b")
+    // a fresh JVM's in-memory catalog forgets the table but the managed
+    // LOCATION survives on disk — drop both or CTAS fails with
+    // LOCATION_ALREADY_EXISTS
+    Seq("g_bucket_a", "g_bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     val e = Tables(spark, "/root/testdata/sf0.001", "events").select("event_id", "user_id", "value")
     Layout.writeBucketed(e, "g_bucket_a", "user_id", buckets = 4)
     Layout.writeBucketed(e, "g_bucket_b", "user_id", buckets = 4)
