@@ -83,9 +83,9 @@ object Behavioral {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)),
         |sess AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
         |    ORDER BY date_trunc('microseconds', ts), event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM marked)
         |SELECT user_id, session_no,
         |  min(date_trunc('second', ts)) AS session_start,

@@ -146,10 +146,10 @@ object Lakehouse {
       |  FROM events GROUP BY 1, 2),
       |roll AS (
       |  SELECT user_id, minute,
-      |    sum(views) OVER w AS views_30m,
-      |    sum(clicks) OVER w AS clicks_30m,
-      |    sum(purchases) OVER w AS purchases_30m,
-      |    sum(errors) OVER w AS errors_30m
+      |    CAST(sum(views) OVER w AS BIGINT) AS views_30m,
+      |    CAST(sum(clicks) OVER w AS BIGINT) AS clicks_30m,
+      |    CAST(sum(purchases) OVER w AS BIGINT) AS purchases_30m,
+      |    CAST(sum(errors) OVER w AS BIGINT) AS errors_30m
       |  FROM per_min
       |  WINDOW w AS (PARTITION BY user_id ORDER BY minute
       |    RANGE BETWEEN INTERVAL '29' MINUTE PRECEDING AND CURRENT ROW)),

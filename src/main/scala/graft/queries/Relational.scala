@@ -262,7 +262,7 @@ object Relational {
         |         count(*) AS n, sum(value) AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, minute,
-        |  sum(n) OVER w AS n_30m,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_30m,
         |  floor((sum(v) OVER w)*100 + 0.5)/100 AS v_30m
         |FROM per_min
         |WINDOW w AS (PARTITION BY user_id ORDER BY minute

@@ -227,7 +227,7 @@ object TextVector {
       """WITH d AS (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |m AS (
-        |  SELECT doc_id, len(w) AS n_tokens,
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
         |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
         |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
         |  FROM d),
@@ -251,9 +251,9 @@ object TextVector {
       """WITH g AS (
         |  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
         |  FROM documents GROUP BY 1)
-        |SELECT count(*) AS n_distinct, sum(n_copies) AS n_docs,
+        |SELECT count(*) AS n_distinct, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |  count(*) FILTER (WHERE n_copies > 1) AS n_dup_groups,
-        |  coalesce(sum(n_copies) FILTER (WHERE n_copies > 1), 0) AS n_dup_docs
+        |  CAST(coalesce(sum(n_copies) FILTER (WHERE n_copies > 1), 0) AS BIGINT) AS n_dup_docs
         |FROM g""".stripMargin,
     "q_dedup_prefix" ->
       """SELECT md5(prefix) AS prefix_hash, canonical_id, max_id, n_docs FROM (
@@ -270,7 +270,7 @@ object TextVector {
       ("WITH " + lshPairsCte + """,
         |j AS (
         |  SELECT p.id_a, p.id_b,
-        |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_inter,
         |    1.0 * len(list_intersect(a.sh, b.sh)) /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
@@ -293,13 +293,13 @@ object TextVector {
          |  SELECT doc_id, CAST('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))),1,4) AS INT) AS h
          |  FROM documents),
          |bits AS (SELECT doc_id, $simhashSums FROM toksm GROUP BY 1)
-         |SELECT doc_id, $simhashCombine AS simhash16 FROM bits ORDER BY doc_id""".stripMargin),
+         |SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash16 FROM bits ORDER BY doc_id""".stripMargin),
     "q_embed_topk" ->
       ("WITH " + cosineCtes + """,
         |r AS (SELECT query_id, neighbor_id, cosine,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |      FROM scored)
-        |SELECT query_id, rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
     "q_embed_ivf" ->
       """WITH cent AS (
@@ -322,12 +322,12 @@ object TextVector {
         |  FROM q JOIN assign a ON a.bucket = q.bucket AND a.vec_id <> q.query_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |      FROM scored)
-        |SELECT query_id, bucket, rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_multimodal_assets" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  length(text) AS n_bytes, md5(text) AS content_md5,
+        |  CAST(length(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
         |  source AS origin, n_chars AS declared_chars,
         |  '{"origin":"' || source || '","declared_chars":' || n_chars || '}' AS meta_json
         |FROM documents ORDER BY asset_id""".stripMargin,

@@ -48,6 +48,19 @@ def main(sf_dir, out_dir):
             ecols, erows = exp.columns, exp.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: {ex}"); n_fail += 1; continue
+        # dtype parity: the driver hashes typed (arrow) values, so a DuckDB
+        # HUGEINT vs Spark BIGINT mismatches even when Python ints compare equal.
+        gtypes = dict(zip(got.columns, [str(t) for t in got.types]))
+        etypes = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        INTS = {"TINYINT","SMALLINT","INTEGER","BIGINT","HUGEINT",
+                "UTINYINT","USMALLINT","UINTEGER","UBIGINT","UHUGEINT"}
+        drift = [(c, gtypes[c], etypes[c]) for c in gtypes
+                 if c in etypes and gtypes[c] != etypes[c]]
+        int_drift = [d for d in drift if d[1] in INTS or d[2] in INTS]
+        if int_drift:
+            print(f"FAIL {name}: integer dtype drift {int_drift}"); n_fail += 1; continue
+        for d in drift:
+            print(f"  warn {name}: dtype {d[0]}: spark={d[1]} duck={d[2]}")
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
         if gc != ec:
