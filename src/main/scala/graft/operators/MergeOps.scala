@@ -27,6 +27,30 @@ object MergeOps {
       .drop("__rn")
   }
 
+  /** Latest row per key via aggregation instead of a window sort:
+    * max_by(payload, ordering-struct) with structs comparing
+    * lexicographically. Equivalent to [[dedupLatest]] when `ordAsc` is
+    * the ascending version of the same (total) ordering, but runs as a
+    * hash aggregate with map-side partial combine — no per-partition
+    * full sort, and the shuffle carries one row per (partition, key)
+    * instead of every row. Preferred at scale whenever the ordering is
+    * expressible ascending (the common ts/offset case). */
+  def dedupLatestBy(df: DataFrame, keys: Seq[String], ordAsc: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(ordAsc: _*)).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** [[upsert]] with the aggregate dedup (see [[dedupLatestBy]]). */
+  def upsertBy(target: DataFrame, source: DataFrame, keys: Seq[String],
+               ordAsc: Seq[Column]): DataFrame = {
+    val latest = dedupLatestBy(source, keys, ordAsc)
+    val cols = target.columns.map(col).toSeq
+    latest.select(cols: _*)
+      .unionByName(target.join(latest, keys, "left_anti").select(cols: _*))
+  }
+
   /** MERGE target←source ON keys: WHEN MATCHED UPDATE (source row wins)
     * WHEN NOT MATCHED INSERT. Source is pre-deduped latest-wins. Both
     * sides must share the same schema. */

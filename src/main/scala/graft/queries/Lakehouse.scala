@@ -71,11 +71,13 @@ object Lakehouse {
       col("user_id"), col("event_type"), col("value"),
       date_trunc("second", col("ts")).as("ts_sec"), col("ts"), col("event_id"))
     val cut = lit("2024-01-04").cast("timestamp")
-    val ord = Seq(col("ts").desc, col("event_id").desc)
-    val target = MergeOps.dedupLatest(e.filter(col("ts") < cut), Seq("user_id"), ord)
+    // ascending (ts, event_id) is a total order per key (event_id unique),
+    // so max_by aggregation replaces the full window sort on both legs
+    val ordAsc = Seq(col("ts"), col("event_id"))
+    val target = MergeOps.dedupLatestBy(e.filter(col("ts") < cut), Seq("user_id"), ordAsc)
       .select(col("user_id"), col("event_type"), col("value"), col("ts_sec"))
     val source = e.filter(col("ts") >= cut)
-    val merged = MergeOps.upsert(target, source, Seq("user_id"), ord)
+    val merged = MergeOps.upsertBy(target, source, Seq("user_id"), ordAsc)
     merged.select(col("user_id"), col("event_type"), col("value"), col("ts_sec")).orderBy("user_id")
   }
 

@@ -25,6 +25,25 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got == Map("u1" -> "new1b", "u2" -> "old2", "u3" -> "new3"))
   }
 
+  test("dedupLatestBy (max_by aggregate) ≡ dedupLatest (window) on a total order") {
+    val df = Seq(
+      ("u1", 1L, 10L, "a"), ("u1", 2L, 5L, "b"), ("u1", 2L, 7L, "c"),
+      ("u2", 1L, 1L, "d"), ("u3", 9L, 0L, "e")).toDF("k", "ts", "off", "v")
+    val win = MergeOps.dedupLatest(df, Seq("k"), Seq(col("ts").desc, col("off").desc))
+    val agg = MergeOps.dedupLatestBy(df, Seq("k"), Seq(col("ts"), col("off")))
+    val w = win.orderBy("k").collect().map(_.toSeq).toSeq
+    val a = agg.select(win.columns.map(col).toSeq: _*).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == w)
+  }
+
+  test("upsertBy: source latest wins, unmatched target rows survive") {
+    val target = Seq(("u1", 1L, "old1"), ("u2", 1L, "old2")).toDF("k", "ts", "v")
+    val source = Seq(("u1", 2L, "new1a"), ("u1", 3L, "new1b"), ("u3", 1L, "new3")).toDF("k", "ts", "v")
+    val got = MergeOps.upsertBy(target, source, Seq("k"), Seq(col("ts")))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(got == Map("u1" -> "new1b", "u2" -> "old2", "u3" -> "new3"))
+  }
+
   test("insertIfAbsent is idempotent") {
     val target = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val rows = Seq(("b", 99), ("c", 3)).toDF("k", "v")
