@@ -88,27 +88,100 @@ object Dashboards {
         (col("rate_p95") <= 0.03).as("rates_pass"))
   }
 
-  /** D8: sign-off gate battery — one labelled row per health gate. */
+  /** D8: the full 11-gate sign-off battery (reference
+    * verify_mic38_sprint1_signoff.py:141-510 re-expressed over the data
+    * itself). One row per gate: (gate, value, pass, status); `status` is
+    * ok/alert except the freshness gate's healthy/degraded/stale
+    * tri-state (reference README.md Reliability Controls: P95 < 3 min
+    * healthy, > 10 min stale).
+    *
+    * Scale shape: ONE global aggregate pass over events plus two small
+    * grouped aggregates (per-type freshness, per-minute volume); the 11
+    * rows are exploded from the single joined metrics row — the events
+    * table is never scanned per-gate. */
   def healthGates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir, "events")
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    def gate(name: String, value: org.apache.spark.sql.Column, pass: org.apache.spark.sql.Column)
-            (df: DataFrame): DataFrame =
-      df.agg(value.as("value")).select(lit(name).as("gate"), rd(col("value"), 6).as("value"),
-        pass.as("pass"))
+    val kStr = get_json_object(col("props"), "$.k")
+    val allowed = Seq("click", "view", "purchase", "signup", "error")
+    val isParse = kStr.isNull
+    val isInvalid = isParse || !col("event_type").isin(allowed: _*) ||
+      (kStr.cast("int") > 80) || (col("value") > 195.0)
+    val sec = date_trunc("second", col("ts")).cast("long")
 
-    val invalidRate = gate("invalid_rate_le_20pct",
-      sum(when(k > 80 || col("value") > 195.0, 1).otherwise(0)).cast("double") / count(lit(1)),
-      col("value") <= 0.20)(e)
-    val dupEvents = gate("event_id_unique",
-      (count(lit(1)) - countDistinct(col("event_id"))).cast("double"),
-      col("value") === 0.0)(e)
-    val volume = gate("volume_ge_100",
-      count(lit(1)).cast("double"), col("value") >= 100.0)(e)
-    val freshness = gate("freshness_span_positive",
-      (max(col("ts")).cast("long") - min(col("ts")).cast("long")).cast("double"),
-      col("value") > 0.0)(e)
-    invalidRate.unionByName(dupEvents).unionByName(volume).unionByName(freshness)
+    val g = e.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(when(isParse, 1).otherwise(0)).cast("double").as("parse_err"),
+      sum(when(isInvalid, 1).otherwise(0)).cast("double").as("n_invalid"),
+      (count(lit(1)) - countDistinct(col("event_id"))).cast("double").as("dup_ids"),
+      sum(when(col("value") < 0, 1).otherwise(0)).cast("double").as("neg_rows"),
+      sum(when(col("user_id").isNull, 1).otherwise(0)).cast("double").as("null_user"),
+      sum(when(isInvalid && (col("event_id").isNull || col("ts").isNull), 1).otherwise(0))
+        .cast("double").as("inv_null_fields"),
+      sum(when(col("event_type") === "error", 1).otherwise(0)).cast("double").as("err_events"),
+      countDistinct(col("user_id")).cast("double").as("n_users"),
+      max(sec).as("anchor_sec"),
+      min(sec).as("min_sec"))
+
+    // per-source freshness lag (seconds behind the global anchor)
+    val lags = e.groupBy(col("event_type")).agg(max(sec).as("last_sec"))
+      .crossJoin(broadcast(g.select(col("anchor_sec").as("a"))))
+      .select((col("a") - col("last_sec")).cast("double").as("lag_sec"))
+    val lagStats = lags
+      .select(col("lag_sec"),
+        row_number().over(Window.orderBy(col("lag_sec"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("cnt"))
+      .agg(
+        max(col("lag_sec")).as("max_lag"),
+        max(when(col("rn") <= ceil(col("cnt") * 0.95), col("lag_sec"))).as("p95_lag"))
+
+    // per-minute volume: progress + checkpoint-growth proxy (events
+    // landing in the newer half of the observed span)
+    val perMin = e.groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_min"))
+    val minStats = perMin
+      .crossJoin(broadcast(g.select(col("anchor_sec"), col("min_sec"))))
+      .agg(
+        count(lit(1)).cast("double").as("n_minutes"),
+        coalesce(sum(when((col("anchor_sec") - col("minute").cast("long")) <=
+            (col("anchor_sec") - col("min_sec")) / 2.0, col("n_min"))), lit(0L))
+          .cast("double").as("second_half"))
+
+    val m = g.crossJoin(broadcast(lagStats)).crossJoin(broadcast(minStats))
+
+    def okStatus(pass: org.apache.spark.sql.Column) = when(pass, "ok").otherwise("alert")
+    def mk(name: String, value: org.apache.spark.sql.Column,
+           pass: org.apache.spark.sql.Column,
+           status: org.apache.spark.sql.Column = null) =
+      struct(lit(name).as("gate"), rd(value, 6).as("value"), pass.as("pass"),
+        (if (status == null) okStatus(pass) else status).as("status"))
+
+    val span = col("anchor_sec") - col("min_sec")
+    val parseRate = col("parse_err") / col("n")
+    val validRate = (col("n") - col("n_invalid")) / col("n")
+    val invalidRate = col("n_invalid") / col("n")
+    val errShare = col("err_events") / col("n")
+    val runScoped =
+      when(col("n") > 0, 1).otherwise(0) + when(col("n_minutes") > 0, 1).otherwise(0) +
+      when(col("n_invalid") > 0, 1).otherwise(0) + when(col("n_users") > 0, 1).otherwise(0) +
+      when(span > 0, 1).otherwise(0)
+    val contractViolations = col("dup_ids") + col("neg_rows") + col("null_user")
+
+    m.select(explode(array(
+        mk("input_artifacts_parseable", parseRate, parseRate <= 0.20),
+        mk("underlying_verifiers_passed", validRate, validRate >= 0.5),
+        mk("key_tables_run_scoped", runScoped.cast("double"), runScoped === 5),
+        mk("gold_contract_valid", contractViolations, contractViolations === 0.0),
+        mk("invalid_sink_fields_non_null", col("inv_null_fields"), col("inv_null_fields") === 0.0),
+        mk("invalid_rate_within_threshold", invalidRate, invalidRate <= 0.20),
+        mk("query_health_no_exceptions", errShare, errShare <= 0.25),
+        mk("query_progress_moving", col("n_minutes"), col("n_minutes") >= 2),
+        mk("checkpoint_growth", col("second_half"), col("second_half") > 0),
+        mk("freshness_sla", col("max_lag"), col("max_lag") <= 600,
+          when(col("max_lag") <= 180, "healthy").when(col("max_lag") <= 600, "degraded").otherwise("stale")),
+        mk("latency_p95_proxy", col("p95_lag"), col("p95_lag") < 180))).as("g"))
+      .select(col("g.*"))
+      .orderBy("gate")
   }
 
   /** A10/B8 analog: decision distribution trend per minute over the
@@ -214,18 +287,66 @@ object Dashboards {
         |  count_p95 <= 0.08 AS counts_pass, rate_p95 <= 0.03 AS rates_pass
         |FROM agg""".stripMargin,
     "q_health_gates" ->
-      """SELECT 'invalid_rate_le_20pct' AS gate,
-        |  floor((1.0 * count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80 OR value > 195.0) / count(*))*1000000 + 0.5)/1000000 AS value,
-        |  (1.0 * count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80 OR value > 195.0) / count(*)) <= 0.20 AS pass
-        |FROM events
-        |UNION ALL
-        |SELECT 'event_id_unique', floor((count(*) - count(DISTINCT event_id))*1000000 + 0.5)/1000000,
-        |  (count(*) - count(DISTINCT event_id)) = 0 FROM events
-        |UNION ALL
-        |SELECT 'volume_ge_100', floor(count(*)*1000000 + 0.5)/1000000, count(*) >= 100 FROM events
-        |UNION ALL
-        |SELECT 'freshness_span_positive',
-        |  floor(date_diff('second', min(date_trunc('second', ts)), max(date_trunc('second', ts)))*1000000 + 0.5)/1000000,
-        |  date_diff('second', min(date_trunc('second', ts)), max(date_trunc('second', ts))) > 0 FROM events""".stripMargin,
+      """WITH base AS (
+        |  SELECT *, json_extract_string(props, '$.k') AS kstr,
+        |    (json_extract_string(props, '$.k') IS NULL
+        |     OR event_type NOT IN ('click','view','purchase','signup','error')
+        |     OR CAST(json_extract_string(props, '$.k') AS INT) > 80
+        |     OR value > 195.0) AS is_invalid
+        |  FROM events),
+        |g AS (
+        |  SELECT
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(count(*) FILTER (WHERE kstr IS NULL) AS DOUBLE) AS parse_err,
+        |    CAST(count(*) FILTER (WHERE is_invalid) AS DOUBLE) AS n_invalid,
+        |    CAST(count(*) - count(DISTINCT event_id) AS DOUBLE) AS dup_ids,
+        |    CAST(count(*) FILTER (WHERE value < 0) AS DOUBLE) AS neg_rows,
+        |    CAST(count(*) FILTER (WHERE user_id IS NULL) AS DOUBLE) AS null_user,
+        |    CAST(count(*) FILTER (WHERE is_invalid AND (event_id IS NULL OR ts IS NULL)) AS DOUBLE) AS inv_null_fields,
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS err_events,
+        |    CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+        |    max(date_trunc('second', ts)) AS anchor_ts,
+        |    min(date_trunc('second', ts)) AS min_ts
+        |  FROM base),
+        |lags AS (
+        |  SELECT CAST(date_diff('second', last_ts, (SELECT anchor_ts FROM g)) AS DOUBLE) AS lag_sec
+        |  FROM (SELECT event_type, max(date_trunc('second', ts)) AS last_ts FROM events GROUP BY 1)),
+        |lagstats AS (
+        |  SELECT max(lag_sec) AS max_lag,
+        |         max(CASE WHEN rn <= ceil(cnt * 0.95) THEN lag_sec END) AS p95_lag
+        |  FROM (SELECT lag_sec, row_number() OVER (ORDER BY lag_sec) AS rn, count(*) OVER () AS cnt FROM lags)),
+        |perm AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n_min FROM events GROUP BY 1),
+        |mins AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_minutes,
+        |    CAST(coalesce(sum(CASE WHEN date_diff('second', minute, g.anchor_ts) <= date_diff('second', g.min_ts, g.anchor_ts)/2.0 THEN n_min END), 0) AS DOUBLE) AS second_half
+        |  FROM perm CROSS JOIN g GROUP BY g.anchor_ts, g.min_ts),
+        |m AS (
+        |  SELECT *,
+        |    CAST(date_diff('second', min_ts, anchor_ts) AS DOUBLE) AS span,
+        |    parse_err / n AS parse_rate,
+        |    (n - n_invalid) / n AS valid_rate,
+        |    n_invalid / n AS invalid_rate,
+        |    err_events / n AS err_share,
+        |    CAST((n > 0) AS INT) + CAST((n_minutes > 0) AS INT) + CAST((n_invalid > 0) AS INT)
+        |      + CAST((n_users > 0) AS INT) + CAST((date_diff('second', min_ts, anchor_ts) > 0) AS INT) AS run_scoped,
+        |    dup_ids + neg_rows + null_user AS contract_violations
+        |  FROM g CROSS JOIN lagstats CROSS JOIN mins)
+        |SELECT gate, floor((value)*1000000 + 0.5)/1000000 AS value, pass,
+        |  CASE WHEN gate = 'freshness_sla' THEN
+        |         CASE WHEN value <= 180 THEN 'healthy' WHEN value <= 600 THEN 'degraded' ELSE 'stale' END
+        |       WHEN pass THEN 'ok' ELSE 'alert' END AS status
+        |FROM (
+        |  SELECT 'input_artifacts_parseable' AS gate, parse_rate AS value, parse_rate <= 0.20 AS pass FROM m
+        |  UNION ALL SELECT 'underlying_verifiers_passed', valid_rate, valid_rate >= 0.5 FROM m
+        |  UNION ALL SELECT 'key_tables_run_scoped', CAST(run_scoped AS DOUBLE), run_scoped = 5 FROM m
+        |  UNION ALL SELECT 'gold_contract_valid', contract_violations, contract_violations = 0.0 FROM m
+        |  UNION ALL SELECT 'invalid_sink_fields_non_null', inv_null_fields, inv_null_fields = 0.0 FROM m
+        |  UNION ALL SELECT 'invalid_rate_within_threshold', invalid_rate, invalid_rate <= 0.20 FROM m
+        |  UNION ALL SELECT 'query_health_no_exceptions', err_share, err_share <= 0.25 FROM m
+        |  UNION ALL SELECT 'query_progress_moving', n_minutes, n_minutes >= 2 FROM m
+        |  UNION ALL SELECT 'checkpoint_growth', second_half, second_half > 0 FROM m
+        |  UNION ALL SELECT 'freshness_sla', max_lag, max_lag <= 600 FROM m
+        |  UNION ALL SELECT 'latency_p95_proxy', p95_lag, p95_lag < 180 FROM m)
+        |ORDER BY gate""".stripMargin,
   )
 }
