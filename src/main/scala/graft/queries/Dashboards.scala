@@ -211,7 +211,28 @@ object Dashboards {
         |FROM v_decision_context_30m_1m""".stripMargin)
   }
 
+  /** Baseline-registry lifecycle end-to-end (reference's rule-version
+    * traceability): seed v1 (= compile-time threshold literals) →
+    * compute a v2 generation from the live decision context → guarded
+    * publish → latest-effective-date resolution pivot. */
+  def baselineRegistry(s: SparkSession, dir: String): DataFrame = {
+    import graft.serving.BaselineRegistry
+    val ctx = Serving.decisionContextFromEvents(Tables(s, dir, "events"))
+    val v2 = BaselineRegistry.computeFromContext(
+      ctx, "graft_rules_v1", "2026-02-01", "2026-02-01 00:00:00")
+    val reg = BaselineRegistry.publish(BaselineRegistry.seed(s), v2)
+    BaselineRegistry.resolveThresholds(reg, "graft_rules_v1", "2026-03-01")
+      .select(col("rule_version"), col("effective_from"),
+        rd(col("velocity_p90"), 6).as("velocity_p90"),
+        rd(col("views_p40"), 6).as("views_p40"),
+        rd(col("completion_p50"), 6).as("completion_p50"),
+        rd(col("skip_p50"), 6).as("skip_p50"),
+        col("min_sample").cast("long").as("min_sample"))
+      .orderBy("rule_version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_baseline_registry" -> baselineRegistry,
     "q_dash_latest" -> latestPerVideo,
     "q_dash_health" -> platformHealth,
     "q_dash_decision_trend" -> decisionTrend,
@@ -221,6 +242,40 @@ object Dashboards {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_baseline_registry" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |computed AS (
+        |  SELECT quantile_cont(velocity_30m, 0.90) AS v90,
+        |         quantile_cont(views_30m, 0.40) AS i40,
+        |         quantile_cont(completion_rate_30m, 0.50) AS c50,
+        |         quantile_cont(skip_rate_30m, 0.50) AS s50,
+        |         count(*) AS sample_size
+        |  FROM ctx_core),
+        |v2 AS (
+        |  SELECT 'graft_rules_v1' AS rule_version, DATE '2026-02-01' AS effective_from,
+        |         'velocity_30m' AS metric_name, 90 AS percentile, v90 AS threshold_value, sample_size FROM computed
+        |  UNION ALL SELECT 'graft_rules_v1', DATE '2026-02-01', 'views_30m', 40, i40, sample_size FROM computed
+        |  UNION ALL SELECT 'graft_rules_v1', DATE '2026-02-01', 'completion_rate_30m', 50, c50, sample_size FROM computed
+        |  UNION ALL SELECT 'graft_rules_v1', DATE '2026-02-01', 'skip_rate_30m', 50, s50, sample_size FROM computed),
+        |seedr AS (
+        |  SELECT * FROM (VALUES
+        |    ('graft_rules_v1', DATE '2026-01-01', 'velocity_30m', 90, 0.6, 1800),
+        |    ('graft_rules_v1', DATE '2026-01-01', 'views_30m', 40, 0.0, 1800),
+        |    ('graft_rules_v1', DATE '2026-01-01', 'completion_rate_30m', 50, 0.5, 1800),
+        |    ('graft_rules_v1', DATE '2026-01-01', 'skip_rate_30m', 50, 0.5, 1800))
+        |    AS t(rule_version, effective_from, metric_name, percentile, threshold_value, sample_size)),
+        |reg AS (SELECT * FROM seedr UNION ALL SELECT * FROM v2),
+        |locked AS (
+        |  SELECT max(effective_from) AS ef FROM reg WHERE effective_from <= DATE '2026-03-01')
+        |SELECT rule_version, effective_from,
+        |  floor(max(CASE WHEN metric_name = 'velocity_30m' AND percentile = 90 THEN threshold_value END)*1000000 + 0.5)/1000000 AS velocity_p90,
+        |  floor(max(CASE WHEN metric_name = 'views_30m' AND percentile = 40 THEN threshold_value END)*1000000 + 0.5)/1000000 AS views_p40,
+        |  floor(max(CASE WHEN metric_name = 'completion_rate_30m' AND percentile = 50 THEN threshold_value END)*1000000 + 0.5)/1000000 AS completion_p50,
+        |  floor(max(CASE WHEN metric_name = 'skip_rate_30m' AND percentile = 50 THEN threshold_value END)*1000000 + 0.5)/1000000 AS skip_p50,
+        |  CAST(min(sample_size) AS BIGINT) AS min_sample
+        |FROM reg JOIN locked ON reg.effective_from = locked.ef
+        |GROUP BY rule_version, effective_from
+        |ORDER BY rule_version""".stripMargin),
     "q_dash_latest" ->
       (Lakehouse.decisionContextCoreSql.replace("ctx_core AS (", "ctx_core AS (").stripSuffix(")") + """),
         |anchor AS (SELECT max(minute) AS anchor_minute FROM ctx_core),
