@@ -20,6 +20,12 @@ object Dashboards {
     Serving.registerViews(s, Tables(s, dir, "events"))
   }
 
+  private def ctxAndDimViews(s: SparkSession, dir: String): Unit = {
+    ctxView(s, dir)
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation")
+  }
+
   /** A3/B7 analog: anchor CTE → 4-hour bound → latest row per key →
     * ORDER BY + LIMIT (every reference dashboard query's shape). */
   def latestPerVideo(s: SparkSession, dir: String): DataFrame = {
@@ -211,6 +217,157 @@ object Dashboards {
         |FROM v_decision_context_30m_1m""".stripMargin)
   }
 
+  /** A1b: platform coverage trend — active keys per minute on a separate
+    * scale from the rate trend (metabase pack:41-58). */
+  def coverageTrend(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_stats_1min)
+        |SELECT minute, count(DISTINCT user_id) AS active_users
+        |FROM v_stats_1min CROSS JOIN anchor
+        |WHERE minute >= am - INTERVAL 240 MINUTES
+        |GROUP BY minute ORDER BY minute""".stripMargin)
+  }
+
+  /** A4: actionable queue preview — latest row per key in the last 30
+    * minutes, NO_ACTION excluded, neutral recency ordering (pack:119-175). */
+  def actionablePreview(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_decision_context_30m_1m),
+        |ranked AS (
+        |  SELECT user_id, minute, decision_type_preview,
+        |    candidate_flag, quality_gate_pass, under_exposed_flag,
+        |    velocity_30m, completion_rate_30m, skip_rate_30m,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY minute DESC) AS row_num
+        |  FROM v_decision_context_30m_1m CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL 30 MINUTES)
+        |SELECT minute, user_id, decision_type_preview,
+        |  candidate_flag, quality_gate_pass, under_exposed_flag,
+        |  floor(velocity_30m*10000 + 0.5)/10000 AS velocity_30m,
+        |  floor(completion_rate_30m*10000 + 0.5)/10000 AS completion_rate_30m,
+        |  floor(skip_rate_30m*10000 + 0.5)/10000 AS skip_rate_30m
+        |FROM ranked
+        |WHERE row_num = 1 AND decision_type_preview IN ('BOOST','REVIEW','RESCUE')
+        |ORDER BY minute DESC, user_id
+        |LIMIT 500""".stripMargin)
+  }
+
+  /** B1/B2: grain-uniqueness acceptance checks on both serving views
+    * (pack:180-218) — one row each, duplicate key-group count. */
+  def grainMetrics(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_stats_1min)
+        |SELECT count(*) AS duplicate_key_groups FROM (
+        |  SELECT user_id, minute FROM v_stats_1min CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL 240 MINUTES
+        |  GROUP BY user_id, minute HAVING count(*) > 1) d""".stripMargin)
+  }
+
+  def grainContext(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_decision_context_30m_1m)
+        |SELECT count(*) AS duplicate_key_groups FROM (
+        |  SELECT user_id, minute FROM v_decision_context_30m_1m CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL 240 MINUTES
+        |  GROUP BY user_id, minute HAVING count(*) > 1) d""".stripMargin)
+  }
+
+  /** B3: grain-amplification check — context rows must not exceed
+    * metrics rows over the same window (pack:220-247). */
+  def grainAmplification(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH ma AS (SELECT max(minute) AS am FROM v_stats_1min),
+        |ca AS (SELECT max(minute) AS am FROM v_decision_context_30m_1m),
+        |mr AS (SELECT count(*) AS row_count FROM v_stats_1min CROSS JOIN ma
+        |       WHERE minute >= am - INTERVAL 240 MINUTES),
+        |cr AS (SELECT count(*) AS row_count FROM v_decision_context_30m_1m CROSS JOIN ca
+        |       WHERE minute >= am - INTERVAL 240 MINUTES)
+        |SELECT mr.row_count AS metrics_rows, cr.row_count AS context_rows,
+        |  cr.row_count - mr.row_count AS row_delta
+        |FROM mr CROSS JOIN cr""".stripMargin)
+  }
+
+  /** B4: freshness check for both serving views. The reference anchors
+    * lag on current_timestamp; here the reference instant is the newest
+    * minute across both views so the check is deterministic/replayable
+    * (the pack itself anchors dashboards to MAX(metric_minute) for
+    * exactly this reason, pack:6-8). */
+  def viewFreshness(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH mf AS (SELECT max(minute) AS m_latest FROM v_stats_1min),
+        |cf AS (SELECT max(minute) AS c_latest FROM v_decision_context_30m_1m),
+        |ref AS (SELECT m_latest, c_latest, greatest(m_latest, c_latest) AS checked_at
+        |        FROM mf CROSS JOIN cf)
+        |SELECT checked_at, m_latest AS metrics_latest_minute,
+        |  CAST(checked_at AS LONG) - CAST(m_latest AS LONG) AS metrics_lag_seconds,
+        |  c_latest AS context_latest_minute,
+        |  CAST(checked_at AS LONG) - CAST(c_latest AS LONG) AS context_lag_seconds
+        |FROM ref""".stripMargin)
+  }
+
+  /** B6: dimension fallback observability — null rates after the
+    * serving-side dim enrichment join (pack:316-338; category/region →
+    * customer segment / nation). */
+  def dimFallback(s: SparkSession, dir: String): DataFrame = {
+    ctxAndDimViews(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_decision_context_30m_1m),
+        |base AS (
+        |  SELECT c.c_mktsegment AS segment, n.n_name AS nation
+        |  FROM v_decision_context_30m_1m ctx CROSS JOIN anchor
+        |  LEFT JOIN customer c ON ctx.user_id = c.c_custkey
+        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE ctx.minute >= am - INTERVAL 240 MINUTES)
+        |SELECT count(*) AS total_rows,
+        |  floor((CAST(count_if(segment IS NULL) AS DOUBLE) / nullif(count(*), 0))*1000000 + 0.5)/1000000 AS null_rate_segment,
+        |  floor((CAST(count_if(nation IS NULL) AS DOUBLE) / nullif(count(*), 0))*1000000 + 0.5)/1000000 AS null_rate_nation
+        |FROM base""".stripMargin)
+  }
+
+  /** B7: recommendation field/domain/traceability check over latest-per-
+    * key rows (pack:340-381). */
+  def domainCheck(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_decision_context_30m_1m),
+        |latest AS (
+        |  SELECT user_id, decision_type_preview, candidate_flag, quality_gate_pass,
+        |    under_exposed_flag, rule_version,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY minute DESC) AS row_num
+        |  FROM v_decision_context_30m_1m CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL 240 MINUTES)
+        |SELECT count(*) AS latest_rows,
+        |  count_if(decision_type_preview NOT IN ('BOOST','REVIEW','RESCUE','NO_ACTION')) AS invalid_decision_domain_rows,
+        |  count_if(rule_version IS NULL OR rule_version <> 'graft_rules_v1') AS unexpected_rule_version_rows,
+        |  count_if(decision_type_preview IN ('BOOST','REVIEW','RESCUE')
+        |    AND (candidate_flag IS NULL OR quality_gate_pass IS NULL
+        |         OR under_exposed_flag IS NULL OR rule_version IS NULL)) AS actionable_traceability_gap_rows
+        |FROM latest WHERE row_num = 1""".stripMargin)
+  }
+
+  /** B8: recommendation distribution snapshot over latest-per-key rows
+    * (pack:383-406; complements q_decision_distribution, which is over
+    * ALL context rows). */
+  def decisionSnapshot(s: SparkSession, dir: String): DataFrame = {
+    ctxView(s, dir)
+    s.sql(
+      """WITH anchor AS (SELECT max(minute) AS am FROM v_decision_context_30m_1m),
+        |latest AS (
+        |  SELECT user_id, decision_type_preview,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY minute DESC) AS row_num
+        |  FROM v_decision_context_30m_1m CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL 240 MINUTES)
+        |SELECT decision_type_preview, count(*) AS video_count
+        |FROM latest WHERE row_num = 1
+        |GROUP BY decision_type_preview
+        |ORDER BY video_count DESC, decision_type_preview""".stripMargin)
+  }
+
   /** Baseline-registry lifecycle end-to-end (reference's rule-version
     * traceability): seed v1 (= compile-time threshold literals) →
     * compute a v2 generation from the live decision context → guarded
@@ -233,6 +390,15 @@ object Dashboards {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_baseline_registry" -> baselineRegistry,
+    "q_dash_coverage" -> coverageTrend,
+    "q_dash_actionable" -> actionablePreview,
+    "q_dash_grain_metrics" -> grainMetrics,
+    "q_dash_grain_context" -> grainContext,
+    "q_dash_amplification" -> grainAmplification,
+    "q_dash_freshness" -> viewFreshness,
+    "q_dash_dim_fallback" -> dimFallback,
+    "q_dash_domain" -> domainCheck,
+    "q_dash_snapshot" -> decisionSnapshot,
     "q_dash_latest" -> latestPerVideo,
     "q_dash_health" -> platformHealth,
     "q_dash_decision_trend" -> decisionTrend,
@@ -276,6 +442,109 @@ object Dashboards {
         |FROM reg JOIN locked ON reg.effective_from = locked.ef
         |GROUP BY rule_version, effective_from
         |ORDER BY rule_version""".stripMargin),
+    "q_dash_coverage" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM per_min)
+        |SELECT minute, count(DISTINCT user_id) AS active_users
+        |FROM per_min CROSS JOIN anchor
+        |WHERE minute >= am - INTERVAL '240' MINUTE
+        |GROUP BY minute ORDER BY minute""".stripMargin),
+    "q_dash_actionable" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM ctx_core),
+        |ranked AS (
+        |  SELECT user_id, minute, decision_type_preview,
+        |    candidate_flag, quality_gate_pass, under_exposed_flag,
+        |    velocity_30m, completion_rate_30m, skip_rate_30m,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY minute DESC) AS row_num
+        |  FROM ctx_core CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL '30' MINUTE)
+        |SELECT minute, user_id, decision_type_preview,
+        |  candidate_flag, quality_gate_pass, under_exposed_flag,
+        |  floor(velocity_30m*10000 + 0.5)/10000 AS velocity_30m,
+        |  floor(completion_rate_30m*10000 + 0.5)/10000 AS completion_rate_30m,
+        |  floor(skip_rate_30m*10000 + 0.5)/10000 AS skip_rate_30m
+        |FROM ranked
+        |WHERE row_num = 1 AND decision_type_preview IN ('BOOST','REVIEW','RESCUE')
+        |ORDER BY minute DESC, user_id
+        |LIMIT 500""".stripMargin),
+    "q_dash_grain_metrics" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM per_min)
+        |SELECT count(*) AS duplicate_key_groups FROM (
+        |  SELECT user_id, minute FROM per_min CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL '240' MINUTE
+        |  GROUP BY user_id, minute HAVING count(*) > 1) d""".stripMargin),
+    "q_dash_grain_context" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM ctx_core)
+        |SELECT count(*) AS duplicate_key_groups FROM (
+        |  SELECT user_id, minute FROM ctx_core CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL '240' MINUTE
+        |  GROUP BY user_id, minute HAVING count(*) > 1) d""".stripMargin),
+    "q_dash_amplification" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |ma AS (SELECT max(minute) AS am FROM per_min),
+        |ca AS (SELECT max(minute) AS am FROM ctx_core),
+        |mr AS (SELECT count(*) AS row_count FROM per_min CROSS JOIN ma
+        |       WHERE minute >= am - INTERVAL '240' MINUTE),
+        |cr AS (SELECT count(*) AS row_count FROM ctx_core CROSS JOIN ca
+        |       WHERE minute >= am - INTERVAL '240' MINUTE)
+        |SELECT mr.row_count AS metrics_rows, cr.row_count AS context_rows,
+        |  cr.row_count - mr.row_count AS row_delta
+        |FROM mr CROSS JOIN cr""".stripMargin),
+    "q_dash_freshness" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |mf AS (SELECT max(minute) AS m_latest FROM per_min),
+        |cf AS (SELECT max(minute) AS c_latest FROM ctx_core),
+        |ref AS (SELECT m_latest, c_latest, greatest(m_latest, c_latest) AS checked_at
+        |        FROM mf CROSS JOIN cf)
+        |SELECT checked_at, m_latest AS metrics_latest_minute,
+        |  date_diff('second', m_latest, checked_at) AS metrics_lag_seconds,
+        |  c_latest AS context_latest_minute,
+        |  date_diff('second', c_latest, checked_at) AS context_lag_seconds
+        |FROM ref""".stripMargin),
+    "q_dash_dim_fallback" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM ctx_core),
+        |base AS (
+        |  SELECT c.c_mktsegment AS segment, n.n_name AS nation
+        |  FROM ctx_core ctx CROSS JOIN anchor
+        |  LEFT JOIN customer c ON ctx.user_id = c.c_custkey
+        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE ctx.minute >= am - INTERVAL '240' MINUTE)
+        |SELECT count(*) AS total_rows,
+        |  floor((CAST(count(*) FILTER (WHERE segment IS NULL) AS DOUBLE) / nullif(count(*), 0))*1000000 + 0.5)/1000000 AS null_rate_segment,
+        |  floor((CAST(count(*) FILTER (WHERE nation IS NULL) AS DOUBLE) / nullif(count(*), 0))*1000000 + 0.5)/1000000 AS null_rate_nation
+        |FROM base""".stripMargin),
+    "q_dash_domain" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM ctx_core),
+        |latest AS (
+        |  SELECT user_id, decision_type_preview, candidate_flag, quality_gate_pass,
+        |    under_exposed_flag, 'graft_rules_v1' AS rule_version,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY minute DESC) AS row_num
+        |  FROM ctx_core CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL '240' MINUTE)
+        |SELECT count(*) AS latest_rows,
+        |  count(*) FILTER (WHERE decision_type_preview NOT IN ('BOOST','REVIEW','RESCUE','NO_ACTION')) AS invalid_decision_domain_rows,
+        |  count(*) FILTER (WHERE rule_version IS NULL OR rule_version <> 'graft_rules_v1') AS unexpected_rule_version_rows,
+        |  count(*) FILTER (WHERE decision_type_preview IN ('BOOST','REVIEW','RESCUE')
+        |    AND (candidate_flag IS NULL OR quality_gate_pass IS NULL
+        |         OR under_exposed_flag IS NULL OR rule_version IS NULL)) AS actionable_traceability_gap_rows
+        |FROM latest WHERE row_num = 1""".stripMargin),
+    "q_dash_snapshot" ->
+      (Lakehouse.decisionContextCoreSql + """,
+        |anchor AS (SELECT max(minute) AS am FROM ctx_core),
+        |latest AS (
+        |  SELECT user_id, decision_type_preview,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY minute DESC) AS row_num
+        |  FROM ctx_core CROSS JOIN anchor
+        |  WHERE minute >= am - INTERVAL '240' MINUTE)
+        |SELECT decision_type_preview, count(*) AS video_count
+        |FROM latest WHERE row_num = 1
+        |GROUP BY decision_type_preview
+        |ORDER BY video_count DESC, decision_type_preview""".stripMargin),
     "q_dash_latest" ->
       (Lakehouse.decisionContextCoreSql.replace("ctx_core AS (", "ctx_core AS (").stripSuffix(")") + """),
         |anchor AS (SELECT max(minute) AS anchor_minute FROM ctx_core),

@@ -116,9 +116,14 @@ object Serving {
         (col("decided_at") + Decisions.ttlMinutesExpr(col("decision_type_preview"))
           * expr("INTERVAL 1 MINUTE")).as("expires_at"))
 
-  /** Register the serving surface as SQL views (reference S12). */
+  /** Register the serving surface as SQL views (reference S12). The
+    * context view carries `rule_version` (reference traceability
+    * contract: every served decision names the rule generation that
+    * produced it). */
   def registerViews(spark: SparkSession, events: DataFrame, th: Thresholds = Thresholds()): Unit = {
     perMinuteCounters(events).createOrReplaceTempView("v_stats_1min")
-    decisionContextFromEvents(events, th).createOrReplaceTempView("v_decision_context_30m_1m")
+    decisionContextFromEvents(events, th)
+      .withColumn("rule_version", lit(th.ruleVersion))
+      .createOrReplaceTempView("v_decision_context_30m_1m")
   }
 }
