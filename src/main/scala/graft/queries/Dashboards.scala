@@ -129,29 +129,35 @@ object Dashboards {
       max(sec).as("anchor_sec"),
       min(sec).as("min_sec"))
 
-    // per-source freshness lag (seconds behind the global anchor)
+    // Per-source freshness lag (seconds behind the global anchor). The
+    // anchor is derived from the tiny per-type frame itself via a
+    // window (max over 5 rows) — NOT by cross-joining the heavy global
+    // aggregate `g`, which would recompute its distinct-count scan once
+    // per consumer leg.
+    val wAll = Window.partitionBy()
     val lags = e.groupBy(col("event_type")).agg(max(sec).as("last_sec"))
-      .crossJoin(broadcast(g.select(col("anchor_sec").as("a"))))
-      .select((col("a") - col("last_sec")).cast("double").as("lag_sec"))
+      .select((max(col("last_sec")).over(wAll) - col("last_sec")).cast("double").as("lag_sec"))
     val lagStats = lags
       .select(col("lag_sec"),
         row_number().over(Window.orderBy(col("lag_sec"))).as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("cnt"))
+        count(lit(1)).over(wAll).as("cnt"))
       .agg(
         max(col("lag_sec")).as("max_lag"),
         max(when(col("rn") <= ceil(col("cnt") * 0.95), col("lag_sec"))).as("p95_lag"))
 
     // per-minute volume: progress + checkpoint-growth proxy (events
-    // landing in the newer half of the observed span)
+    // landing in the newer half of the observed minute span); span
+    // bounds likewise from the per-minute frame's own window
     val perMin = e.groupBy(date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("n_min"))
+    val mSec = col("minute").cast("long")
     val minStats = perMin
-      .crossJoin(broadcast(g.select(col("anchor_sec"), col("min_sec"))))
+      .select(col("n_min"), mSec.as("msec"),
+        max(mSec).over(wAll).as("amax"), min(mSec).over(wAll).as("amin"))
       .agg(
         count(lit(1)).cast("double").as("n_minutes"),
-        coalesce(sum(when((col("anchor_sec") - col("minute").cast("long")) <=
-            (col("anchor_sec") - col("min_sec")) / 2.0, col("n_min"))), lit(0L))
-          .cast("double").as("second_half"))
+        coalesce(sum(when(col("amax") - col("msec") <= (col("amax") - col("amin")) / 2.0,
+          col("n_min"))), lit(0L)).cast("double").as("second_half"))
 
     val m = g.crossJoin(broadcast(lagStats)).crossJoin(broadcast(minStats))
 
@@ -633,17 +639,18 @@ object Dashboards {
         |    min(date_trunc('second', ts)) AS min_ts
         |  FROM base),
         |lags AS (
-        |  SELECT CAST(date_diff('second', last_ts, (SELECT anchor_ts FROM g)) AS DOUBLE) AS lag_sec
+        |  SELECT CAST(date_diff('second', last_ts, max(last_ts) OVER ()) AS DOUBLE) AS lag_sec
         |  FROM (SELECT event_type, max(date_trunc('second', ts)) AS last_ts FROM events GROUP BY 1)),
         |lagstats AS (
         |  SELECT max(lag_sec) AS max_lag,
         |         max(CASE WHEN rn <= ceil(cnt * 0.95) THEN lag_sec END) AS p95_lag
         |  FROM (SELECT lag_sec, row_number() OVER (ORDER BY lag_sec) AS rn, count(*) OVER () AS cnt FROM lags)),
         |perm AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n_min FROM events GROUP BY 1),
+        |permw AS (SELECT n_min, minute, max(minute) OVER () AS amax, min(minute) OVER () AS amin FROM perm),
         |mins AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n_minutes,
-        |    CAST(coalesce(sum(CASE WHEN date_diff('second', minute, g.anchor_ts) <= date_diff('second', g.min_ts, g.anchor_ts)/2.0 THEN n_min END), 0) AS DOUBLE) AS second_half
-        |  FROM perm CROSS JOIN g GROUP BY g.anchor_ts, g.min_ts),
+        |    CAST(coalesce(sum(CASE WHEN date_diff('second', minute, amax) <= date_diff('second', amin, amax)/2.0 THEN n_min END), 0) AS DOUBLE) AS second_half
+        |  FROM permw),
         |m AS (
         |  SELECT *,
         |    CAST(date_diff('second', min_ts, anchor_ts) AS DOUBLE) AS span,

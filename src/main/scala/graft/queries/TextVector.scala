@@ -26,16 +26,20 @@ object TextVector {
       |    ELSE [] END AS sh
       |  FROM toks)""".stripMargin
 
-  private val sigCte =
-    shingleCte + """,
-      |shx AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+  /** Mirrors Dedup.minhashSignatures: one md5 per shingle → 60-bit base
+    * hash mod P, then affine permutations (A·h+B) mod P. */
+  private val sigCte = {
+    val p = 2147483647L
+    val perms = graft.operators.Dedup.MinhashA.zip(graft.operators.Dedup.MinhashB)
+      .zipWithIndex.map { case ((a, b), j) => s"min(($a*h+$b) % $p) AS mh$j" }
+      .mkString(",\n      |    ")
+    (shingleCte + s""",
+      |shx AS (SELECT doc_id, CAST('0x'||substr(md5(unnest(sh)),1,15) AS BIGINT) % $p AS h FROM sh),
       |sig AS (
       |  SELECT doc_id,
-      |    min(md5('0:'||tok)) AS mh0, min(md5('1:'||tok)) AS mh1,
-      |    min(md5('2:'||tok)) AS mh2, min(md5('3:'||tok)) AS mh3,
-      |    min(md5('4:'||tok)) AS mh4, min(md5('5:'||tok)) AS mh5,
-      |    min(md5('6:'||tok)) AS mh6, min(md5('7:'||tok)) AS mh7
-      |  FROM shx GROUP BY 1)""".stripMargin
+      |    $perms
+      |  FROM shx GROUP BY 1)""").stripMargin
+  }
 
   private val lshPairsCte =
     sigCte + """,
