@@ -10,16 +10,19 @@ object Reconcile {
 
   /** Derived watermark-drop ratio: max(unique_raw − gold_total, 0) /
     * unique_raw — the portable fallback when StreamingQueryProgress
-    * isn't retained (the reference's formula verbatim). */
+    * isn't retained (the reference's formula verbatim). Both scalar
+    * aggregates run in ONE action (cross join of the 1-row frames), so
+    * the check costs a single job regardless of table sizes. */
   def watermarkDropRatio(bronze: DataFrame, gold: DataFrame): Double = {
-    val uniqueRaw = bronze.select(col("event_id")).distinct().count()
-    if (uniqueRaw == 0) return 0.0
-    val goldTotal = gold.agg(
-      sum(coalesce(col("views"), lit(0L)) + coalesce(col("clicks"), lit(0L)) +
-        coalesce(col("purchases"), lit(0L)) + coalesce(col("signups"), lit(0L)) +
-        coalesce(col("errors"), lit(0L))).as("t"))
-      .collect()(0).getLong(0)
-    math.max(uniqueRaw - goldTotal, 0L).toDouble / uniqueRaw
+    val row = bronze.agg(countDistinct(col("event_id")).as("unique_raw"))
+      .crossJoin(gold.agg(
+        coalesce(sum(coalesce(col("views"), lit(0L)) + coalesce(col("clicks"), lit(0L)) +
+          coalesce(col("purchases"), lit(0L)) + coalesce(col("signups"), lit(0L)) +
+          coalesce(col("errors"), lit(0L))), lit(0L)).as("gold_total")))
+      .collect()(0)
+    val uniqueRaw = row.getLong(0)
+    if (uniqueRaw == 0L) 0.0
+    else math.max(uniqueRaw - row.getLong(1), 0L).toDouble / uniqueRaw
   }
 
   /** Minute-level count reconciliation between an RT aggregate and a

@@ -58,4 +58,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
     assert(p.contains("hashpartitioning("))
   }
+
+  test("q_health_gates scans events exactly 3 times (global + per-type + per-minute)") {
+    val p = plan("q_health_gates")
+    // formatted explain prints each node in the tree AND the detail list;
+    // count the detail headers ("(<id>) Scan parquet") = distinct scan nodes
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans == 3, s"expected 3 events scans, plan has $scans")
+  }
+
+  test("q_merge_upsert dedups via hash aggregate, not a window sort") {
+    val p = plan("q_merge_upsert")
+    assert(!p.contains("Window"), "merge legs regressed to a window sort")
+    assert(p.contains("max_by") || p.contains("HashAggregate"))
+  }
+
+  test("q_dash_actionable gets the WindowGroupLimit rank pushdown") {
+    assert(plan("q_dash_actionable").contains("WindowGroupLimit"))
+  }
+
+  test("q_baseline_registry resolution joins broadcast (tiny dim)") {
+    assert(plan("q_baseline_registry").contains("BroadcastHashJoin"))
+  }
+
+  test("q_dash_dim_fallback broadcasts the customer/nation dims") {
+    val p = plan("q_dash_dim_fallback")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
