@@ -92,7 +92,8 @@ object Similarity {
       .select((col(idCol) / stride).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
 
   /** Assign each vector to its max-cosine centroid (broadcast join +
-    * window argmax; one shuffle on the corpus id). */
+    * window argmax; one shuffle on the corpus id). Keeps the winning
+    * similarity as `sim` (quantization-quality observability). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scored = corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
@@ -100,17 +101,69 @@ object Similarity {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"), col("__sim").as("sim"))
   }
+
+  /** Distributed Lloyd refinement of the coarse quantizer: stride init,
+    * then `iters` rounds of (broadcast argmax-cosine assign → element-
+    * wise mean per bucket). Per-round state is only the k×dim centroid
+    * table — the classic broadcast-ML loop (same shape as MLlib's
+    * KMeans aggregation); no data-path collect. Empty buckets drop out;
+    * means are computed in double and emitted as the corpus element
+    * type so the codegen'd cosine kernel sees matching arrays. */
+  def kMeansFit(corpus: DataFrame, idCol: String, vecCol: String, stride: Int,
+                iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val elemSql = corpus.schema(vecCol).dataType.asInstanceOf[ArrayType].elementType.sql
+    var centroids = strideCentroids(corpus, idCol, vecCol, stride)
+    for (_ <- 0 until iters) {
+      centroids = ivfAssign(corpus, centroids, idCol, vecCol)
+        .select(col("bucket").as("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr(s"transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS $elemSql))")
+          .as("centroid_vec"))
+    }
+    centroids
+  }
+
+  /** Mean best-centroid cosine over the corpus — the (similarity-form)
+    * k-means objective; Lloyd rounds must not decrease it. */
+  def quantizationScore(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                        vecCol: String): Double =
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .agg(avg(col("sim"))).head().getDouble(0)
 
   /** IVF top-k: queries search only their own bucket (nprobe=1).
     * Equi-join on bucket replaces the cross join — the candidate set
     * per query is corpus/buckets on average. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, stride: Int): DataFrame = {
-    val centroids = strideCentroids(corpus, idCol, vecCol, stride)
+              k: Int, stride: Int): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      strideCentroids(corpus, idCol, vecCol, stride))
+
+  /** Multi-probe query assignment: each query fans out to its `nprobe`
+    * nearest buckets (recall lever — corpus rows still live in exactly
+    * one bucket, so index size is unchanged; only the per-query
+    * candidate set grows ×nprobe). */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+               nprobe: Int): DataFrame = {
+    val scored = queries.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineExpr(vecCol, "centroid_vec"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+  }
+
+  /** [[ivfTopK]] against caller-supplied centroids (e.g. a
+    * [[kMeansFit]] quantizer), with optional multi-probe. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-    val qAssigned = ivfAssign(queries, centroids, idCol, vecCol)
+    val qAssigned = ivfProbe(queries, centroids, idCol, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
     val cAssigned = assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
