@@ -129,14 +129,18 @@ object BaselineRegistry {
   }
 
   /** Materialize the resolved row as a [[Thresholds]] for the decision
-    * pipeline (single-row dim collect, see class doc). */
+    * pipeline (single-row dim collect, see class doc). No generation is
+    * effective at `asOf` (or the version is unknown) → compile-time
+    * defaults — the reference's conservative-fallback posture (missing
+    * dims/thresholds degrade to safe constants, never fail serving). */
   def thresholds(registry: DataFrame, ruleVersion: String, asOf: String): Thresholds = {
-    val r = resolveThresholds(registry, ruleVersion, asOf).head()
     val base = Thresholds(ruleVersion = ruleVersion)
-    base.copy(
-      velocityP90 = r.getAs[Double]("velocity_p90"),
-      viewsP40 = r.getAs[Double]("views_p40").toLong,
-      minCompletion = r.getAs[Double]("completion_p50"),
-      maxSkip = r.getAs[Double]("skip_p50"))
+    resolveThresholds(registry, ruleVersion, asOf).collect().headOption.fold(base) { r =>
+      base.copy(
+        velocityP90 = r.getAs[Double]("velocity_p90"),
+        viewsP40 = r.getAs[Double]("views_p40").toLong,
+        minCompletion = r.getAs[Double]("completion_p50"),
+        maxSkip = r.getAs[Double]("skip_p50"))
+    }
   }
 }

@@ -45,6 +45,40 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(merged.as[(String, Long, String)].collect().toSeq == Seq(("a", 1L, "x")))
   }
 
+  test("connected components of an empty pair list is empty, no hang") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("connected components of a single pair is one 2-node cluster") {
+    val one = Seq((5L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(one)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L))
+  }
+
+  test("registry thresholds fall back to defaults when nothing is effective") {
+    import graft.functions.Decisions.Thresholds
+    import graft.serving.BaselineRegistry
+    val reg = BaselineRegistry.seed(spark)
+    // as-of before any generation → defaults
+    val early = BaselineRegistry.thresholds(reg, "graft_rules_v1", "2020-01-01")
+    assert(early == Thresholds())
+    // unknown rule version → defaults with that version
+    val unknown = BaselineRegistry.thresholds(reg, "no_such_rules", "2026-06-01")
+    assert(unknown == Thresholds(ruleVersion = "no_such_rules"))
+  }
+
+  test("kMeansFit on a tiny corpus returns usable centroids") {
+    val vs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val fit = Similarity.kMeansFit(vs, "vec_id", "embedding", stride = 2, iters = 1)
+    val n = fit.count()
+    assert(n >= 1 && n <= 2)
+    assert(Similarity.ivfTopKWith(vs, vs.filter(col("vec_id") === 0), "vec_id", "embedding", 2, fit)
+      .count() >= 1)
+  }
+
   test("validation of empty frame returns empty splits") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
