@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q_revenue_by_nation", "q_rolling_30m", "q_decision_context",
-        "q_lsh_pairs", "q_embed_ivf", "q_topk")
+        "q_lsh_pairs", "q_embed_ivf", "q_topk",
+        "q_dedup_clusters", "q_health_gates", "q_merge_upsert", "q_action_queue")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
