@@ -217,6 +217,34 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup candidate pairs: 16-bit fingerprints banded into
+    * 4 nibbles; ids sharing any nibble band are candidates, then an
+    * exact hamming filter. Pigeonhole-complete for maxHamming ≤ 3: a
+    * pair with ≤3 differing bits can touch at most 3 of the 4 nibbles,
+    * so at least one nibble matches exactly. Equi-join on
+    * (band_id, band_val) — same scale shape as MinHash LSH, no cross
+    * join, no all-pairs hamming. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-nibble banding is only complete for hamming <= 3, got $maxHamming")
+    val sig = simhash16(docs, idCol, textCol).persist()
+    val bands = sig.select(col(idCol), col("simhash16"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            expr(s"shiftright(simhash16, ${4 * b}) & 15").as("band_val"))): _*)).as("band"))
+      .select(col(idCol), col("simhash16"), col("band.band_id"), col("band.band_val"))
+    val a = bands.select(col("band_id"), col("band_val"), col(idCol).as("id_a"),
+      col("simhash16").as("sh_a"))
+    val b = bands.select(col("band_id"), col("band_val"), col(idCol).as("id_b"),
+      col("simhash16").as("sh_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold,
     * bucketed by a coarse SimHash-of-sign-bits key so candidate
     * generation is an equi-join, not a cross join (scale path). Exact

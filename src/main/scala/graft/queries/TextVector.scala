@@ -200,6 +200,8 @@ object TextVector {
     "q_ngram_jaccard" -> ngramJaccard,
     "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")),
     "q_embed_topk" -> embedTopK,
     "q_embed_ivf" -> embedIvf,
     "q_multimodal_assets" -> multimodalAssets,
@@ -298,6 +300,21 @@ object TextVector {
          |  FROM documents),
          |bits AS (SELECT doc_id, $simhashSums FROM toksm GROUP BY 1)
          |SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash16 FROM bits ORDER BY doc_id""".stripMargin),
+    "q_simhash_pairs" ->
+      (s"""WITH toksm AS (
+         |  SELECT doc_id, CAST('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))),1,4) AS INT) AS h
+         |  FROM documents),
+         |bits AS (SELECT doc_id, $simhashSums FROM toksm GROUP BY 1),
+         |sig AS (SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash16 FROM bits),
+         |bands AS (
+         |  SELECT doc_id, simhash16, b AS band_id, (simhash16 >> (4*b)) & 15 AS band_val
+         |  FROM sig, generate_series(0, 3) AS t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INTEGER) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin),
     "q_embed_topk" ->
       ("WITH " + cosineCtes + """,
         |r AS (SELECT query_id, neighbor_id, cosine,

@@ -18,6 +18,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) == Seq("one two three", "two three four"))
   }
 
+  test("simhashNearDups (banded equi-join) ≡ brute-force hamming filter") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val banded = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sig = Dedup.simhash16(docs, "doc_id", "text")
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash16").as("sa"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash16").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Dedup.hamming(col("sa"), col("sb")) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute, "pigeonhole banding must be complete for hamming <= 3")
+  }
+
   test("exact dedup groups duplicates under canonical min id") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(docs, "doc_id", "text")
