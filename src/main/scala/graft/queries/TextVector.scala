@@ -203,6 +203,9 @@ object TextVector {
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")),
     "q_embed_topk" -> embedTopK,
+    "q_embed_neardup" -> ((s, d) => Dedup.embeddingNearDups(embs(s, d), "vec_id", "embedding", 0.2)
+      .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -322,6 +325,21 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    CAST(v[1]>=0 AS BIGINT)*128 + CAST(v[2]>=0 AS BIGINT)*64 + CAST(v[3]>=0 AS BIGINT)*32
+        |    + CAST(v[4]>=0 AS BIGINT)*16 + CAST(v[5]>=0 AS BIGINT)*8 + CAST(v[6]>=0 AS BIGINT)*4
+        |    + CAST(v[7]>=0 AS BIGINT)*2 + CAST(v[8]>=0 AS BIGINT) AS bucket
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+        |    list_dot_product(a.v, bb.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))) AS cosine
+        |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+        |SELECT id_a, id_b, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM p WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "q_embed_ivf" ->
       """WITH cent AS (
         |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec
