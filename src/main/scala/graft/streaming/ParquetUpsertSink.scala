@@ -20,13 +20,19 @@ import graft.operators.MergeOps
   * Batch emptiness is checked with `isEmpty` (one partition probe), not
   * the reference's `df.count()` which recomputes the whole batch.
   *
-  * @param tablePath parquet/Delta: a filesystem path; Iceberg: a catalog
-  *                  table identifier
-  * @param format    override the classpath probe (`"parquet"`,
-  *                  `"delta"`, `"iceberg"`); None = auto-detect
+  * @param tablePath   parquet/Delta: a filesystem path; Iceberg: a
+  *                    catalog table identifier
+  * @param format      override the classpath probe (`"parquet"`,
+  *                    `"delta"`, `"iceberg"`); None = auto-detect
+  * @param partitionBy partition transforms for first-batch table
+  *                    creation (Iceberg hidden partitioning, e.g.
+  *                    `days(window_start), bucket(16, video_id)` — the
+  *                    reference's gold/dim layout); ignored on the
+  *                    parquet fallback
   */
 class ParquetUpsertSink(spark: SparkSession, tablePath: String, keys: Seq[String],
-                        orderBy: Seq[String], format: Option[String] = None)
+                        orderBy: Seq[String], format: Option[String] = None,
+                        partitionBy: Seq[String] = Nil)
     extends Serializable {
 
   private val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,7 +78,7 @@ class ParquetUpsertSink(spark: SparkSession, tablePath: String, keys: Seq[String
     val view = s"__graft_merge_src_$batchId"
     latest.createOrReplaceTempView(view)
     try {
-      if (!exists) spark.sql(MergeInto.createTableSql(tableRef, view, tableFormat))
+      if (!exists) spark.sql(MergeInto.createTableSql(tableRef, view, tableFormat, partitionBy))
       else spark.sql(MergeInto.mergeSql(tableRef, view, keys, orderBy, latest.columns.toSeq))
     } finally spark.catalog.dropTempView(view)
   }
