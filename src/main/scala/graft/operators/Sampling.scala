@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reproducible sampling/splitting for training-data pipelines.
+  *
+  * Both operators key on a content-independent hash of the ID column,
+  * so membership is a pure function of the row — stable across runs,
+  * engines, partitionings, and data order (the property `rand()`-based
+  * sampling lacks). Scale shape: hashSplit is a pure projection (zero
+  * shuffle); stratifiedSample shuffles once on the stratum key.
+  */
+object Sampling {
+
+  /** Deterministic hash bucket in [0, buckets): md5 of the stringified
+    * id, first 8 hex chars → integer. Engine-independent (DuckDB:
+    * `CAST('0x'||substr(md5(CAST(id AS VARCHAR)),1,8) AS BIGINT) % n`). */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Train/val/test split by hash bucket — the canonical reproducible
+    * split. `weights` are integer percents summing to 100 (exact bucket
+    * arithmetic, no float thresholds). Adds a `split` column; zero
+    * shuffle, zero state. */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      : DataFrame = {
+    require(weights.map(_._2).sum == 100, s"weights must sum to 100, got $weights")
+    val bucket = hashBucket(col(idCol))
+    val cutoffs = weights.scanLeft(0)(_ + _._2).tail
+    // first-match ladder in declared order: bucket < cumulative cutoff
+    val ladder = weights.zip(cutoffs).reverse.foldLeft(lit(weights.last._1)) {
+      case (els, ((name, _), cutoff)) => when(bucket < cutoff, name).otherwise(els)
+    }
+    df.withColumn("split", ladder)
+  }
+
+  /** Exact stratified sample: per stratum, keep ceil(fraction·n) rows,
+    * chosen by deterministic hash order (md5 of id, id tiebreak) — the
+    * same rows every run, exact per-stratum allocation (largest-count
+    * guarantee `rand() < p` sampling can't give). One shuffle on the
+    * stratum key. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wAll = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+}

@@ -209,6 +209,19 @@ object TextVector {
     "q_embed_ivf" -> embedIvf,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
+    "q_hash_split" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.hashSplit(docs(s, d), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split", "lang")
+    }),
+    "q_stratified" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(docs(s, d), "lang", "doc_id", 0.1)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
   )
 
   private val simhashSums = (0 until 16)
@@ -370,6 +383,24 @@ object TextVector {
         |  source AS origin, n_chars AS declared_chars,
         |  '{"origin":"' || source || '","declared_chars":' || n_chars || '}' AS meta_json
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT *, CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stratified" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= ceil(n * 0.1)
+        |ORDER BY lang, doc_id""".stripMargin,
     // q_lang_id, q_multimodal_features: rows-only (profile-table / stub-decode
     // logic intentionally not mirrored in SQL).
   )

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.Sampling
+
+/** Reproducible splitting/sampling invariants. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+
+  test("hashSplit: total partition, stable across runs, ~weights") {
+    val n = docs.count()
+    val counts = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == n, "every row gets exactly one split")
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train").toDouble / n > 0.7 && counts("train").toDouble / n < 0.9)
+    val again = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts, "membership must be deterministic")
+  }
+
+  test("stratifiedSample: exact ceil allocation per stratum, deterministic rows") {
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.1)
+    val got = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, t) =>
+      assert(got(lang) == math.ceil(t * 0.1).toLong, s"$lang: ${got(lang)} vs ceil(${t}*0.1)")
+    }
+    val ids1 = sampled.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "sample membership must be deterministic")
+  }
+}
