@@ -37,6 +37,28 @@ object Sampling {
     df.withColumn("split", ladder)
   }
 
+  /** Token-budget mixture (the LLM-pretraining data-mix op): each
+    * stratum contributes documents until its share of the total token
+    * budget is reached. Documents are taken in deterministic hash order
+    * (reproducible), and a stratum keeps every row whose PRECEDING
+    * cumulative token count is below its budget share — so the mix
+    * overshoots by at most one document per stratum and small strata
+    * contribute everything they have. One shuffle on the stratum key. */
+  def mixByTokenBudget(df: DataFrame, strataCol: String, idCol: String, tokenCol: String,
+                       weights: Map[String, Double], totalBudget: Long): DataFrame = {
+    require(math.abs(weights.values.sum - 1.0) < 1e-9, s"weights must sum to 1, got $weights")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val share = weights.foldLeft(lit(0.0)) { case (els, (k, v)) =>
+      when(col(strataCol) === k, v).otherwise(els)
+    }
+    df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__cum_before") < share * totalBudget)
+      .drop("__cum_before")
+  }
+
   /** Exact stratified sample: per stratum, keep ceil(fraction·n) rows,
     * chosen by deterministic hash order (md5 of id, id tiebreak) — the
     * same rows every run, exact per-stratum allocation (largest-count

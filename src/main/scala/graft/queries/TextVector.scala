@@ -222,6 +222,14 @@ object TextVector {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
     }),
+    "q_token_mix" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.mixByTokenBudget(docs(s, d), "lang", "doc_id", "n_chars",
+          Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1), 50000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("tokens"))
+        .orderBy("lang")
+    }),
   )
 
   private val simhashSums = (0 until 16)
@@ -401,6 +409,18 @@ object TextVector {
         |  FROM documents)
         |SELECT lang, doc_id FROM r WHERE rn <= ceil(n * 0.1)
         |ORDER BY lang, doc_id""".stripMargin,
+    "q_token_mix" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'de' THEN 0.1
+        |              WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 END AS share
+        |  FROM documents WHERE lang IN ('en','zh','de','es','fr'))
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens
+        |FROM r WHERE cum_before < share * 50000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q_lang_id, q_multimodal_features: rows-only (profile-table / stub-decode
     // logic intentionally not mirrored in SQL).
   )

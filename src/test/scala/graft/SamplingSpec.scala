@@ -23,6 +23,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == counts, "membership must be deterministic")
   }
 
+  test("mixByTokenBudget: each stratum lands within one doc of its share") {
+    val weights = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
+    val budget = 50000L
+    val mix = Sampling.mixByTokenBudget(docs, "lang", "doc_id", "n_chars", weights, budget)
+    val got = mix.groupBy("lang")
+      .agg(sum($"n_chars").as("tokens"), max($"n_chars").as("max_doc"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (lang, tokens, maxDoc) =>
+      val target = (weights(lang) * budget).toLong
+      assert(tokens >= target || tokens > 0, s"$lang undershoots with docs available")
+      assert(tokens < target + maxDoc, s"$lang overshoots by more than one doc: $tokens vs $target")
+    }
+    val again = Sampling.mixByTokenBudget(docs, "lang", "doc_id", "n_chars", weights, budget)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == mix.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("stratifiedSample: exact ceil allocation per stratum, deterministic rows") {
     val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.1)
