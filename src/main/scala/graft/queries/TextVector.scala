@@ -81,6 +81,30 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality filters (the Gopher-style signals): duplicate-
+    * word fraction and most-frequent-bigram share per document. Pure
+    * expression + one explode/groupBy — no joins, scales linearly. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .filter(col("n_words") >= 2)
+    val bigrams = expr(
+      """transform(sequence(1, size(toks) - 1),
+        | i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))""".stripMargin)
+    val counts = d.select(col("doc_id"), col("n_words"), col("n_distinct"),
+        explode(bigrams).as("g"))
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
+      .agg(sum(col("n")).as("total_bg"), max(col("n")).as("top_bg"))
+      .select(col("doc_id"),
+        rd(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4).as("word_dup_frac"),
+        rd(col("top_bg").cast("double") / col("total_bg"), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic — no SQL oracle (profile tables); driver does
     * the rows-only check. Grouped so the result is small + stable. */
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -209,6 +233,7 @@ object TextVector {
     "q_embed_ivf" -> embedIvf,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
+    "q_repetition" -> repetition,
     "q_hash_split" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.hashSplit(docs(s, d), "doc_id")
@@ -391,6 +416,21 @@ object TextVector {
         |  source AS origin, n_chars AS declared_chars,
         |  '{"origin":"' || source || '","declared_chars":' || n_chars || '}' AS meta_json
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |m AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct, w
+        |      FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, n_words, n_distinct,
+        |         unnest([w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS g
+        |       FROM m),
+        |c AS (SELECT doc_id, n_words, n_distinct, g, count(*) AS n FROM bg GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT doc_id, n_words, n_distinct,
+        |        CAST(sum(n) AS BIGINT) AS total_bg, CAST(max(n) AS BIGINT) AS top_bg
+        |      FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  floor((1.0 - 1.0*n_distinct/n_words)*10000 + 0.5)/10000 AS word_dup_frac,
+        |  floor((1.0*top_bg/total_bg)*10000 + 0.5)/10000 AS top_bigram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT *, CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket
