@@ -85,6 +85,8 @@ object Dedup {
     * a groupBy on the pair key (a pair matching in several bands is
     * collapsed; the estimate is identical in each). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    // persisted for the two join legs; caller-scoped lifetime (see
+    // simhashNearDups note) — Verify/Bench clearCache between queries
     val sig = signatures.persist()
     val bands = sig
       .select(col(idCol) +: explode(array(bandStructs(k, rowsPerBand): _*)).as("band") +:
@@ -227,6 +229,10 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4-nibble banding is only complete for hamming <= 3, got $maxHamming")
+    // persisted because both self-join legs read it; lives until the
+    // caller unpersists/clearCache (same contract as lshCandidatePairs —
+    // the returned plan still references the cache, so this operator
+    // cannot unpersist it itself)
     val sig = simhash16(docs, idCol, textCol).persist()
     val bands = sig.select(col(idCol), col("simhash16"),
         explode(array((0 until 4).map(b =>

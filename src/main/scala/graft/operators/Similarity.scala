@@ -94,23 +94,21 @@ object Similarity {
   /** Assign each vector to its max-cosine centroid (broadcast join +
     * window argmax; one shuffle on the corpus id). Keeps the winning
     * similarity as `sim` (quantization-quality observability). */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosineExpr(vecCol, "centroid_vec"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"), col("__sim").as("sim"))
-  }
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    ivfProbe(corpus, centroids, idCol, vecCol, nprobe = 1)
 
-  /** Distributed Lloyd refinement of the coarse quantizer: stride init,
-    * then `iters` rounds of (broadcast argmax-cosine assign → element-
-    * wise mean per bucket). Per-round state is only the k×dim centroid
-    * table — the classic broadcast-ML loop (same shape as MLlib's
-    * KMeans aggregation); no data-path collect. Empty buckets drop out;
-    * means are computed in double and emitted as the corpus element
-    * type so the codegen'd cosine kernel sees matching arrays. */
+  /** Distributed SPHERICAL k-means refinement of the coarse quantizer:
+    * stride init, then `iters` rounds of (broadcast argmax-cosine
+    * assign → per-bucket mean of the UNIT-NORMALIZED members). The
+    * normalized-mean update is what maximizes Σ cos(vᵢ, c) for a fixed
+    * assignment (plain arithmetic means don't under cosine), so each
+    * round is guaranteed not to decrease [[quantizationScore]] — the
+    * invariant KMeansIvfSpec asserts. Per-round state is only the k×dim
+    * centroid table (the MLlib-style broadcast-ML loop); no data-path
+    * collect. Empty buckets drop out; centroids are emitted as the
+    * corpus element type so the codegen'd cosine kernel sees matching
+    * arrays (cosine is scale-invariant, so leaving the mean
+    * un-renormalized is fine). */
   def kMeansFit(corpus: DataFrame, idCol: String, vecCol: String, stride: Int,
                 iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.ArrayType
@@ -118,9 +116,12 @@ object Similarity {
     var centroids = strideCentroids(corpus, idCol, vecCol, stride)
     for (_ <- 0 until iters) {
       centroids = ivfAssign(corpus, centroids, idCol, vecCol)
-        .select(col("bucket").as("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .withColumn("__norm", normExpr(vecCol))
+        .filter(col("__norm") > 0)
+        .select(col("bucket").as("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")), col("__norm"))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(avg(col("x") / col("__norm")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(expr(s"transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS $elemSql))")
           .as("centroid_vec"))
@@ -143,10 +144,11 @@ object Similarity {
     ivfTopKWith(corpus, queries, idCol, vecCol, k,
       strideCentroids(corpus, idCol, vecCol, stride))
 
-  /** Multi-probe query assignment: each query fans out to its `nprobe`
-    * nearest buckets (recall lever — corpus rows still live in exactly
-    * one bucket, so index size is unchanged; only the per-query
-    * candidate set grows ×nprobe). */
+  /** Multi-probe assignment: each row fans out to its `nprobe` nearest
+    * buckets by cosine, carrying the similarity as `sim` (nprobe=1 IS
+    * [[ivfAssign]] — single implementation, single tie-break rule).
+    * For queries this is the recall lever: corpus rows still live in
+    * exactly one bucket, only the per-query candidate set grows. */
   def ivfProbe(queries: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
                nprobe: Int): DataFrame = {
     val scored = queries.select(col(idCol), col(vecCol))
@@ -155,7 +157,7 @@ object Similarity {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nprobe)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"), col("__sim").as("sim"))
   }
 
   /** [[ivfTopK]] against caller-supplied centroids (e.g. a

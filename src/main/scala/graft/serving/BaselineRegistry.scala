@@ -135,12 +135,17 @@ object BaselineRegistry {
     * dims/thresholds degrade to safe constants, never fail serving). */
   def thresholds(registry: DataFrame, ruleVersion: String, asOf: String): Thresholds = {
     val base = Thresholds(ruleVersion = ruleVersion)
+    // per-field null guard: a generation published without some metric
+    // row must not unbox NULL to 0.0 (velocityP90=0.0 would make every
+    // key a candidate) — each missing field falls back to its default
+    def d(r: org.apache.spark.sql.Row, field: String, dflt: Double): Double =
+      Option(r.getAs[java.lang.Double](field)).fold(dflt)(_.doubleValue)
     resolveThresholds(registry, ruleVersion, asOf).collect().headOption.fold(base) { r =>
       base.copy(
-        velocityP90 = r.getAs[Double]("velocity_p90"),
-        viewsP40 = r.getAs[Double]("views_p40").toLong,
-        minCompletion = r.getAs[Double]("completion_p50"),
-        maxSkip = r.getAs[Double]("skip_p50"))
+        velocityP90 = d(r, "velocity_p90", base.velocityP90),
+        viewsP40 = d(r, "views_p40", base.viewsP40.toDouble).toLong,
+        minCompletion = d(r, "completion_p50", base.minCompletion),
+        maxSkip = d(r, "skip_p50", base.maxSkip))
     }
   }
 }

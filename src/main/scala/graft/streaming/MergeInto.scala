@@ -27,13 +27,20 @@ object MergeInto {
                orderBy: Seq[String], columns: Seq[String]): String = {
     require(keys.nonEmpty && orderBy.nonEmpty && columns.nonEmpty)
     val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-    val setters = columns.filterNot(keys.contains).map(c => s"t.$c = s.$c").mkString(", ")
+    val nonKey = columns.filterNot(keys.contains)
     val insertCols = columns.mkString(", ")
     val insertVals = columns.map(c => s"s.$c").mkString(", ")
+    // all-key table: a matched row has nothing to update — omit the
+    // MATCHED clause entirely (an empty SET list is a syntax error)
+    val matchedClause =
+      if (nonKey.isEmpty) ""
+      else {
+        val setters = nonKey.map(c => s"t.$c = s.$c").mkString(", ")
+        s"\nWHEN MATCHED AND (${strictlyNewer(orderBy)}) THEN UPDATE SET $setters"
+      }
     s"""MERGE INTO $targetTable t
        |USING $sourceView s
-       |ON $on
-       |WHEN MATCHED AND (${strictlyNewer(orderBy)}) THEN UPDATE SET $setters
+       |ON $on$matchedClause
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
   }
 

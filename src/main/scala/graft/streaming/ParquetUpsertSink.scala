@@ -72,15 +72,23 @@ class ParquetUpsertSink(spark: SparkSession, tablePath: String, keys: Seq[String
 
   /** Real row-level MERGE: pre-dedup the batch latest-per-key, then one
     * `MERGE INTO` with a strictly-newer MATCHED guard (stale loses at
-    * the storage layer — no snapshot rewrite, no union). */
+    * the storage layer — no snapshot rewrite, no union).
+    *
+    * All catalog work runs on the BATCH's session: in foreachBatch the
+    * micro-batch DataFrame belongs to the streaming query's cloned
+    * SparkSession, and a temp view registered there is invisible to the
+    * constructor session (and vice versa). Using the batch session also
+    * keeps the per-sink view name from colliding across sinks sharing a
+    * batchId. */
   private def mergeInto(batch: DataFrame, batchId: Long): Unit = {
+    val session = batch.sparkSession
     val latest = MergeOps.dedupLatestBy(batch, keys, orderBy.map(col))
-    val view = s"__graft_merge_src_$batchId"
+    val view = s"__graft_merge_src_${System.identityHashCode(this)}_$batchId"
     latest.createOrReplaceTempView(view)
     try {
-      if (!exists) spark.sql(MergeInto.createTableSql(tableRef, view, tableFormat, partitionBy))
-      else spark.sql(MergeInto.mergeSql(tableRef, view, keys, orderBy, latest.columns.toSeq))
-    } finally spark.catalog.dropTempView(view)
+      if (!exists) session.sql(MergeInto.createTableSql(tableRef, view, tableFormat, partitionBy))
+      else session.sql(MergeInto.mergeSql(tableRef, view, keys, orderBy, latest.columns.toSeq))
+    } finally session.catalog.dropTempView(view)
   }
 
   /** Parquet emulation: union with the stored snapshot, dedup-latest,

@@ -25,6 +25,12 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(!sql.contains("t.video_id = s.video_id,") && !sql.contains("SET t.video_id"))
   }
 
+  test("mergeSql: all-key table omits the MATCHED clause (empty SET is a syntax error)") {
+    val sql = MergeInto.mergeSql("t", "s", Seq("k1", "k2"), Seq("k1"), Seq("k1", "k2"))
+    assert(!sql.contains("WHEN MATCHED"))
+    assert(sql.contains("WHEN NOT MATCHED THEN INSERT (k1, k2) VALUES (s.k1, s.k2)"))
+  }
+
   test("createTableSql: CTAS with optional partitioning") {
     val sql = MergeInto.createTableSql("cat.db.t", "src", "iceberg", Seq("days(ts)"))
     assert(sql == "CREATE TABLE cat.db.t\nUSING iceberg\nPARTITIONED BY (days(ts))\nAS SELECT * FROM src")
