@@ -41,8 +41,12 @@ object Artifacts {
       .parquet(s"$outDir/run_manifest")
     expectedActions(spark, cfg, out).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/expected_actions")
-    out.events.map(_.json).toDF("raw_value")
-      .withColumn("source_offset", monotonically_increasing_id())
+    // driver-side index, NOT monotonically_increasing_id: the latter
+    // encodes the partition id, so the same seed+config would emit
+    // different offsets under different parallelism — breaking the
+    // generator's byte-identical-replay contract
+    out.events.map(_.json).zipWithIndex.map { case (j, i) => (j, i.toLong) }
+      .toDF("raw_value", "source_offset")
       .write.mode(SaveMode.Overwrite).json(s"$outDir/events_jsonl")
   }
 }

@@ -112,7 +112,10 @@ object BaselineRegistry {
     val global = registry.filter(
       col("rule_version") === ruleVersion &&
       col("cohort_category").isNull && col("cohort_region").isNull &&
-      col("effective_from") <= to_date(lit(asOf)))
+      col("effective_from") <= to_date(lit(asOf)) &&
+      // a generation can be retired by end-dating it; a null
+      // effective_to means open-ended
+      (col("effective_to").isNull || col("effective_to") >= to_date(lit(asOf))))
     val locked = global.agg(max(col("effective_from")).as("effective_from"))
     global.join(broadcast(locked), Seq("effective_from"))
       .groupBy(col("rule_version"), col("effective_from"))

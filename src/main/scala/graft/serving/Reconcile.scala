@@ -26,11 +26,16 @@ object Reconcile {
   }
 
   /** Minute-level count reconciliation between an RT aggregate and a
-    * batch recompute: p95 of abs(rt−batch)/max(batch, floor). */
+    * batch recompute: p95 of abs(rt−batch)/max(batch, floor). FULL outer
+    * join: a key present only on the RT side (RT overcounting a grain
+    * batch says shouldn't exist) must inflate the ratio, not vanish.
+    * Empty inputs → 0.0 (percentile over zero rows is null). */
   def countDiffP95(rt: DataFrame, batch: DataFrame, keyCols: Seq[String],
-                   rtCount: String, batchCount: String, floor: Long = 100L): Double =
-    batch.join(rt, keyCols, "left")
-      .select((abs(coalesce(col(rtCount), lit(0L)) - col(batchCount)).cast("double") /
-        greatest(col(batchCount), lit(floor))).as("ratio"))
-      .agg(expr("percentile(ratio, 0.95)")).collect()(0).getDouble(0)
+                   rtCount: String, batchCount: String, floor: Long = 100L): Double = {
+    val p = batch.join(rt, keyCols, "full_outer")
+      .select((abs(coalesce(col(rtCount), lit(0L)) - coalesce(col(batchCount), lit(0L))).cast("double") /
+        greatest(coalesce(col(batchCount), lit(0L)), lit(floor))).as("ratio"))
+      .agg(expr("percentile(ratio, 0.95)")).collect()(0)
+    if (p.isNullAt(0)) 0.0 else p.getDouble(0)
+  }
 }

@@ -23,16 +23,12 @@ object Serving {
 
   /** 1-minute grain conditional-count pivot (reference gold
     * rt_video_stats_1min, A1). */
-  def perMinuteCounters(events: DataFrame, key: String = "user_id"): DataFrame =
+  def perMinuteCounters(events: DataFrame, key: String = "user_id"): DataFrame = {
+    val aggs = graft.functions.EventCounters.typeCounts :+ sum(col("value")).as("value_sum")
     events
       .groupBy(col(key), date_trunc("minute", col("ts")).as("minute"))
-      .agg(
-        count(when(col("event_type") === "view", 1)).as("views"),
-        count(when(col("event_type") === "click", 1)).as("clicks"),
-        count(when(col("event_type") === "purchase", 1)).as("purchases"),
-        count(when(col("event_type") === "signup", 1)).as("signups"),
-        count(when(col("event_type") === "error", 1)).as("errors"),
-        sum(col("value")).as("value_sum"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Rolling 30-minute counters: RANGE-interval frame over event time
     * (reference A2/W3; DataFrame form = epoch-cast rangeBetween). */

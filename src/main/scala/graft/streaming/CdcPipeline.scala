@@ -55,8 +55,7 @@ object CdcPipeline {
 
   def quarantine(annotated: DataFrame): DataFrame =
     annotated.filter(col("error_code").isNotNull).select(
-      concat_ws(":", coalesce(col("source_topic"), lit("unknown")),
-        col("source_partition"), col("source_offset")).as("invalid_event_id"),
+      graft.functions.EventCounters.invalidEventId.as("invalid_event_id"),
       col("error_code"), col("raw_value"),
       col("source_topic"), col("source_partition"), col("source_offset"), col("ingested_at"))
 

@@ -55,14 +55,21 @@ object EventPipeline {
     * PARSE > MISSING_FIELD > INVALID_TIMESTAMP > INVALID_TYPE > INVALID_PAYLOAD). */
   def validationRules: Seq[Validation.Rule] = Seq(
     // PERMISSIVE from_json returns an all-null struct (not a null struct)
-    // for corrupt records — treat "every envelope field null" as a parse
-    // failure so broken JSON lands in PARSE_ERROR, not MISSING_FIELD.
+    // for corrupt records — "every envelope field null" + raw input NOT
+    // parseable as JSON ⇒ PARSE_ERROR. The raw-parseability probe keeps
+    // valid-but-empty JSON (e.g. only unknown fields set) in
+    // MISSING_REQUIRED_FIELD where the precedence ladder wants it.
     Validation.Rule("PARSE_ERROR",
       col("event").isNull ||
-        coalesce(col("event.event_id"), col("event.event_timestamp"), col("event.user_id"),
-          col("event.event_type"), col("event.schema_version"), col("event.payload_json")).isNull),
+        (coalesce(col("event.event_id"), col("event.event_timestamp"), col("event.user_id"),
+          col("event.event_type"), col("event.schema_version"), col("event.payload_json")).isNull &&
+          get_json_object(col("raw_value"), "$").isNull)),
+    // event_type IS required: without it the null-propagating isin in
+    // INVALID_EVENT_TYPE would mark the row valid while no counter
+    // column counts it
     Validation.Rule("MISSING_REQUIRED_FIELD",
-      col("event_id").isNull || col("event.event_timestamp").isNull || col("user_id").isNull),
+      col("event_id").isNull || col("event.event_timestamp").isNull ||
+        col("user_id").isNull || col("event_type").isNull),
     Validation.Rule("INVALID_EVENT_TIMESTAMP", col("ts").isNull),
     Validation.Rule("INVALID_EVENT_TYPE", !col("event_type").isin(AllowedEventTypes: _*)),
     // get_json_object(x, '$') returns null iff x is not valid JSON —
@@ -87,8 +94,7 @@ object EventPipeline {
     * topic:partition:offset (reference S8/P8). */
   def quarantine(annotated: DataFrame): DataFrame =
     annotated.filter(col("error_code").isNotNull).select(
-      concat_ws(":", coalesce(col("source_topic"), lit("unknown")),
-        col("source_partition"), col("source_offset")).as("invalid_event_id"),
+      graft.functions.EventCounters.invalidEventId.as("invalid_event_id"),
       col("error_code"),
       col("raw_value"), col("source_topic"), col("source_partition"),
       col("source_offset"), col("ingested_at"))
@@ -111,15 +117,11 @@ object EventPipeline {
     val deduped =
       if (boundedDedupState) watermarked.dropDuplicatesWithinWatermark("event_id")
       else watermarked.dropDuplicates("event_id")
+    val aggs = graft.functions.EventCounters.typeCounts :+
+      sum(coalesce(col("watch_time_ms"), lit(0L))).as("watch_time_sum_ms")
     deduped
       .groupBy(window(col("ts"), "1 minute"), col("user_id"))
-      .agg(
-        count(when(col("event_type") === "view", 1)).as("views"),
-        count(when(col("event_type") === "click", 1)).as("clicks"),
-        count(when(col("event_type") === "purchase", 1)).as("purchases"),
-        count(when(col("event_type") === "signup", 1)).as("signups"),
-        count(when(col("event_type") === "error", 1)).as("errors"),
-        sum(coalesce(col("watch_time_ms"), lit(0L))).as("watch_time_sum_ms"))
+      .agg(aggs.head, aggs.tail: _*)
       // processed_at is stamped AFTER aggregation: non-deterministic
       // expressions are illegal inside streaming aggregates.
       .select(

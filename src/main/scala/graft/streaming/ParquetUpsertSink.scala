@@ -91,19 +91,39 @@ class ParquetUpsertSink(spark: SparkSession, tablePath: String, keys: Seq[String
     } finally session.catalog.dropTempView(view)
   }
 
+  /** A crash between the two swap renames leaves dest missing with the
+    * snapshot parked in an `__old_` dir — find it so the next batch can
+    * restore instead of silently restarting history from one batch. */
+  private def orphanedSnapshot(): Option[Path] = {
+    val dest = new Path(tablePath)
+    val parent = dest.getParent
+    if (parent == null || !fs.exists(parent)) None
+    else fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(dest.getName + "__old_"))
+      .sortBy(_.getName).lastOption
+  }
+
   /** Parquet emulation: union with the stored snapshot, dedup-latest,
-    * rewrite, atomic directory swap. */
+    * rewrite, two-rename directory swap. The swap is NOT atomic (two
+    * renames); every rename is checked (HDFS-style filesystems return
+    * false instead of throwing) and a half-completed swap is recovered
+    * on the next merge — under checkpointed foreachBatch replay no
+    * merged history is lost. */
   private def mergeParquetSwap(batch: DataFrame, batchId: Long): Unit = {
+    val dest = new Path(tablePath)
+    if (!fs.exists(dest)) orphanedSnapshot().foreach { o =>
+      require(fs.rename(o, dest), s"crash recovery: restoring $o to $dest failed")
+    }
     val ordAsc = orderBy.map(col)
     val merged =
       if (!exists) MergeOps.dedupLatestBy(batch, keys, ordAsc)
       else MergeOps.dedupLatestBy(read().unionByName(batch.select(read().columns.map(col).toSeq: _*)), keys, ordAsc)
     val tmp = new Path(tablePath + s"__tmp_$batchId")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    val dest = new Path(tablePath)
     val old = new Path(tablePath + s"__old_$batchId")
-    if (fs.exists(dest)) fs.rename(dest, old)
-    fs.rename(tmp, dest)
+    if (fs.exists(dest))
+      require(fs.rename(dest, old), s"swap step 1: rename $dest -> $old failed")
+    require(fs.rename(tmp, dest), s"swap step 2: rename $tmp -> $dest failed (snapshot parked at $old)")
     if (fs.exists(old)) fs.delete(old, true)
   }
 
@@ -119,8 +139,13 @@ class DropRatioListener extends org.apache.spark.sql.streaming.StreamingQueryLis
   override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-    inputRows += e.progress.numInputRows
-    e.progress.stateOperators.foreach(so => rowsDropped += so.numRowsDroppedByWatermark)
+    // only STATEFUL queries can drop by watermark — counting stateless
+    // sinks' input (e.g. the bronze/quarantine legs of a 3-sink fan-out)
+    // would dilute the denominator ~3x and hide a real drop rate
+    if (e.progress.stateOperators.nonEmpty) {
+      inputRows += e.progress.numInputRows
+      e.progress.stateOperators.foreach(so => rowsDropped += so.numRowsDroppedByWatermark)
+    }
   }
 
   def dropRatio: Double = if (inputRows == 0) 0.0 else rowsDropped.toDouble / inputRows

@@ -36,7 +36,10 @@ class StreamingSpec extends AnyFunSuite {
       """{"event_timestamp":"2024-01-01T00:00:11Z","user_id":"u","event_type":"view"}""", // missing event_id
       json("e2", "bad-timestamp"),                                // INVALID_EVENT_TIMESTAMP
       json("e3", "2024-01-01T00:00:12Z", typ = "dance"),          // INVALID_EVENT_TYPE
-      s"""{"event_id":"e4","event_timestamp":"2024-01-01T00:00:13Z","user_id":"u1","event_type":"view","schema_version":"v1","payload_json":"{not-json"}""")
+      s"""{"event_id":"e4","event_timestamp":"2024-01-01T00:00:13Z","user_id":"u1","event_type":"view","schema_version":"v1","payload_json":"{not-json"}""",
+      // missing event_type: must be MISSING_REQUIRED_FIELD, not slip
+      // through the null-propagating isin as "valid"
+      """{"event_id":"e5","event_timestamp":"2024-01-01T00:00:14Z","user_id":"u1","schema_version":"v1","payload_json":"{}"}""")
       .zipWithIndex
     val df = rows.toDF("raw_value", "source_offset")
       .withColumn("source_topic", lit("t")).withColumn("source_partition", lit(0))
@@ -49,6 +52,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(codes(3).contains("INVALID_EVENT_TIMESTAMP"))
     assert(codes(4).contains("INVALID_EVENT_TYPE"))
     assert(codes(5).contains("INVALID_PAYLOAD_JSON"))
+    assert(codes(6).contains("MISSING_REQUIRED_FIELD"))
     val q = EventPipeline.quarantine(annotated)
     assert(q.filter(col("invalid_event_id") === "t:0:1").count() == 1)
   }
