@@ -23,21 +23,42 @@ object Contracts {
     def missingColumns(live: StructType): Seq[StructField] =
       schema.fields.filterNot(f => live.fieldNames.contains(f.name)).toSeq
 
+    /** Contract columns present in the live schema under a DIFFERENT
+      * type — a non-additive change the gate must refuse outright (an
+      * ALTER can't fix it). */
+    def typeMismatches(live: StructType): Seq[(StructField, org.apache.spark.sql.types.DataType)] =
+      schema.fields.flatMap(f =>
+        live.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(l => (f, l.dataType))).toSeq
+
     /** Additive-only fix list (reference manual_alter_statements). */
     def alterStatements(live: StructType): Seq[String] =
       missingColumns(live).map(f =>
         s"ALTER TABLE $name ADD COLUMNS (${f.name} ${f.dataType.sql})")
 
-    /** Drift gate: pass ⇒ (), fail ⇒ abort with the fix list. */
+    /** Drift gate: pass ⇒ (), fail ⇒ abort with the fix list (ALTERs
+      * for missing columns; refusals for type drift — name-only checks
+      * would wave through a table whose column exists incompatibly). */
     def enforce(live: StructType): Either[Seq[String], Unit] = {
-      val missing = missingColumns(live)
-      if (missing.isEmpty) Right(()) else Left(alterStatements(live))
+      val refusals = typeMismatches(live).map { case (f, liveT) =>
+        s"REFUSE $name.${f.name}: live type ${liveT.sql} incompatible with contract ${f.dataType.sql} (non-additive change)"
+      }
+      val fixes = alterStatements(live) ++ refusals
+      if (fixes.isEmpty) Right(()) else Left(fixes)
     }
 
-    def ddl: String = {
+    /** DDL for a table-format catalog (default iceberg, the reference's
+      * target — transform partitioning like hours()/bucket() is ONLY
+      * legal there). For plain parquet the V1 catalog rejects transform
+      * specs, so they are dropped (identity specs are kept). */
+    def ddl(format: String = "iceberg"): String = {
       val cols = schema.fields.map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
-      val part = if (partitionSpec.isEmpty) "" else s"\nPARTITIONED BY (${partitionSpec.mkString(", ")})"
-      s"CREATE TABLE IF NOT EXISTS $name (\n$cols\n) USING parquet$part"
+      val specs =
+        if (format == "parquet") partitionSpec.filter(!_.contains("("))
+        else partitionSpec
+      val part = if (specs.isEmpty) "" else s"\nPARTITIONED BY (${specs.mkString(", ")})"
+      s"CREATE TABLE IF NOT EXISTS $name (\n$cols\n) USING $format$part"
     }
   }
 

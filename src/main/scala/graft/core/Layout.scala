@@ -17,7 +17,11 @@ object Layout {
                            sortCols: Seq[String] = Nil): Unit = {
     val withDate = df.withColumn("__date", to_date(col(tsCol)))
     val sorted = if (sortCols.isEmpty) withDate
-      else withDate.sortWithinPartitions(sortCols.map(col): _*)
+      // __date must LEAD the local sort: the partitioned write requires
+      // ordering on the partition column, and without it FileFormatWriter
+      // inserts its own sort on top — doubled work, and a spill there
+      // interleaves the sortCols clustering this function promises
+      else withDate.sortWithinPartitions(("__date" +: sortCols).map(col): _*)
     sorted.write.mode(SaveMode.Overwrite).partitionBy("__date").parquet(path)
   }
 

@@ -60,7 +60,10 @@ object Decisions {
     completion >= lit(th.minCompletion) && skip <= lit(th.maxSkip) && clicks >= lit(th.minClicks)
 
   def underExposedExpr(views: Column, clicks: Column, purchases: Column, th: Thresholds): Column =
-    coalesce(views <= lit(th.viewsP40), lit(false)) && (clicks + purchases) >= lit(1L)
+    // coalesce wraps the WHOLE conjunction: null clicks/purchases must
+    // yield false (the documented flag contract and the Scala twin's
+    // behavior), not a null flag
+    coalesce(views <= lit(th.viewsP40) && (clicks + purchases) >= lit(1L), lit(false))
 
   def flags(r: Rolling30m, th: Thresholds): Flags = Flags(
     candidate = velocity(r) >= th.velocityP90 && r.views >= th.minViews,

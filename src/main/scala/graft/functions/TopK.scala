@@ -20,8 +20,14 @@ object TopK {
 
   final case class Scored(id: Long, score: Double)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order via Double.compare: NaN sorts above every value and
+    * equal to itself (falling through to the id tie-break) — matching
+    * Spark's descending sort, where NaN ranks first. Plain >/== would
+    * make NaN retention merge-order dependent. */
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Partial buffer: sorted (desc score, asc id) vector, length ≤ k. */
   final case class Buf(items: List[Scored])

@@ -59,7 +59,10 @@ object Multimodal {
     * (posexplode; stands in for video frame extraction — the output
     * grain (asset_id, frame_no, frame_bytes) and the even-spacing
     * logic are the real thing). */
-  def frameSample(assets: DataFrame, frames: Int, frameSize: Int): DataFrame =
+  def frameSample(assets: DataFrame, frames: Int, frameSize: Int): DataFrame = {
+    // sequence(0, frames-1) runs DESCENDING for frames < 1 → negative
+    // frame_no whose negative offset makes substring slice from the END
+    require(frames >= 1 && frameSize >= 1, s"need frames/frameSize >= 1, got $frames/$frameSize")
     assets
       .withColumn("__n", length(col("content")))
       .withColumn("frame_no", explode(sequence(lit(0), lit(frames - 1))))
@@ -68,4 +71,5 @@ object Multimodal {
       .select(
         col("asset_id"), col("kind"), col("frame_no"),
         expr(s"substring(content, __offset, $frameSize)").as("frame_bytes"))
+  }
 }

@@ -52,7 +52,7 @@ object QueueValidation {
       Option.when(!ValidDecisions.contains(r.decision_type))(
         bad("INVALID_DECISION_TYPE", s"'${r.decision_type}' (NO_ACTION is never persisted)")),
       Option.when(PriorityByDecision.get(r.decision_type).exists(_ != r.priority))(
-        bad("PRIORITY_MISMATCH", s"${r.decision_type} must be priority ${PriorityByDecision.get(r.decision_type)}, got ${r.priority}")),
+        bad("PRIORITY_MISMATCH", s"${r.decision_type} must be priority ${PriorityByDecision(r.decision_type)}, got ${r.priority}")),
       Option.when(r.ttl_minutes <= 0)(
         bad("INVALID_TTL", s"ttl ${r.ttl_minutes} <= 0")),
       Option.when(r.rule_version == null || r.rule_version.isEmpty)(

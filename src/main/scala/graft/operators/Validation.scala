@@ -41,6 +41,9 @@ object Validation {
                  maxK: Int = 80, maxValue: Double = 195.0): Seq[Rule] = Seq(
     Rule("E_PARSE_ERROR", get_json_object(col("props"), "$.k").isNull),
     Rule("E_INVALID_EVENT_TYPE", !col("event_type").isin(allowedTypes: _*)),
-    Rule("E_K_OUT_OF_RANGE", get_json_object(col("props"), "$.k").cast("int") > maxK),
+    // try_cast, NOT cast: under ANSI (Spark 4 default) a plain cast on a
+    // non-numeric k would CRASH the job — the very rows a validation
+    // operator exists to quarantine must never abort it
+    Rule("E_K_OUT_OF_RANGE", expr("try_cast(get_json_object(props, '$.k') as int)") > maxK),
     Rule("E_VALUE_OUT_OF_RANGE", col("value") > maxValue))
 }

@@ -112,7 +112,7 @@ object Dashboards {
     val allowed = Seq("click", "view", "purchase", "signup", "error")
     val isParse = kStr.isNull
     val isInvalid = isParse || !col("event_type").isin(allowed: _*) ||
-      (kStr.cast("int") > 80) || (col("value") > 195.0)
+      (expr("try_cast(get_json_object(props, '$.k') as int)") > 80) || (col("value") > 195.0)
     val sec = date_trunc("second", col("ts")).cast("long")
 
     val g = e.agg(
@@ -621,7 +621,7 @@ object Dashboards {
         |  SELECT *, json_extract_string(props, '$.k') AS kstr,
         |    (json_extract_string(props, '$.k') IS NULL
         |     OR event_type NOT IN ('click','view','purchase','signup','error')
-        |     OR CAST(json_extract_string(props, '$.k') AS INT) > 80
+        |     OR TRY_CAST(json_extract_string(props, '$.k') AS INT) > 80
         |     OR value > 195.0) AS is_invalid
         |  FROM events),
         |g AS (

@@ -28,7 +28,7 @@ object Lakehouse {
     * aggregate per enum. */
   def jsonMetrics(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') as int)"))
       .groupBy(col("event_type"))
       .agg(
         rd(avg(col("k")), 4).as("k_avg"),
@@ -165,11 +165,11 @@ object Lakehouse {
       |  SELECT *,
       |    coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false) AS candidate_flag,
       |    completion_rate_30m >= 0.5 AND skip_rate_30m <= 0.5 AND clicks_30m >= 1 AS quality_gate_pass,
-      |    coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 AS under_exposed_flag,
+      |    coalesce(views_30m <= 0 AND (clicks_30m + purchases_30m) >= 1, false) AS under_exposed_flag,
       |    CASE WHEN coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false)
       |              AND (completion_rate_30m >= 0.5 AND skip_rate_30m <= 0.5 AND clicks_30m >= 1) THEN 'BOOST'
       |         WHEN coalesce(velocity_30m >= 0.6 AND views_30m >= 1, false) THEN 'REVIEW'
-      |         WHEN coalesce(views_30m <= 0, false) AND (clicks_30m + purchases_30m) >= 1 THEN 'RESCUE'
+      |         WHEN coalesce(views_30m <= 0 AND (clicks_30m + purchases_30m) >= 1, false) THEN 'RESCUE'
       |         ELSE 'NO_ACTION' END AS decision_type_preview
       |  FROM m)""".stripMargin
 
@@ -187,16 +187,16 @@ object Lakehouse {
       """SELECT coalesce(
         |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'E_PARSE_ERROR'
         |       WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 'E_INVALID_EVENT_TYPE'
-        |       WHEN CAST(json_extract_string(props, '$.k') AS INT) > 80 THEN 'E_K_OUT_OF_RANGE'
+        |       WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT) > 80 THEN 'E_K_OUT_OF_RANGE'
         |       WHEN value > 195.0 THEN 'E_VALUE_OUT_OF_RANGE' END,
         |  'VALID') AS error_code,
         | count(*) AS n, floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_metrics" ->
       """SELECT event_type,
-        | floor((avg(CAST(json_extract_string(props, '$.k') AS INT)))*10000 + 0.5)/10000 AS k_avg,
-        | min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
-        | max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+        | floor((avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)))*10000 + 0.5)/10000 AS k_avg,
+        | min(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+        | max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
         | count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS k_nulls
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decision_context" -> (decisionContextSql + "\nORDER BY user_id, minute"),

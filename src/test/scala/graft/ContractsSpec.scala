@@ -24,11 +24,27 @@ class ContractsSpec extends AnyFunSuite {
     assert(Contracts.DimVideos.enforce(live).isRight)
   }
 
-  test("ddl renders schema + partition spec") {
-    val ddl = Contracts.BronzeEvents.ddl
+  test("ddl renders schema + partition spec (transforms only on table formats)") {
+    val ddl = Contracts.BronzeEvents.ddl()
     assert(ddl.contains("CREATE TABLE IF NOT EXISTS bronze_events"))
+    assert(ddl.contains("USING iceberg"))
     assert(ddl.contains("PARTITIONED BY (hours(ts))"))
     assert(ddl.contains("event_id STRING"))
+    // the V1 parquet catalog rejects transform partitioning — the DDL
+    // must not emit a statement that can't execute on that format
+    val pq = Contracts.BronzeEvents.ddl("parquet")
+    assert(pq.contains("USING parquet") && !pq.contains("hours("))
+  }
+
+  test("type drift is refused, not waved through by a name-only check") {
+    val live = StructType(Contracts.GoldStats1Min.schema.fields.map(f =>
+      if (f.name == "views") StructField("views", StringType) else f))
+    Contracts.GoldStats1Min.enforce(live) match {
+      case Left(fixes) =>
+        assert(fixes.exists(_.contains("REFUSE gold_stats_1min.views")))
+        assert(fixes.exists(_.contains("STRING incompatible with contract BIGINT")))
+      case Right(_) => fail("expected type-drift refusal")
+    }
   }
 
   test("streaming pipeline output matches the gold contract") {

@@ -48,7 +48,11 @@ class GuardrailsSpec extends AnyFunSuite {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     ext(e) // throws if injectCheckRule signature drifts
     registered()
-    val bad = spark.sql("SELECT count(*) FROM v_decision_context_30m_1m").queryExecution.analyzed
+    // a row-returning unbounded read violates; scalar aggregates (count,
+    // anchors) are the sanctioned exemption
+    val bad = spark.sql("SELECT user_id FROM v_decision_context_30m_1m").queryExecution.analyzed
     assert(intercept[GuardrailViolation](ServingGuardrails.check(bad)).getMessage.contains("guardrail"))
+    ServingGuardrails.check(
+      spark.sql("SELECT count(*) FROM v_decision_context_30m_1m").queryExecution.analyzed)
   }
 }
