@@ -225,7 +225,11 @@ object Dedup {
     * pair with ≤3 differing bits can touch at most 3 of the 4 nibbles,
     * so at least one nibble matches exactly. Equi-join on
     * (band_id, band_val) — same scale shape as MinHash LSH, no cross
-    * join, no all-pairs hamming. */
+    * join, no all-pairs hamming.
+    *
+    * Scale note: 16-bit fingerprints (16-value nibble bands) are the
+    * test-corpus setting; a production corpus wants a 64-bit simhash
+    * with 4×16-bit bands — identical banding algebra and plan shape. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4-nibble banding is only complete for hamming <= 3, got $maxHamming")
@@ -254,7 +258,11 @@ object Dedup {
   /** Embedding-cosine near-dup pairs above a similarity threshold,
     * bucketed by a coarse SimHash-of-sign-bits key so candidate
     * generation is an equi-join, not a cross join (scale path). Exact
-    * brute-force variant lives in Similarity.bruteForceTopK. */
+    * brute-force variant lives in Similarity.bruteForceTopK.
+    *
+    * Scale note: within-bucket comparison is quadratic in bucket size —
+    * size `signBits` so 2^signBits tracks the corpus (8 bits suits the
+    * test corpus; a billion-vector corpus wants 20+, same operator). */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, signBits: Int = 8): DataFrame = {
     val keyed = embeddings.withColumn("__bucket",
