@@ -32,7 +32,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
+      // a failure must be VISIBLE: a swallowed exception would record its
+      // short time-to-throw and read as a speedup in the bench total
+      try run(fn) catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query persists must not leak into the next query's timing
       spark.sharedState.cacheManager.clearCache()

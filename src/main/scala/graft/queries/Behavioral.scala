@@ -94,16 +94,21 @@ object Behavioral {
         |  floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
-      """WITH fv AS (
-        |  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+      // every ts is µs-truncated up front: Spark reads the ns parquet at
+      // µs precision, so comparing raw ns on the DuckDB side could admit
+      // or exclude different events in the same microsecond
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+        |fv AS (
+        |  SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1),
         |fc AS (
         |  SELECT fv.user_id, fv.t_view, min(c.ts) AS t_click
-        |  FROM fv LEFT JOIN events c
+        |  FROM fv LEFT JOIN ev c
         |    ON c.user_id = fv.user_id AND c.event_type = 'click' AND c.ts >= fv.t_view
         |  GROUP BY 1, 2),
         |fp AS (
         |  SELECT fc.user_id, fc.t_view, fc.t_click, min(p.ts) AS t_purchase
-        |  FROM fc LEFT JOIN events p
+        |  FROM fc LEFT JOIN ev p
         |    ON p.user_id = fc.user_id AND p.event_type = 'purchase' AND p.ts >= fc.t_click
         |  GROUP BY 1, 2, 3)
         |SELECT count(*) AS n_viewers, count(t_click) AS n_clickers,

@@ -108,11 +108,12 @@ object Dashboards {
   def healthGates(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir, "events")
-    val kStr = get_json_object(col("props"), "$.k")
-    val allowed = Seq("click", "view", "purchase", "signup", "error")
-    val isParse = kStr.isNull
-    val isInvalid = isParse || !col("event_type").isin(allowed: _*) ||
-      (expr("try_cast(get_json_object(props, '$.k') as int)") > 80) || (col("value") > 195.0)
+    // single source of truth for "invalid": the validation ladder itself
+    // (duplicating the thresholds here would let the gate battery and
+    // q_validation_split silently disagree if the contract changes)
+    val rules = graft.operators.Validation.eventRules()
+    val isParse = rules.head.predicate
+    val isInvalid = rules.map(_.predicate).reduce(_ || _)
     val sec = date_trunc("second", col("ts")).cast("long")
 
     val g = e.agg(
@@ -552,7 +553,7 @@ object Dashboards {
         |GROUP BY decision_type_preview
         |ORDER BY video_count DESC, decision_type_preview""".stripMargin),
     "q_dash_latest" ->
-      (Lakehouse.decisionContextCoreSql.replace("ctx_core AS (", "ctx_core AS (").stripSuffix(")") + """),
+      (Lakehouse.decisionContextCoreSql + """,
         |anchor AS (SELECT max(minute) AS anchor_minute FROM ctx_core),
         |bounded AS (
         |  SELECT c.* FROM ctx_core c CROSS JOIN anchor
@@ -567,7 +568,7 @@ object Dashboards {
         |ORDER BY decision_type_preview, user_id
         |LIMIT 500""".stripMargin),
     "q_dash_health" ->
-      (Lakehouse.decisionContextCoreSql.stripSuffix(")") + """),
+      (Lakehouse.decisionContextCoreSql + """,
         |anchor AS (SELECT max(minute) AS anchor_minute FROM ctx_core)
         |SELECT minute,
         |  floor(avg(velocity_30m) * 10000 + 0.5) / 10000 AS avg_velocity,
@@ -578,7 +579,7 @@ object Dashboards {
         |WHERE minute >= anchor_minute - INTERVAL '30' MINUTE
         |GROUP BY minute ORDER BY minute""".stripMargin),
     "q_dash_decision_trend" ->
-      (Lakehouse.decisionContextCoreSql.stripSuffix(")") + """),
+      (Lakehouse.decisionContextCoreSql + """,
         |anchor AS (SELECT max(minute) AS anchor_minute FROM ctx_core)
         |SELECT minute, decision_type_preview, count(*) AS n
         |FROM ctx_core CROSS JOIN anchor

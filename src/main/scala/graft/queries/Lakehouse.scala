@@ -28,13 +28,16 @@ object Lakehouse {
     * aggregate per enum. */
   def jsonMetrics(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') as int)"))
+      // k_raw nullness (extraction missing) is the k_nulls predicate the
+      // oracle mirrors; k is the ANSI-safe numeric view for the stats
+      .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+      .withColumn("k", expr("try_cast(k_raw as int)"))
       .groupBy(col("event_type"))
       .agg(
         rd(avg(col("k")), 4).as("k_avg"),
         min(col("k")).as("k_min"),
         max(col("k")).as("k_max"),
-        count(when(col("k").isNull, 1)).as("k_nulls"))
+        count(when(col("k_raw").isNull, 1)).as("k_nulls"))
       .orderBy("event_type")
 
   /** D1-D3: the full serving decision context (rounded metric columns). */

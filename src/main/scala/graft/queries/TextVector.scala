@@ -412,7 +412,7 @@ object TextVector {
     "q_multimodal_assets" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(length(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
         |  source AS origin, n_chars AS declared_chars,
         |  '{"origin":"' || source || '","declared_chars":' || n_chars || '}' AS meta_json
         |FROM documents ORDER BY asset_id""".stripMargin,

@@ -97,12 +97,17 @@ object BaselineRegistry {
     * rows must carry sample_size >= the publish floor unless explicitly
     * fallback). Returns the merged registry. */
   def publish(registry: DataFrame, rows: DataFrame, minSample: Long = 1000L): DataFrame = {
-    val offending = rows.filter(!col("is_fallback") && col("sample_size") < minSample)
+    // the guard is an action and the merged result re-reads `rows`; a
+    // data-derived generation (percentiles over the full decision
+    // context) would otherwise compute that aggregation twice — persist
+    // the tiny generation (rows = metrics × percentiles) across both
+    val r = rows.persist()
+    val offending = r.filter(!col("is_fallback") && col("sample_size") < minSample)
     if (!offending.isEmpty)
       throw new IllegalStateException(
         s"publish guard violated: non-fallback baseline rows with sample_size < $minSample")
     MergeOps.insertIfAbsent(registry.select(columns.map(col): _*),
-      rows.select(columns.map(col): _*), Seq("rule_version", "effective_from"))
+      r.select(columns.map(col): _*), Seq("rule_version", "effective_from"))
   }
 
   /** Serving-side resolution: global cohort rows of `ruleVersion`,
