@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased alphanumeric word tokens (regex tokenizer base). */
+  /** Lowercased alphanumeric word tokens. Semantics =
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')`, executed by the
+    * codegen'd byte-scan expression (plans.AsciiTokens — equivalence
+    * proven for all inputs and property-tested); the regex formulation
+    * stays available as [[tokensRegex]] for cross-checks. */
   def tokens(textCol: String): Column =
+    graft.plans.TextExpressions.asciiTokens(col(textCol))
+
+  /** Reference regex formulation of [[tokens]] (slow path, spec twin). */
+  def tokensRegex(textCol: String): Column =
     expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
 
   def tokenCount(tokensCol: String): Column = size(col(tokensCol))
