@@ -59,6 +59,28 @@ object Sampling {
       .drop("__cum_before")
   }
 
+  /** Distributed sequence packing (the pretraining batch-construction
+    * op): assign documents to fixed-token-budget bins. Documents are
+    * spread over `buckets` hash groups; within each group they fill
+    * bins greedily in deterministic hash order — bin = floor(preceding
+    * cumulative tokens / seqLen). Fully parallel across buckets (the
+    * exact global greedy pack is inherently sequential); each bucket's
+    * last bin may be underfilled and a document longer than `seqLen`
+    * overflows its bin (truncation is the caller's policy). Adds
+    * `bin_id`; one shuffle on the bucket key. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Long, buckets: Int = 32): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__bucket", hashBucket(col(idCol), buckets))
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin_id",
+        concat_ws("-", col("__bucket"), floor(col("__cum_before") / seqLen)))
+      .drop("__bucket", "__cum_before")
+  }
+
   /** Exact stratified sample: per stratum, keep ceil(fraction·n) rows,
     * chosen by deterministic hash order (md5 of id, id tiebreak) — the
     * same rows every run, exact per-stratum allocation (largest-count

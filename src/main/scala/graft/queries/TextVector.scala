@@ -247,6 +247,18 @@ object TextVector {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
     }),
+    "q_seq_pack" -> ((s, d) => {
+      import graft.operators.Sampling
+      val bins = Sampling.packSequences(docs(s, d), "doc_id", "n_chars", 2000L, buckets = 8)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tokens"))
+      bins.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("tokens")).cast("long").as("total_tokens"),
+        rd(avg(col("tokens") / 2000.0), 6).as("avg_fill"),
+        count(when(col("tokens") > 2000, 1)).as("overflow_bins"))
+    }),
     "q_token_mix" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.mixByTokenBudget(docs(s, d), "lang", "doc_id", "n_chars",
@@ -449,6 +461,27 @@ object TextVector {
         |  FROM documents)
         |SELECT lang, doc_id FROM r WHERE rn <= ceil(n * 0.1)
         |ORDER BY lang, doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 8 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY bucket
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM b),
+        |binned AS (
+        |  SELECT bucket || '-' || CAST(floor(cum_before / 2000) AS BIGINT) AS bin_id, n_chars FROM c),
+        |bins AS (
+        |  SELECT bin_id, count(*) AS n_docs, sum(n_chars) AS tokens FROM binned GROUP BY 1)
+        |SELECT count(*) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |  floor((avg(tokens / 2000.0))*1000000 + 0.5)/1000000 AS avg_fill,
+        |  count(*) FILTER (WHERE tokens > 2000) AS overflow_bins
+        |FROM bins""".stripMargin,
     "q_token_mix" ->
       """WITH r AS (
         |  SELECT lang, doc_id, n_chars,

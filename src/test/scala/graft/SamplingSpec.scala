@@ -23,6 +23,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == counts, "membership must be deterministic")
   }
 
+  test("packSequences: total partition, bounded overshoot, deterministic bins") {
+    val packed = Sampling.packSequences(docs, "doc_id", "n_chars", 2000L, buckets = 8)
+    assert(packed.count() == docs.count(), "every doc lands in exactly one bin")
+    val bins = packed.groupBy("bin_id")
+      .agg(sum($"n_chars").as("tokens"), max($"n_chars").as("max_doc"))
+      .as[(String, Long, Long)].collect()
+    // a bin exceeds the budget only by (part of) its last-added document
+    bins.foreach { case (bin, tokens, maxDoc) =>
+      assert(tokens < 2000L + maxDoc, s"$bin overshoots: $tokens with max doc $maxDoc")
+    }
+    val again = Sampling.packSequences(docs, "doc_id", "n_chars", 2000L, buckets = 8)
+      .select("doc_id", "bin_id").as[(Long, String)].collect().toMap
+    val first = packed.select("doc_id", "bin_id").as[(Long, String)].collect().toMap
+    assert(again == first, "bin assignment must be deterministic")
+  }
+
   test("mixByTokenBudget: each stratum lands within one doc of its share") {
     val weights = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
     val budget = 50000L
