@@ -30,17 +30,26 @@ object Bench {
     try run(SparkEntry.queries("q_topk"))
     catch { case _: Throwable => () }
 
+    // Min of two timed passes per query: a single sample lets one
+    // machine-load spike become the official number (BENCH_r02 recorded
+    // q_health_gates at 32.6 s vs a reproducible 2.1 s). The min of two
+    // independent passes is what the plan costs; a genuine regression
+    // shows up in both.
+    val timedPasses = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failure must be VISIBLE: a swallowed exception would record its
-      // short time-to-throw and read as a speedup in the bench total
-      try run(fn) catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val samples = (1 to timedPasses).map { _ =>
+        val t0 = System.nanoTime()
+        // a failure must be VISIBLE: a swallowed exception would record its
+        // short time-to-throw and read as a speedup in the bench total
+        try run(fn) catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-query persists must not leak into the next pass's timing
+        spark.sharedState.cacheManager.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // per-query persists must not leak into the next query's timing
-      spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

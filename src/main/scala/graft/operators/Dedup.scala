@@ -23,10 +23,18 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Normalized-prefix near-dup grouping (cheap first-pass: catches
-    * boilerplate/prefix duplication before the MinHash stage). */
+    * boilerplate/prefix duplication before the MinHash stage).
+    *
+    * The normalize work is bounded: only the first prefixLen*5 raw
+    * chars are lowered/regex-collapsed to produce the prefixLen-char
+    * key — whitespace collapse only shrinks text, so a 5× raw window
+    * always yields ≥ prefixLen normalized chars unless the head is >80%
+    * whitespace (then the key is just shorter, for every copy of the
+    * boilerplate alike). Without the bound, a multi-MB document pays a
+    * full-text regex pass to produce a 40-char key. */
   def prefixGroups(docs: DataFrame, idCol: String, contentCol: String, prefixLen: Int = 40): DataFrame =
     docs
-      .groupBy(substring(regexp_replace(lower(col(contentCol)), "\\s+", " "), 1, prefixLen).as("prefix"))
+      .groupBy(substring(regexp_replace(lower(substring(col(contentCol), 1, prefixLen * 5)), "\\s+", " "), 1, prefixLen).as("prefix"))
       .agg(min(col(idCol)).as("canonical_id"), max(col(idCol)).as("max_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
@@ -125,23 +133,49 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
-  /** SimHash (16-bit): per-token 16-bit hash from the md5 hex prefix;
-    * each bit votes ±1 weighted by token multiplicity; the sign vector
-    * is the fingerprint. Near-dups = small Hamming distance. Pure
-    * conditional aggregation — one shuffle on the id. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash fingerprint (16- or 64-bit): per-token hash from the md5
+    * hex prefix; each bit votes ±1 weighted by token multiplicity; the
+    * sign vector is the fingerprint. Near-dups = small Hamming
+    * distance. Pure conditional aggregation — one shuffle on the id.
+    *
+    * 16-bit is the test-corpus setting (cheap, but band buckets
+    * saturate past ~10⁴ docs); 64-bit is the production setting —
+    * 16-bit bands give 2^16 bucket values per band, so bucket
+    * occupancy stays O(n/2^16) at corpus scale. The 64-bit hash is two
+    * exact 32-bit md5 chunks (hi = hex 1-8 → bits 32-63, lo = hex 9-16
+    * → bits 0-31); all arithmetic is exact 64-bit so a SQL oracle can
+    * mirror it (bit 63 makes the BIGINT negative — two's complement on
+    * both engines). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
+    require(bits == 16 || bits == 64, s"simhash supports 16 or 64 bits, got $bits")
+    val outCol = s"simhash$bits"
     val toks = docs
       .withColumn("__tokens", TextAnalysis.tokens(textCol))
       .withColumn("__tok", explode(col("__tokens")))
-      .withColumn("__h", expr("cast(conv(substr(md5(__tok), 1, 4), 16, 10) as int)"))
-    val bitSums = (0 until 16).map(b =>
-      sum(when(expr(s"(shiftright(__h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b"))
-    val combined = (0 until 16).map(b =>
-      when(col(s"s$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
-    toks.groupBy(col(idCol))
+    val hashed =
+      if (bits == 16)
+        toks.withColumn("__h0", expr("cast(conv(substr(md5(__tok), 1, 4), 16, 10) as int)"))
+      else toks
+        .withColumn("__hhi", expr("cast(conv(substr(md5(__tok), 1, 8), 16, 10) as bigint)"))
+        .withColumn("__hlo", expr("cast(conv(substr(md5(__tok), 9, 8), 16, 10) as bigint)"))
+    def bitSet(b: Int): Column =
+      if (bits == 16) expr(s"(shiftright(__h0, $b) & 1) = 1")
+      else if (b < 32) expr(s"(shiftright(__hlo, $b) & 1) = 1")
+      else expr(s"(shiftright(__hhi, ${b - 32}) & 1) = 1")
+    val bitSums = (0 until bits).map(b =>
+      sum(when(bitSet(b), 1).otherwise(-1)).as(s"s$b"))
+    // disjoint bits: OR-assembly never overflows (1L << 63 is a Scala
+    // compile-time literal = Long.MinValue, not a runtime ANSI shift)
+    val combined = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    hashed.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), combined.as("simhash16"))
+      .select(col(idCol), combined.as(outCol))
   }
+
+  /** Back-compat alias for the 16-bit test-corpus fingerprint. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(docs, idCol, textCol, bits = 16)
 
   /** Truncate plan lineage between iterative rounds: reliable
     * checkpoint when a checkpoint dir is configured (the cluster
@@ -219,34 +253,40 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs: 16-bit fingerprints banded into
-    * 4 nibbles; ids sharing any nibble band are candidates, then an
-    * exact hamming filter. Pigeonhole-complete for maxHamming ≤ 3: a
-    * pair with ≤3 differing bits can touch at most 3 of the 4 nibbles,
-    * so at least one nibble matches exactly. Equi-join on
-    * (band_id, band_val) — same scale shape as MinHash LSH, no cross
-    * join, no all-pairs hamming.
+  /** SimHash near-dup candidate pairs: fingerprints banded into 4
+    * equal bands (nibbles at 16 bit, 16-bit bands at 64 bit); ids
+    * sharing any band are candidates, then an exact hamming filter.
+    * Pigeonhole-complete for maxHamming ≤ 3: a pair with ≤3 differing
+    * bits can touch at most 3 of the 4 bands, so at least one band
+    * matches exactly. Equi-join on (band_id, band_val) — same scale
+    * shape as MinHash LSH, no cross join, no all-pairs hamming.
     *
-    * Scale note: 16-bit fingerprints (16-value nibble bands) are the
-    * test-corpus setting; a production corpus wants a 64-bit simhash
-    * with 4×16-bit bands — identical banding algebra and plan shape. */
+    * Use bits=64 at corpus scale: 16-bit bands have 2^16 values, so
+    * band buckets stay ~n/65536 and the within-bucket self-join stays
+    * near-linear; the 16-bit setting (16-value nibble bands) saturates
+    * past ~10⁴ docs. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, s"4-nibble banding is only complete for hamming <= 3, got $maxHamming")
+                      maxHamming: Int = 3, bits: Int = 16): DataFrame = {
+    require(maxHamming <= 3, s"4-band banding is only complete for hamming <= 3, got $maxHamming")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1L
+    val shCol = s"simhash$bits"
     // persisted because both self-join legs read it; lives until the
     // caller unpersists/clearCache (same contract as lshCandidatePairs —
     // the returned plan still references the cache, so this operator
     // cannot unpersist it itself)
-    val sig = simhash16(docs, idCol, textCol).persist()
-    val bands = sig.select(col(idCol), col("simhash16"),
+    val sig = simhash(docs, idCol, textCol, bits).persist()
+    val bands = sig.select(col(idCol), col(shCol),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
-            expr(s"shiftright(simhash16, ${4 * b}) & 15").as("band_val"))): _*)).as("band"))
-      .select(col(idCol), col("simhash16"), col("band.band_id"), col("band.band_val"))
+            // arithmetic >> then mask: the mask cuts the sign-fill bits,
+            // so band 3 of a negative 64-bit fingerprint is still exact
+            expr(s"shiftright($shCol, ${bandBits * b}) & $mask").as("band_val"))): _*)).as("band"))
+      .select(col(idCol), col(shCol), col("band.band_id"), col("band.band_val"))
     val a = bands.select(col("band_id"), col("band_val"), col(idCol).as("id_a"),
-      col("simhash16").as("sh_a"))
+      col(shCol).as("sh_a"))
     val b = bands.select(col("band_id"), col("band_val"), col(idCol).as("id_b"),
-      col("simhash16").as("sh_b"))
+      col(shCol).as("sh_b"))
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).cast("int").as("hamming"))

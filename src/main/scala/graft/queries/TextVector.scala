@@ -172,6 +172,13 @@ object TextVector {
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def simhash64(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text", bits = 64).orderBy("doc_id")
+
+  def simhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), "doc_id", "text", maxHamming = 3, bits = 64)
+      .orderBy("id_a", "id_b")
+
   // ---- similarity search ---------------------------------------------------
 
   def embedTopK(s: SparkSession, dir: String): DataFrame = {
@@ -226,6 +233,8 @@ object TextVector {
     "q_simhash" -> simhash,
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")),
+    "q_simhash64" -> simhash64,
+    "q_simhash64_pairs" -> simhash64Pairs,
     "q_embed_topk" -> embedTopK,
     "q_embed_neardup" -> ((s, d) => Dedup.embeddingNearDups(embs(s, d), "vec_id", "embedding", 0.2)
       .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
@@ -273,6 +282,33 @@ object TextVector {
     .map(b => s"sum(CASE WHEN (h>>$b)&1=1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
   private val simhashCombine = (0 until 16)
     .map(b => s"(CASE WHEN s$b>0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  /** Mirrors Dedup.simhash(bits=64): per-token 32-bit md5 chunks (hex
+    * 1-8 → bits 32-63, hex 9-16 → bits 0-31), ±1 bit votes, then the
+    * unsigned fingerprint assembled in HUGEINT (DuckDB overflow-checks
+    * BIGINT shifts, so 1<<63 must be a HUGEINT literal) and folded to
+    * signed two's-complement BIGINT to match Spark's LongType. */
+  private val simhash64Cte = {
+    val sums = (0 until 64).map { b =>
+      val src = if (b < 32) s"(lo>>$b)&1" else s"(hi>>${b - 32})&1"
+      s"sum(CASE WHEN $src=1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val uTerms = (0 until 64).map { b =>
+      s"(CASE WHEN s$b>0 THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"""toks64 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+       |toksm64 AS (
+       |  SELECT doc_id, CAST('0x'||substr(md5(t),1,8) AS BIGINT) AS hi,
+       |         CAST('0x'||substr(md5(t),9,8) AS BIGINT) AS lo
+       |  FROM toks64),
+       |bits64 AS (SELECT doc_id, $sums FROM toksm64 GROUP BY 1),
+       |u64 AS (SELECT doc_id, $uTerms AS u FROM bits64),
+       |sig64 AS (SELECT doc_id,
+       |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash64
+       |  FROM u64)""".stripMargin
+  }
 
   private val cosineCtes =
     """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -324,7 +360,7 @@ object TextVector {
         |FROM g""".stripMargin,
     "q_dedup_prefix" ->
       """SELECT md5(prefix) AS prefix_hash, canonical_id, max_id, n_docs FROM (
-        |  SELECT substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 40) AS prefix,
+        |  SELECT substr(regexp_replace(lower(substr(text, 1, 200)), '\s+', ' ', 'g'), 1, 40) AS prefix,
         |    min(doc_id) AS canonical_id, max(doc_id) AS max_id, count(*) AS n_docs
         |  FROM documents GROUP BY 1 HAVING count(*) > 1)
         |ORDER BY prefix_hash""".stripMargin,
@@ -376,6 +412,19 @@ object TextVector {
          |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
          |ORDER BY id_a, id_b""".stripMargin),
+    "q_simhash64" ->
+      ("WITH " + simhash64Cte + "\nSELECT doc_id, simhash64 FROM sig64 ORDER BY doc_id"),
+    "q_simhash64_pairs" ->
+      ("WITH " + simhash64Cte + """,
+        |bands64 AS (
+        |  SELECT doc_id, simhash64, b AS band_id, (simhash64 >> (16*b)) & 65535 AS band_val
+        |  FROM sig64, generate_series(0, 3) AS t(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+        |FROM bands64 a JOIN bands64 b
+        |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
     "q_embed_topk" ->
       ("WITH " + cosineCtes + """,
         |r AS (SELECT query_id, neighbor_id, cosine,

@@ -32,6 +32,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(banded == brute, "pigeonhole banding must be complete for hamming <= 3")
   }
 
+  test("simhashNearDups 64-bit (16-bit bands) ≡ brute-force hamming filter") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sig = Dedup.simhash(docs, "doc_id", "text", bits = 64)
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash64").as("sa"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash64").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Dedup.hamming(col("sa"), col("sb")) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute, "16-bit-band pigeonhole must be complete for hamming <= 3 at 64 bit")
+    // 64-bit candidate volume must be a small fraction of 16-bit's
+    // (the whole point of widening: buckets of ~n/2^16, not ~n/16)
+    val banded16 = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.size <= banded16.size,
+      s"64-bit pairs (${banded.size}) should not exceed 16-bit pairs (${banded16.size})")
+  }
+
+  test("simhash 64-bit: identical docs identical, hi/lo chunk assembly exact") {
+    val docs = Seq((1L, "spark window join"), (2L, "spark window join"), (3L, "cat dog mouse"))
+      .toDF("doc_id", "text")
+    val m = Dedup.simhash(docs, "doc_id", "text", bits = 64).as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    // single-token doc: fingerprint == the token's 64-bit md5-chunk hash
+    // (every bit vote has multiplicity 1, sign = the bit itself)
+    val one = Seq((1L, "hello")).toDF("doc_id", "text")
+    val fp = Dedup.simhash(one, "doc_id", "text", bits = 64).as[(Long, Long)].collect().head._2
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hi = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+    val lo = java.lang.Long.parseLong(md5hex.substring(8, 16), 16)
+    assert(fp == ((hi << 32) | lo))
+  }
+
   test("exact dedup groups duplicates under canonical min id") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(docs, "doc_id", "text")
