@@ -34,16 +34,36 @@ object Validation {
       invalid = annotated.filter(col("error_code").isNotNull))
   }
 
+  /** Column the event rules read the extracted JSON field from. */
+  val KRawCol = "__k_raw"
+
+  /** Project the JSON field the event rules need, ONCE. Every rule
+    * predicate then references this column, so however many rules (or
+    * aggregate conditions built from them) consume it, each row pays a
+    * single JSON parse — get_json_object is expensive enough that
+    * Catalyst keeps the projection rather than inlining it into its
+    * consumers (CollapseProject's cheap-expression check). */
+  def withEventFields(df: DataFrame): DataFrame =
+    df.withColumn(KRawCol, get_json_object(col("props"), "$.k"))
+
   /** Event-contract rules for the testdata `events` table — precedence
     * mirrors the reference's 5-level error-code ladder
-    * (PARSE > MISSING_FIELD > INVALID_TIMESTAMP > INVALID_TYPE > INVALID_PAYLOAD). */
+    * (PARSE > MISSING_FIELD > INVALID_TIMESTAMP > INVALID_TYPE > INVALID_PAYLOAD).
+    * Apply to `withEventFields(events)` — predicates read the
+    * pre-extracted k column, not `props`. */
   def eventRules(allowedTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error"),
                  maxK: Int = 80, maxValue: Double = 195.0): Seq[Rule] = Seq(
-    Rule("E_PARSE_ERROR", get_json_object(col("props"), "$.k").isNull),
+    Rule("E_PARSE_ERROR", col(KRawCol).isNull),
     Rule("E_INVALID_EVENT_TYPE", !col("event_type").isin(allowedTypes: _*)),
     // try_cast, NOT cast: under ANSI (Spark 4 default) a plain cast on a
     // non-numeric k would CRASH the job — the very rows a validation
     // operator exists to quarantine must never abort it
-    Rule("E_K_OUT_OF_RANGE", expr("try_cast(get_json_object(props, '$.k') as int)") > maxK),
+    Rule("E_K_OUT_OF_RANGE", expr(s"try_cast($KRawCol as int)") > maxK),
     Rule("E_VALUE_OUT_OF_RANGE", col("value") > maxValue))
+
+  /** annotate ∘ withEventFields, with the helper column dropped: the
+    * ready-made event-contract split input. */
+  def annotateEvents(events: DataFrame,
+                     rules: Seq[Rule] = eventRules()): DataFrame =
+    annotate(withEventFields(events), rules).drop(KRawCol)
 }

@@ -107,7 +107,10 @@ object Dashboards {
     * table is never scanned per-gate. */
   def healthGates(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(s, dir, "events")
+    // k extracted ONCE via withEventFields: the rule predicates feed
+    // several aggregate conditions below, and without the shared
+    // projection each would re-parse `props` per row
+    val e = graft.operators.Validation.withEventFields(Tables(s, dir, "events"))
     // single source of truth for "invalid": the validation ladder itself
     // (duplicating the thresholds here would let the gate battery and
     // q_validation_split silently disagree if the contract changes)

@@ -19,7 +19,7 @@ object Lakehouse {
   /** P6/P13: precedence-ordered error-code annotation + split, reported
     * as per-code row counts (quarantine telemetry). */
   def validationSplit(s: SparkSession, dir: String): DataFrame =
-    Validation.annotate(t(s, dir, "events"), Validation.eventRules())
+    Validation.annotateEvents(t(s, dir, "events"))
       .groupBy(coalesce(col("error_code"), lit("VALID")).as("error_code"))
       .agg(count(lit(1)).as("n"), rd(sum(col("value")), 2).as("value_sum"))
       .orderBy("error_code")

@@ -84,7 +84,7 @@ class EdgeCasesSpec extends AnyFunSuite {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("event_type", StringType), StructField("props", StringType),
         StructField("value", DoubleType))))
-    val s = Validation.split(empty, Validation.eventRules())
+    val s = Validation.split(Validation.withEventFields(empty), Validation.eventRules())
     assert(s.valid.count() == 0 && s.invalid.count() == 0)
   }
 }
