@@ -105,4 +105,16 @@ object Decisions {
   /** Deterministic action id = sha256 over pipe-joined identity fields
     * (reference action_id=sha256(video|ws|we|decision|rule|decided_at)). */
   def actionIdExpr(parts: Column*): Column = sha2(concat_ws("|", parts: _*), 256)
+
+  /** Producer initial state + full state domain
+    * (reference action-queue-contract.md:25,66; rt_action_queue_producer.py:59-61). */
+  val InitialState = "PENDING"
+  val StateDomain: Seq[String] = Seq("PENDING", "ACKED", "DONE", "EXPIRED", "HOLD")
+
+  /** Static reason-code set per decision type
+    * (reference rt_action_queue_producer.py:53-57). */
+  def reasonCodesExpr(decision: Column): Column =
+    when(decision === Boost, array(lit("HIGH_VELOCITY_P90"), lit("GATE_PASS")))
+      .when(decision === Review, array(lit("HIGH_VELOCITY_P90"), lit("LOW_COMPLETION"), lit("HIGH_SKIP")))
+      .when(decision === Rescue, array(lit("NEW_UPLOAD_LT_60M"), lit("UNDER_EXPOSED_P40"), lit("GATE_PASS")))
 }

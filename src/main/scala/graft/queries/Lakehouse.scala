@@ -67,6 +67,27 @@ object Lakehouse {
         Serving.decisionContextFromEvents(t(s, dir, "events")), "graft_rules_v1")
       .orderBy("user_id", "minute")
 
+  /** D5/D6: the full 18-column action-queue write-row contract
+    * (reference action-queue-contract.md:19-38). decided_at is the
+    * window close — deterministic, so the whole row (action_id
+    * included) hash-verifies against the oracle. reason_codes is
+    * emitted comma-joined for the compare gate; the operator itself
+    * carries the real ARRAY column. */
+  def actionQueueRowsFull(s: SparkSession, dir: String): DataFrame =
+    Serving.actionQueueRows(
+        Serving.decisionContextFromEvents(t(s, dir, "events")), "graft_rules_v1")
+      .select(
+        col("action_id"), col("video_id"), col("decision_type"), col("priority"),
+        col("state"), col("decided_at"), col("window_start"), col("window_end"),
+        col("expires_at"), col("rule_version"),
+        rd(col("velocity_30m"), 4).as("velocity_30m"),
+        rd(col("completion_rate_30m"), 4).as("completion_rate_30m"),
+        rd(col("skip_rate_30m"), 4).as("skip_rate_30m"),
+        col("impressions_30m"),
+        array_join(col("reason_codes"), ",").as("reason_codes"),
+        col("created_at"), col("updated_at"), col("state_updated_at"))
+      .orderBy("video_id", "window_start")
+
   /** J4/J5: MERGE-upsert semantics — split the stream at a date, upsert
     * the newer half's latest-per-key rows into the older snapshot. */
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
@@ -131,6 +152,7 @@ object Lakehouse {
     "q_decision_context" -> decisionContext,
     "q_decision_distribution" -> decisionDistribution,
     "q_action_queue" -> actionQueue,
+    "q_action_queue_rows" -> actionQueueRowsFull,
     "q_merge_upsert" -> mergeUpsert,
     "q_time_diff" -> timeDiff,
     "q_null_battery" -> nullBattery,
@@ -215,6 +237,40 @@ object Lakehouse {
         |                   decision_type_preview, 'graft_rules_v1')) AS action_id
         |FROM ctx_core WHERE decision_type_preview <> 'NO_ACTION'
         |ORDER BY user_id, minute""".stripMargin),
+    "q_action_queue_rows" ->
+      (decisionContextCoreSql + """,
+        |rows AS (
+        |  SELECT
+        |    CAST(user_id AS VARCHAR) AS video_id,
+        |    decision_type_preview AS decision_type,
+        |    minute AS window_start,
+        |    minute + INTERVAL '1' MINUTE AS window_end,
+        |    minute + INTERVAL '1' MINUTE AS decided_at,
+        |    velocity_30m, completion_rate_30m, skip_rate_30m,
+        |    views_30m AS impressions_30m
+        |  FROM ctx_core WHERE decision_type_preview <> 'NO_ACTION')
+        |SELECT
+        |  sha256(concat_ws('|', video_id,
+        |    strftime(window_start, '%Y-%m-%d %H:%M:%S'),
+        |    strftime(window_end, '%Y-%m-%d %H:%M:%S'),
+        |    decision_type, 'graft_rules_v1',
+        |    strftime(decided_at, '%Y-%m-%d %H:%M:%S'))) AS action_id,
+        |  video_id, decision_type,
+        |  CASE decision_type WHEN 'RESCUE' THEN 1 WHEN 'REVIEW' THEN 2 WHEN 'BOOST' THEN 3 END AS priority,
+        |  'PENDING' AS state,
+        |  decided_at, window_start, window_end,
+        |  decided_at + (CASE decision_type WHEN 'BOOST' THEN 15 ELSE 30 END) * INTERVAL '1' MINUTE AS expires_at,
+        |  'graft_rules_v1' AS rule_version,
+        |  floor((velocity_30m)*10000 + 0.5)/10000 AS velocity_30m,
+        |  floor((completion_rate_30m)*10000 + 0.5)/10000 AS completion_rate_30m,
+        |  floor((skip_rate_30m)*10000 + 0.5)/10000 AS skip_rate_30m,
+        |  impressions_30m,
+        |  CASE decision_type
+        |    WHEN 'BOOST' THEN 'HIGH_VELOCITY_P90,GATE_PASS'
+        |    WHEN 'REVIEW' THEN 'HIGH_VELOCITY_P90,LOW_COMPLETION,HIGH_SKIP'
+        |    WHEN 'RESCUE' THEN 'NEW_UPLOAD_LT_60M,UNDER_EXPOSED_P40,GATE_PASS' END AS reason_codes,
+        |  decided_at AS created_at, decided_at AS updated_at, decided_at AS state_updated_at
+        |FROM rows ORDER BY video_id, window_start""".stripMargin),
     "q_merge_upsert" ->
       """WITH e AS (
         |  SELECT user_id, event_type, value, date_trunc('second', ts) AS ts_sec,

@@ -85,32 +85,54 @@ object Serving {
           col("decision_type_preview"),
           lit(ruleVersion)).as("action_id"))
 
-  /** Full queue-row shape (reference action-queue-contract: 11 core
-    * fields incl. reason_codes ARRAY and TTL-derived expiry) — composes
-    * with QueueValidation.split for the typed D6 reject path. */
-  def actionQueueRows(context: DataFrame, ruleVersion: String, key: String = "user_id"): DataFrame =
+  /** Full 18-column queue write row (reference
+    * action-queue-contract.md:19-38, rt_action_queue_producer.py:103-124,
+    * 171-204) — composes with QueueValidation.split for the typed D6
+    * reject path.
+    *
+    * `decided_at` is the window close (`window_end`), NOT
+    * current_timestamp: the decision is a pure function of the closed
+    * window, so the row — action_id fingerprint included — is
+    * deterministic and replay-safe (a reprocessed batch emits an
+    * identical row, which the MERGE-upsert sink then collapses; a
+    * wall-clock stamp would fork action ids on every replay).
+    * created_at/updated_at/state_updated_at start at decided_at on the
+    * producer side (rt_action_queue_producer.py:199-201; downstream
+    * state transitions move them). */
+  def actionQueueRows(context: DataFrame, ruleVersion: String, key: String = "user_id"): DataFrame = {
+    val decision = col("decision_type_preview")
+    val windowStart = col("minute")
+    val windowEnd = col("minute") + expr("INTERVAL 1 MINUTE")
+    val decidedAt = windowEnd
     context
-      .filter(col("decision_type_preview") =!= Decisions.NoAction)
-      .withColumn("reason_codes", array_compact(array(
-        when(col("candidate_flag"), "VELOCITY_GE_P90"),
-        when(col("quality_gate_pass"), "QUALITY_GATE_PASS"),
-        when(col("under_exposed_flag"), "UNDER_EXPOSED"))))
-      .withColumn("decided_at", current_timestamp())
+      .filter(decision =!= Decisions.NoAction)
       .select(
+        // fingerprint field order mirrors the reference
+        // (rt_action_queue_producer.py:162-168): video|ws|we|decision|rule|decided_at
         Decisions.actionIdExpr(
-          col(key), date_format(col("minute"), "yyyy-MM-dd HH:mm:ss"),
-          col("decision_type_preview"), lit(ruleVersion)).as("action_id"),
+          col(key).cast("string"),
+          date_format(windowStart, "yyyy-MM-dd HH:mm:ss"),
+          date_format(windowEnd, "yyyy-MM-dd HH:mm:ss"),
+          decision, lit(ruleVersion),
+          date_format(decidedAt, "yyyy-MM-dd HH:mm:ss")).as("action_id"),
         col(key).cast("string").as("video_id"),
-        col("minute").as("window_start"),
-        (col("minute") + expr("INTERVAL 1 MINUTE")).as("window_end"),
-        col("decision_type_preview").as("decision_type"),
-        Decisions.priorityExpr(col("decision_type_preview")).as("priority"),
-        Decisions.ttlMinutesExpr(col("decision_type_preview")).as("ttl_minutes"),
+        decision.as("decision_type"),
+        Decisions.priorityExpr(decision).as("priority"),
+        lit(Decisions.InitialState).as("state"),
+        decidedAt.as("decided_at"),
+        windowStart.as("window_start"),
+        windowEnd.as("window_end"),
+        (decidedAt + Decisions.ttlMinutesExpr(decision) * expr("INTERVAL 1 MINUTE")).as("expires_at"),
         lit(ruleVersion).as("rule_version"),
-        col("reason_codes"),
-        col("decided_at"),
-        (col("decided_at") + Decisions.ttlMinutesExpr(col("decision_type_preview"))
-          * expr("INTERVAL 1 MINUTE")).as("expires_at"))
+        col("velocity_30m"),
+        col("completion_rate_30m"),
+        col("skip_rate_30m"),
+        col("views_30m").as("impressions_30m"),
+        Decisions.reasonCodesExpr(decision).as("reason_codes"),
+        decidedAt.as("created_at"),
+        decidedAt.as("updated_at"),
+        decidedAt.as("state_updated_at"))
+  }
 
   /** Register the serving surface as SQL views (reference S12). The
     * context view carries `rule_version` (reference traceability
