@@ -62,26 +62,39 @@ object TextAnalysis {
   def qualityBand(score: Column): Column =
     when(score >= 0.7, "high").when(score >= 0.5, "medium").otherwise("low")
 
-  /** Language-ID heuristic: marker-token profiles scored per language,
-    * argmax with deterministic tiebreak (highest score, then
-    * alphabetically-last language). Real deployments swap the profiles
-    * for char-n-gram models; the operator shape (pure expression, zero
-    * shuffle) is what scales. */
+  /** Language-ID: function-word occurrence profiles (the standard
+    * highest-frequency closed-class words per language — these carry
+    * the bulk of per-language token mass, the classic stopword-profile
+    * classifier) scored per language over the token array, plus a CJK
+    * codepoint probe on the raw text for Chinese (which whitespace
+    * tokenization can't profile). Argmax with deterministic tiebreak
+    * (highest occurrence count, then alphabetically-last language);
+    * rows matching no profile at all return 'und' (undetermined) rather
+    * than a fabricated guess. Pure Column expressions, zero shuffle —
+    * classification happens at scan throughput. Real deployments swap
+    * the profiles for char-n-gram models; the operator shape is what
+    * scales. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "und", "die", "batch", "stream"),
-    "en" -> Seq("the", "a", "and", "fast", "slow"),
-    "es" -> Seq("el", "la", "los", "data", "query"),
-    "fr" -> Seq("le", "la", "et", "table", "merge"),
-    "zh" -> Seq("spark", "vector", "window", "hash", "join"))
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "auch"),
+    "en" -> Seq("the", "and", "was", "that", "with", "have", "this", "from", "they", "which"),
+    "es" -> Seq("el", "que", "los", "las", "una", "por", "con", "para", "como", "pero"),
+    "fr" -> Seq("le", "les", "des", "une", "dans", "est", "pour", "qui", "pas", "vous"))
 
-  def langGuess(tokensCol: String): Column = {
+  /** Count of CJK-unified-ideograph characters in the raw text. */
+  def cjkCount(textCol: String): Column =
+    length(col(textCol)) - length(regexp_replace(col(textCol), "[\\x{4e00}-\\x{9fff}]+", ""))
+
+  def langGuess(tokensCol: String, textCol: String): Column = {
     val scored = LangProfiles.map { case (lang, markers) =>
       val set = markers.map(m => s"'$m'").mkString(", ")
       struct(
         expr(s"size(filter($tokensCol, t -> t IN ($set)))").as("score"),
         lit(lang).as("lang"))
     }
-    sort_array(array(scored: _*), asc = false).getItem(0).getField("lang")
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(cjkCount(textCol) > 0, "zh")
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
   }
 
   /** Document fingerprint: min-wise hash over token md5s (1-permutation

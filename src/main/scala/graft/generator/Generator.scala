@@ -176,4 +176,47 @@ object Generator {
   /** Realized-mix abs error ≤ tol per scenario (reference runner.py:321-357). */
   def mixWithinTolerance(out: RunOutput, tol: Double = 0.02): Boolean =
     Scenarios.forall(sc => math.abs(out.realizedMix.getOrElse(sc.name, 0.0) - sc.mix) <= tol)
+
+  // ---- language-marked document fixture -----------------------------------
+
+  /** Per-language vocabularies for the language-ID fixture: real
+    * function words (the profile signal TextAnalysis.langGuess keys on)
+    * mixed with language-specific nouns; zh is CJK text. Kept disjoint
+    * across languages at the profile-word level so fixture accuracy
+    * measures the classifier, not vocabulary luck. */
+  private val LangVocab: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "auch",
+      "daten", "tabelle", "zeile", "spalte", "abfrage"),
+    "en" -> Seq("the", "and", "was", "that", "with", "have", "this", "from", "they", "which",
+      "data", "table", "row", "column", "query"),
+    "es" -> Seq("el", "que", "los", "las", "una", "por", "con", "para", "como", "pero",
+      "datos", "tabla", "fila", "columna", "consulta"),
+    "fr" -> Seq("le", "les", "des", "une", "dans", "est", "pour", "qui", "pas", "vous",
+      "ligne", "colonne", "cette", "nous", "sont"),
+    "zh" -> Seq("数据", "查询", "分析", "处理", "表格", "实时", "批量", "流式", "聚合", "索引"))
+
+  /** Cross-language technical filler: ~30% of every document, so the
+    * classifier has to beat genuine shared-token noise. */
+  private val SharedFiller = Seq("spark", "hash", "join", "merge", "window", "vector",
+    "index", "cache", "parquet", "shuffle")
+
+  /** Deterministic language-marked corpus: (doc_id, lang, text). Same
+    * runId+seed ⇒ byte-identical, per-doc purpose-scoped draws (runs
+    * inside mapPartitions unchanged at scale). */
+  def languageCorpus(runId: String, docsPerLang: Int = 50, wordsPerDoc: Int = 40,
+                     seed: Long = 42L): Seq[(Long, String, String)] = {
+    val langs = LangVocab.keys.toSeq.sorted
+    langs.zipWithIndex.flatMap { case (lang, li) =>
+      val vocab = LangVocab(lang)
+      (0 until docsPerLang).map { d =>
+        val rng = purposeRng(seed, s"$runId|langdoc|$lang|$d")
+        val words = Seq.fill(wordsPerDoc) {
+          if (rng.nextDouble() < 0.3) SharedFiller(rng.nextInt(SharedFiller.length))
+          else vocab(rng.nextInt(vocab.length))
+        }
+        val sep = if (lang == "zh") "" else " "
+        ((li.toLong * docsPerLang + d, lang, words.mkString(sep)))
+      }
+    }
+  }
 }

@@ -105,12 +105,15 @@ object TextVector {
       .orderBy("doc_id")
   }
 
-  /** Language-ID heuristic — no SQL oracle (profile tables); driver does
-    * the rows-only check. Grouped so the result is small + stable. */
+  /** Language-ID — no SQL oracle (profile tables); driver does the
+    * rows-only check. Grouped so the result is small + stable. The
+    * synthetic corpus carries no real language signal (see
+    * GoldenRowsOnlySpec note) — LangIdSpec proves >0.9 accuracy on the
+    * generator's signal-bearing fixture instead. */
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens("text"))
-      .withColumn("lang_guess", TextAnalysis.langGuess("toks"))
+      .withColumn("lang_guess", TextAnalysis.langGuess("toks", "text"))
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
@@ -196,6 +199,21 @@ object TextVector {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with the FITTED spherical-k-means quantizer + multi-probe
+    * (nprobe=3) — the production ANN path. No SQL oracle (the Lloyd
+    * iteration isn't SQL-expressible); rows-only for the driver,
+    * golden-pinned by GoldenRowsOnlySpec (counts + recall bound vs the
+    * exact brute-force baseline). */
+  def embedIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = Similarity.kMeansFit(e, "vec_id", "embedding", stride = 100, iters = 2)
+    Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3,
+        centroids, nprobe = 3)
+      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
+        rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   def multimodalAssets(s: SparkSession, dir: String): DataFrame =
@@ -240,6 +258,7 @@ object TextVector {
       .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
+    "q_embed_ivf_kmeans" -> embedIvfKmeans,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
@@ -543,7 +562,8 @@ object TextVector {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens
         |FROM r WHERE cum_before < share * 50000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q_lang_id, q_multimodal_features: rows-only (profile-table / stub-decode
-    // logic intentionally not mirrored in SQL).
+    // q_lang_id, q_multimodal_features, q_embed_ivf_kmeans: rows-only
+    // (profile-table / stub-decode / Lloyd-iteration logic intentionally
+    // not mirrored in SQL); each pinned by GoldenRowsOnlySpec.
   )
 }

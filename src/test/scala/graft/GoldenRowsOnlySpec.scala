@@ -9,10 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * though the hash gate can't see it.
   *
   * Note on q_lang_id: the synthetic documents carry NO language signal
-  * (token distribution is identical across declared langs — verified:
-  * none of the de/es/fr marker words occur anywhere in the corpus), so
-  * classification "accuracy" is meaningless by construction; the pin
-  * asserts the deterministic argmax output, not linguistic quality. */
+  * (the text is English-flavored technical filler under every declared
+  * lang label — none of the de/es/fr function words or CJK chars occur),
+  * so the classifier correctly reads every row as en or und regardless
+  * of label; the pin asserts that deterministic output. Classifier
+  * QUALITY is proven separately: LangIdSpec measures >0.9 per-language
+  * accuracy on the generator's signal-bearing fixture. */
 class GoldenRowsOnlySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -22,11 +24,11 @@ class GoldenRowsOnlySpec extends AnyFunSuite {
     val got = SparkEntry.queries("q_lang_id")(spark, dir)
       .as[(String, String, Long)].collect().toSet
     val expected = Set(
-      ("de", "de", 2L), ("de", "en", 7L), ("de", "es", 2L), ("de", "fr", 2L), ("de", "zh", 57L),
-      ("en", "de", 5L), ("en", "en", 38L), ("en", "es", 4L), ("en", "fr", 8L), ("en", "zh", 163L),
-      ("es", "de", 2L), ("es", "en", 26L), ("es", "fr", 3L), ("es", "zh", 42L),
-      ("fr", "de", 1L), ("fr", "en", 13L), ("fr", "es", 5L), ("fr", "fr", 1L), ("fr", "zh", 44L),
-      ("zh", "de", 3L), ("zh", "en", 18L), ("zh", "es", 3L), ("zh", "fr", 2L), ("zh", "zh", 49L))
+      ("de", "en", 51L), ("de", "und", 19L),
+      ("en", "en", 160L), ("en", "und", 58L),
+      ("es", "en", 57L), ("es", "und", 16L),
+      ("fr", "en", 51L), ("fr", "und", 13L),
+      ("zh", "en", 63L), ("zh", "und", 12L))
     assert(got == expected)
   }
 
@@ -43,6 +45,23 @@ class GoldenRowsOnlySpec extends AnyFunSuite {
     // decode-stub feature domains hold for every asset
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 255.0))
     assert(rows.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("q_embed_ivf_kmeans golden at sf0.01: shape + recall vs exact brute-force") {
+    val got = SparkEntry.queries("q_embed_ivf_kmeans")(spark, dir)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
+    // 8 queries × top-3, ranks exactly 1..3 per query
+    assert(got.length == 24)
+    assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted == Seq(1, 2, 3) })
+    val approx = got.map { case (q, _, n) => (q, n) }.toSet
+    val exact = graft.queries.TextVector.embedTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = approx.count(exact.contains).toDouble / exact.size
+    // fitted quantizer + nprobe=3 must beat the stride quantizer's
+    // single-probe recall floor by a wide margin (KMeansIvfSpec measured
+    // 0.375 → 0.83; pin a conservative bound so legit float jitter in
+    // the distributed Lloyd averages can't flake the build)
+    assert(recall >= 0.7, s"recall@3 vs brute-force = $recall")
   }
 
   test("q_approx_stats within documented tolerance of exact (2% distinct, 1% p90)") {
