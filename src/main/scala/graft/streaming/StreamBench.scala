@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.time.Instant
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.generator.Generator
+
+/** Streaming-throughput micro-bench: the generator's SLO-shaped event
+  * stream (120 ev/s clock slots, 2% late events, invalid bursts —
+  * Generator.RunConfig defaults mirroring BASELINE.md's generator run)
+  * driven through the FULL 3-sink fan-out (parse → validate → bronze
+  * append + quarantine append + windowed gold MERGE), measuring
+  * events/s and per-micro-batch latency. The reference publishes
+  * streaming SLOs (P95 end-to-end < 3 min at 120 ev/s) rather than
+  * batch sec/query; this makes the analog measurable on this engine.
+  */
+final case class StreamBenchResult(
+    nEvents: Long,
+    elapsedSec: Double,
+    eventsPerSec: Double,
+    nBatches: Int,
+    maxBatchSec: Double,
+    bronzeRows: Long,
+    quarantineRows: Long,
+    goldRows: Long,
+    dropRatio: Double,
+    lateRatioConfigured: Double)
+
+object StreamBench {
+
+  /** Run the fan-out over `totalEvents` generated events fed in
+    * `chunks` MemoryStream additions. `processPerChunk` forces a
+    * micro-batch boundary per chunk (watermark advances between
+    * chunks — the realistic arrival pattern, and the mode that
+    * exercises late-event drops); false floods everything and measures
+    * peak throughput. */
+  def run(spark: SparkSession, totalEvents: Int = 24000, chunks: Int = 8,
+          processPerChunk: Boolean = false): StreamBenchResult = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val cfg = Generator.RunConfig("streambench", seed = 7L, totalEvents = totalEvents,
+      startAt = Instant.parse("2024-01-01T00:00:00Z"))
+    val out = Generator.run(cfg)
+    val jsons = out.events.map(_.json)
+
+    val events = MemoryStream[String]
+    val raw = events.toDF()
+      .select(col("value").as("raw_value"))
+      .withColumn("source_topic", lit("bench_topic"))
+      .withColumn("source_partition", lit(0))
+      .withColumn("source_offset", xxhash64(col("raw_value")))
+    val dir = Files.createTempDirectory("graft_streambench").toString
+    val jobCfg = StreamingJobConfig(
+      checkpointRoot = s"$dir/ckpt", bronzePath = s"$dir/bronze",
+      quarantinePath = s"$dir/quarantine", goldPath = s"$dir/gold",
+      bronzeTrigger = Trigger.ProcessingTime(0),
+      goldTrigger = Trigger.ProcessingTime(0))
+
+    val listener = new DropRatioListener
+    spark.streams.addListener(listener)
+    val job = StreamingJob.start(spark, raw, jobCfg)
+    val chunkSize = math.max(1, totalEvents / chunks)
+    val t0 = System.nanoTime()
+    jsons.grouped(chunkSize).foreach { chunk =>
+      events.addData(chunk)
+      if (processPerChunk) job.processAllAvailable()
+    }
+    job.processAllAvailable()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val batchDurations = job.all.flatMap(_.recentProgress.toSeq)
+      .filter(_.numInputRows > 0)
+      .map(_.durationMs.get("triggerExecution").toDouble / 1e3)
+    job.stopAll()
+    spark.streams.removeListener(listener)
+
+    val bronzeRows = spark.read.parquet(s"$dir/bronze").count()
+    val quarantineRows = spark.read.parquet(s"$dir/quarantine").count()
+    val goldRows = spark.read.parquet(s"$dir/gold").count()
+    StreamBenchResult(
+      nEvents = totalEvents.toLong,
+      elapsedSec = elapsed,
+      eventsPerSec = totalEvents / elapsed,
+      nBatches = batchDurations.size,
+      maxBatchSec = if (batchDurations.nonEmpty) batchDurations.max else 0.0,
+      bronzeRows = bronzeRows,
+      quarantineRows = quarantineRows,
+      goldRows = goldRows,
+      dropRatio = listener.dropRatio,
+      lateRatioConfigured = cfg.lateEventRatio)
+  }
+}
