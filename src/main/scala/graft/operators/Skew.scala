@@ -20,7 +20,15 @@ object Skew {
     *
     * `aggs` maps output column name → (partialExpr, mergeExpr): e.g.
     * "n" -> (count(lit(1)), sum). Correct for any algebraic aggregate.
-    */
+    *
+    * Salt derivation note: the salt is nondeterministic under task
+    * retries (partition id + position), which is CORRECT here — any
+    * salt value yields the same final aggregate for an algebraic agg,
+    * and a row re-attempted with a different salt only moves its
+    * partial contribution between buckets. Rows whose recomputation
+    * must be bit-stable (e.g. a salted WRITE partitioned by salt)
+    * should derive the salt from row content instead:
+    * pmod(xxhash64(<row id col>), buckets). */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                 aggs: Map[String, (Column, Column => Column)]): DataFrame = {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
