@@ -101,4 +101,15 @@ object TextAnalysis {
     * MinHash) — a stable content id robust to token order. */
   def fingerprint(tokensCol: String): Column =
     expr(s"array_min(transform($tokensCol, t -> md5(t)))")
+
+  /** Text cleaning/normalization (the standard pre-tokenization scrub
+    * of a web-crawl pipeline): drop HTML-ish tags, strip ASCII control
+    * characters, collapse whitespace runs, trim. Pure regexp_replace
+    * chain — codegen'd, linear per row, SQL-mirrorable. */
+  def cleanText(textCol: String): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), "<[^>]*>", " "),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
 }

@@ -295,6 +295,26 @@ object Dedup {
       .agg(first(col("hamming")).as("hamming"))
   }
 
+  /** Training-set decontamination: find (train, eval) doc pairs sharing
+    * word n-grams — the standard benchmark-leakage check run before
+    * training (eval-set shingles must not appear in the training
+    * corpus). Join key is the md5 of the shingle, NOT the shingle text:
+    * the shuffle carries 32-byte keys however long the n-grams are.
+    * Per-doc shingles are distinct (TextAnalysis.shingles dedups), so
+    * `n_shared` counts distinct collisions exactly. Eval side is
+    * typically tiny → broadcast; the train side never self-joins. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 5): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol).as(as), explode(TextAnalysis.shingles("__tokens", shingleN)).as("__g"))
+      .select(col(as), md5(col("__g")).as("__gh"))
+    shingled(train, "train_id")
+      .join(broadcast(shingled(evalSet, "eval_id")), "__gh")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold,
     * bucketed by a coarse SimHash-of-sign-bits key so candidate
     * generation is an equi-join, not a cross join (scale path). Exact

@@ -227,6 +227,28 @@ object Relational {
       .orderBy("set_op", "user_id")
   }
 
+  /** As-of join (J8 analog, beyond the reference's equi-joins): every
+    * non-purchase event matched to the same user's latest purchase at
+    * or before it. Union-tag + single window pass (operators/AsofJoin)
+    * vs DuckDB's native `ASOF LEFT JOIN` as the oracle — a true
+    * cross-engine semantics check of an operator Spark lacks natively. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+    // right side unique per (user, second): latest event_id wins the tie
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_sec").as("purchase_ts"))
+      .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+    val left = e.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    graft.operators.AsofJoin.asofJoin(left, purchases, "user_id", "ts_sec", "purchase_ts",
+        Seq("purchase_ts", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("purchase_ts"),
+        rd(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_conditional_agg" -> conditionalAgg,
     "q_rolling_30m" -> rolling30m,
@@ -234,6 +256,7 @@ object Relational {
     "q_revenue_by_nation" -> revenueByNation,
     "q_anchor_window" -> anchorWindow,
     "q_anti_join" -> antiJoin,
+    "q_asof_join" -> asofJoin,
     "q_semi_join" -> semiJoin,
     "q_scalar_subqueries" -> scalarSubqueries,
     "q_latest_per_key" -> latestPerKey,
@@ -246,6 +269,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, date_trunc('second', ts) AS ts_sec
+        |  FROM events),
+        |p0 AS (
+        |  SELECT user_id, ts_sec AS purchase_ts, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts_sec ORDER BY event_id DESC) AS rn
+        |  FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, purchase_ts, purchase_value FROM p0 WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type <> 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts_sec, p.purchase_ts,
+        |  floor((p.purchase_value)*100 + 0.5)/100 AS purchase_value
+        |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts_sec >= p.purchase_ts
+        |ORDER BY l.event_id""".stripMargin,
     "q_conditional_agg" ->
       """SELECT date_trunc('minute', ts) AS minute,
         | count(*) FILTER (WHERE event_type = 'click') AS clicks,

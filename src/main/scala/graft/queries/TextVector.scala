@@ -118,6 +118,26 @@ object TextVector {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
 
+  /** Benchmark decontamination: training docs (doc_id >= 25) sharing
+    * any 5-gram with the held-out eval slice (doc_id < 25). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminate(d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25),
+        "doc_id", "text", shingleN = 5)
+      .orderBy("train_id", "eval_id")
+  }
+
+  def textClean(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("clean", TextAnalysis.cleanText("text"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("clean") =!= col("text"), 1)).as("n_changed"),
+        sum((length(col("text")) - length(col("clean"))).cast("long")).as("chars_removed"),
+        rd(avg(length(col("clean"))), 4).as("avg_clean_chars"))
+      .orderBy("lang")
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens("text"))
@@ -248,6 +268,8 @@ object TextVector {
     "q_lsh_pairs" -> lshPairs,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_dedup_clusters" -> dedupClusters,
+    "q_decontaminate" -> decontaminate,
+    "q_text_clean" -> textClean,
     "q_simhash" -> simhash,
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")),
@@ -431,6 +453,29 @@ object TextVector {
          |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
          |ORDER BY id_a, id_b""".stripMargin),
+    "q_decontaminate" ->
+      """WITH toksd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |sh5 AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 5
+        |    THEN list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |                        FOR i IN generate_series(1, len(w)-4)])
+        |    ELSE [] END AS sh
+        |  FROM toksd),
+        |t AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh5 WHERE doc_id >= 25),
+        |e AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh5 WHERE doc_id < 25)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM t JOIN e USING (g) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_clean" ->
+      """WITH c AS (
+        |  SELECT lang, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '<[^>]*>', ' ', 'g'), '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE clean <> text) AS n_changed,
+        |  CAST(sum(length(text) - length(clean)) AS BIGINT) AS chars_removed,
+        |  floor((avg(length(clean)))*10000 + 0.5)/10000 AS avg_clean_chars
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_simhash64" ->
       ("WITH " + simhash64Cte + "\nSELECT doc_id, simhash64 FROM sig64 ORDER BY doc_id"),
     "q_simhash64_pairs" ->

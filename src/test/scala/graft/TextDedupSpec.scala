@@ -153,6 +153,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(heap == win)
   }
 
+  test("decontaminate: flags exactly the train docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "zzz alpha beta gamma delta epsilon yyy"), // contains the eval 5-gram (3 positions)
+      (11L, "totally unrelated words only here now"),
+      (12L, "alpha beta gamma delta epsilon")          // exact copy
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, evalSet, "doc_id", "text", shingleN = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 1L), (12L, 1L, 1L)))
+  }
+
+  test("cleanText: tags stripped, control chars removed, whitespace collapsed, trimmed") {
+    val df = Seq((1L, "  a  <b>x</b>\ty z  ")).toDF("id", "text")
+    val got = df.select(TextAnalysis.cleanText("text")).as[String].head()
+    assert(got == "a x y z")
+  }
+
   test("quality band thresholds") {
     val df = Seq(0.71, 0.69, 0.5, 0.49).toDF("s")
     val got = df.select(TextAnalysis.qualityBand(col("s"))).as[String].collect().toSeq
