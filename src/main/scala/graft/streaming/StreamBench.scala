@@ -1,9 +1,8 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.time.Instant
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.generator.Generator
@@ -16,7 +15,17 @@ import graft.generator.Generator
   * events/s and per-micro-batch latency. The reference publishes
   * streaming SLOs (P95 end-to-end < 3 min at 120 ev/s) rather than
   * batch sec/query; this makes the analog measurable on this engine.
-  */
+  *
+  * Source is a JSONL file directory with `maxFilesPerTrigger=1` (one
+  * generated chunk per micro-batch), NOT MemoryStream: a fan-out's
+  * three queries each need their own source offsets, and a shared
+  * MemoryStream instance tracks a single commit cursor — the faster
+  * sink commits chunk N before the slower sink commits chunk 0 and the
+  * source throws "offsets committed out of order". File sources give
+  * every query an independent source from the same directory (the
+  * production S1 shape), and the per-file batching advances the
+  * watermark chunk by chunk so late-event drops behave as they would
+  * live. */
 final case class StreamBenchResult(
     nEvents: Long,
     elapsedSec: Double,
@@ -31,29 +40,29 @@ final case class StreamBenchResult(
 
 object StreamBench {
 
-  /** Run the fan-out over `totalEvents` generated events fed in
-    * `chunks` MemoryStream additions. `processPerChunk` forces a
-    * micro-batch boundary per chunk (watermark advances between
-    * chunks — the realistic arrival pattern, and the mode that
-    * exercises late-event drops); false floods everything and measures
-    * peak throughput. */
-  def run(spark: SparkSession, totalEvents: Int = 24000, chunks: Int = 8,
-          processPerChunk: Boolean = false): StreamBenchResult = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
-
+  /** Run the fan-out over `totalEvents` generated events split into
+    * `chunks` JSONL files (one micro-batch each per sink). */
+  def run(spark: SparkSession, totalEvents: Int = 24000, chunks: Int = 8): StreamBenchResult = {
     val cfg = Generator.RunConfig("streambench", seed = 7L, totalEvents = totalEvents,
       startAt = Instant.parse("2024-01-01T00:00:00Z"))
     val out = Generator.run(cfg)
     val jsons = out.events.map(_.json)
 
-    val events = MemoryStream[String]
-    val raw = events.toDF()
+    val dir = Files.createTempDirectory("graft_streambench").toString
+    val inDir = Paths.get(dir, "in")
+    Files.createDirectories(inDir)
+    val chunkSize = math.max(1, totalEvents / chunks)
+    jsons.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(inDir.resolve(f"chunk-$i%04d.jsonl"), chunk.mkString("\n").getBytes("UTF-8"))
+    }
+
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(inDir.toString)
       .select(col("value").as("raw_value"))
       .withColumn("source_topic", lit("bench_topic"))
       .withColumn("source_partition", lit(0))
       .withColumn("source_offset", xxhash64(col("raw_value")))
-    val dir = Files.createTempDirectory("graft_streambench").toString
     val jobCfg = StreamingJobConfig(
       checkpointRoot = s"$dir/ckpt", bronzePath = s"$dir/bronze",
       quarantinePath = s"$dir/quarantine", goldPath = s"$dir/gold",
@@ -63,12 +72,7 @@ object StreamBench {
     val listener = new DropRatioListener
     spark.streams.addListener(listener)
     val job = StreamingJob.start(spark, raw, jobCfg)
-    val chunkSize = math.max(1, totalEvents / chunks)
     val t0 = System.nanoTime()
-    jsons.grouped(chunkSize).foreach { chunk =>
-      events.addData(chunk)
-      if (processPerChunk) job.processAllAvailable()
-    }
     job.processAllAvailable()
     val elapsed = (System.nanoTime() - t0) / 1e9
     val batchDurations = job.all.flatMap(_.recentProgress.toSeq)

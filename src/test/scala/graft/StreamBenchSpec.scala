@@ -7,10 +7,10 @@ class StreamBenchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("fan-out throughput bench: 3 sinks complete, drop ratio bounded by the late ratio") {
-    // per-chunk processing forces watermark advancement between
-    // micro-batches — the arrival pattern under which late events can
+    // one file per micro-batch forces watermark advancement between
+    // batches — the arrival pattern under which late events can
     // actually be dropped
-    val r = StreamBench.run(spark, totalEvents = 6000, chunks = 6, processPerChunk = true)
+    val r = StreamBench.run(spark, totalEvents = 6000, chunks = 6)
     assert(r.bronzeRows + r.quarantineRows == r.nEvents,
       s"every event lands in bronze or quarantine: ${r.bronzeRows}+${r.quarantineRows} != ${r.nEvents}")
     assert(r.quarantineRows > 0, "invalid_burst scenario rows must be quarantined")
