@@ -86,4 +86,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_asof_join: union-tag shape — zero join nodes, one window pass") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), "asof regressed to a join formulation")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_simhash64_pairs: banded equi-join, no cartesian") {
+    val p = plan("q_simhash64_pairs")
+    assert(!p.contains("CartesianProduct"), "64-bit simhash pairing must stay an equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_decontaminate: eval side broadcast, no cartesian") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingles must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_prefix: normalize work bounded — substring applied before the regex") {
+    val p = plan("q_dedup_prefix")
+    // the bounded head-slice must sit INSIDE regexp_replace's argument:
+    // regex cost is then O(prefixLen*5) per row, not O(doc length)
+    assert(p.contains("regexp_replace(lower(substring("),
+      "prefix normalization regressed to a full-text regex pass")
+  }
 }
