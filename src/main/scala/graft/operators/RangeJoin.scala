@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned (bucketed) range join — the scale path for temporal
+  * proximity/interval predicates that Spark would otherwise plan as a
+  * broadcast nested-loop join (quadratic work, un-shardable).
+  *
+  * Shape: quantize time into fixed-width bins; a ±radius proximity
+  * predicate can only match within the same or an adjacent bin when
+  * binWidth >= radius, so the right side explodes to {b-1, b, b+1} and
+  * the join becomes an EQUI-join on (key, bin) with an exact residual
+  * filter. Work is O(|L| + 3|R| + matches) and shuffles on a compound
+  * key — the same banding algebra as the LSH/SimHash candidate joins,
+  * applied to time instead of hash space.
+  */
+object RangeJoin {
+
+  /** Pairs (left row, right row) with the same `key` whose timestamps
+    * differ by at most `radiusSec`. Timestamp columns must be
+    * epoch-second LongType (cast upstream). */
+  def proximityJoin(left: DataFrame, right: DataFrame, key: String,
+                    leftSec: String, rightSec: String, radiusSec: Long): DataFrame = {
+    require(radiusSec > 0, s"radius must be positive, got $radiusSec")
+    val binW = radiusSec // binWidth = radius ⇒ adjacency coverage is exact
+    val l = left.withColumn("__bin", floor(col(leftSec) / binW))
+    val r = right
+      .withColumn("__bin0", floor(col(rightSec) / binW))
+      .withColumn("__bin", explode(array(col("__bin0") - 1, col("__bin0"), col("__bin0") + 1)))
+      .drop("__bin0")
+    l.join(r, Seq(key, "__bin"))
+      .filter(abs(col(leftSec) - col(rightSec)) <= radiusSec)
+      .drop("__bin")
+  }
+
+  /** Nested-loop formulation (exact semantics twin for tests; the
+    * quadratic shape that does NOT scale). */
+  def proximityJoinNested(left: DataFrame, right: DataFrame, key: String,
+                          leftSec: String, rightSec: String, radiusSec: Long): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        abs(left(leftSec) - right(rightSec)) <= radiusSec)
+      .drop(right(key))
+}

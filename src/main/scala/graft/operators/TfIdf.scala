@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** TF-IDF term scoring over a document corpus — the classic retrieval /
+  * keyword-extraction weighting as two aggregation passes:
+  *
+  *   1. document frequencies: explode DISTINCT tokens per doc →
+  *      groupBy(term) count (one shuffle on term);
+  *   2. term frequencies: explode tokens → groupBy(doc, term) count
+  *      (one shuffle on (doc, term)), joined back to the (small) DF
+  *      table — broadcast when the vocabulary fits, shuffle otherwise.
+  *
+  * Weighting note: `idf` here is the log-free ratio N/df. Division is
+  * IEEE-754-exact for identical operands on every engine, so the DuckDB
+  * oracle hash-matches bit-for-bit; the classic `ln(N/df)` weighting is
+  * a monotone transform of it (identical rankings) but `log` is not
+  * correctly-rounded-guaranteed across libm implementations and would
+  * make a cross-engine hash gate flaky. Swap in `log(...)` for
+  * production ranking if the absolute scale matters. */
+object TfIdf {
+
+  /** Per-(doc, term) TF-IDF rows: doc id, term, tf (count/doc_len),
+    * df (docs containing term), score = tf * (N/df). The corpus size N
+    * stays IN the plan (1-row aggregate, broadcast cross join) — no
+    * driver-side action. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            broadcastVocab: Boolean = true): DataFrame = {
+    val toks = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol), col("__tokens"))
+      .persist() // both aggregation passes read the tokenized corpus
+
+    val n = toks.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val df = toks
+      .select(explode(array_distinct(col("__tokens"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val tf = toks
+      .select(col(idCol), size(col("__tokens")).as("__len"), explode(col("__tokens")).as("term"))
+      .groupBy(col(idCol), col("term"), col("__len"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(idCol), col("term"),
+        (col("__n").cast("double") / col("__len")).as("tf"))
+    val dfSide = if (broadcastVocab) broadcast(df) else df
+    tf.join(dfSide, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * (col("__n_docs") / col("df"))).as("score"))
+  }
+
+  /** Top-k scoring terms per document (rank ties broken by term). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+}

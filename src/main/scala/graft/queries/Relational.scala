@@ -249,6 +249,48 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Binned range join: every non-error event within ±60 s of an error
+    * by the same user, aggregated per user. The banded equi-join shape
+    * (operators/RangeJoin) vs DuckDB's plain inequality join oracle. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"),
+      date_trunc("second", col("ts")).cast("long").as("sec"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("sec").as("err_sec"), col("event_id").as("err_id"))
+    val others = e.filter(col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    graft.operators.RangeJoin.proximityJoin(others, errors, "user_id", "sec", "err_sec", 60L)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("event_id")).as("n_near_events"),
+        countDistinct(col("err_id")).as("n_errors"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** Mergeable HLL sketch columns (Spark 4 datasketches): per-type
+    * distinct-user estimates plus a sketch-UNION total — the partial/
+    * merge algebra that makes distinct counting embarrassingly parallel
+    * at 100 TB (sketches combine associatively across partitions and
+    * time grains; exact countDistinct carried alongside for the
+    * tolerance check). Rows-only (DuckDB has no HLL surface);
+    * SketchSpec asserts the ≤2% error and union consistency. */
+  def hllSketch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val totalRow = perType.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(e.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("__ALL__").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
+    perType
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("approx_users"),
+        col("exact_users"))
+      .unionByName(totalRow)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_conditional_agg" -> conditionalAgg,
     "q_rolling_30m" -> rolling30m,
@@ -257,6 +299,8 @@ object Relational {
     "q_anchor_window" -> anchorWindow,
     "q_anti_join" -> antiJoin,
     "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin,
+    "q_hll_sketch" -> hllSketch,
     "q_semi_join" -> semiJoin,
     "q_scalar_subqueries" -> scalarSubqueries,
     "q_latest_per_key" -> latestPerKey,
@@ -283,6 +327,21 @@ object Relational {
         |  floor((p.purchase_value)*100 + 0.5)/100 AS purchase_value
         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts_sec >= p.purchase_ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |err AS (SELECT user_id, sec AS err_sec, event_id AS err_id FROM e WHERE event_type = 'error'),
+        |o AS (SELECT event_id, user_id, sec FROM e WHERE event_type <> 'error'),
+        |p AS (
+        |  SELECT o.user_id, o.event_id, err.err_id
+        |  FROM o JOIN err ON o.user_id = err.user_id AND abs(o.sec - err.err_sec) <= 60)
+        |SELECT user_id, count(DISTINCT event_id) AS n_near_events,
+        |  count(DISTINCT err_id) AS n_errors, count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_hll_sketch: rows-only (no DuckDB HLL surface); SketchSpec pins
+    // the ≤2% tolerance and sketch-union consistency.
     "q_conditional_agg" ->
       """SELECT date_trunc('minute', ts) AS minute,
         | count(*) FILTER (WHERE event_type = 'click') AS clicks,

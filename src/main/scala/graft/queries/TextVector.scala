@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TfIdf}
 
 /** Training-data-pipeline operator surface: text analysis, dedup family
   * (exact / prefix / MinHash+LSH / n-gram Jaccard / SimHash), embedding
@@ -138,6 +138,16 @@ object TextVector {
         rd(avg(length(col("clean"))), 4).as("avg_clean_chars"))
       .orderBy("lang")
 
+  /** TF-IDF keyword extraction: top-3 scoring terms per doc (DF/IDF
+    * computed over the FULL corpus; output restricted to the first 20
+    * docs to keep the checked result small). */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("rank"), col("term"),
+        rd(col("tf"), 6).as("tf"), col("df"), rd(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens("text"))
@@ -270,6 +280,7 @@ object TextVector {
     "q_dedup_clusters" -> dedupClusters,
     "q_decontaminate" -> decontaminate,
     "q_text_clean" -> textClean,
+    "q_tfidf" -> tfidfTop,
     "q_simhash" -> simhash,
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")),
@@ -453,6 +464,26 @@ object TextVector {
          |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
          |ORDER BY id_a, id_b""".stripMargin),
+    "q_tfidf" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tk),
+        |dfx AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM tk) GROUP BY 1),
+        |tfx AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) / len AS tf
+        |  FROM (SELECT doc_id, len(w) AS len, unnest(w) AS term FROM tk)
+        |  GROUP BY doc_id, term, len),
+        |sc AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    t.tf * ((SELECT n_docs FROM nn) / d.df) AS score
+        |  FROM tfx t JOIN dfx d USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  floor((tf)*1000000 + 0.5)/1000000 AS tf, df,
+        |  floor((score)*1000000 + 0.5)/1000000 AS score
+        |FROM r WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank""".stripMargin,
     "q_decontaminate" ->
       """WITH toksd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |sh5 AS (
