@@ -66,4 +66,36 @@ object MergeOps {
     * append only rows whose key is absent from the target. */
   def insertIfAbsent(target: DataFrame, rows: DataFrame, keys: Seq[String]): DataFrame =
     target.unionByName(rows.join(target, keys, "left_anti").select(target.columns.map(col).toSeq: _*))
+
+  /** SCD Type-2 history from a change log: collapse consecutive
+    * duplicate attribute values per key (change detection via lag),
+    * then derive validity intervals via lead — one row per VERSION with
+    * [effective_from, effective_to) bounds, effective_to null on the
+    * current version. The Type-2 counterpart of the Type-1 [[upsert]]
+    * (the reference's CDC dimension is Type-1; the registry lifecycle
+    * contract — rule_version/effective_from/effective_to, reference
+    * m1-data-model-v1.md dims — is exactly this shape applied to
+    * thresholds, see serving.BaselineRegistry).
+    *
+    * Two window passes over the same (key × ts) partitioning — a single
+    * shuffle on the key; no joins. The change log must be unique per
+    * (key, tsCol) (pre-dedup with [[dedupLatestBy]] otherwise). */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe struct inequality: the first row per key (null
+      // __prev) always opens a version; a row attribute-equal to its
+      // predecessor — null fields compare equal — is a no-op update
+      // and is dropped (DuckDB mirror: rn=1 OR attr IS DISTINCT FROM lag)
+      .filter(!(col("__prev") <=> attrs))
+      .drop("__prev")
+    changed
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop(tsCol)
+  }
 }

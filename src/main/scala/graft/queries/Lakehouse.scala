@@ -105,6 +105,21 @@ object Lakehouse {
     merged.select(col("user_id"), col("event_type"), col("value"), col("ts_sec")).orderBy("user_id")
   }
 
+  /** SCD Type-2 dimension history: daily per-user change log (latest
+    * event of each day, µs/event_id tiebreak) collapsed into versioned
+    * validity intervals — consecutive same-value days merge into one
+    * version, effective_to is the next version's start, null while
+    * current. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("user_id"), col("event_type"), to_date(col("ts")).as("day"),
+      col("ts"), col("event_id"))
+    val log = MergeOps.dedupLatestBy(e, Seq("user_id", "day"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("day"), col("event_type"))
+    MergeOps.scd2(log, Seq("user_id"), "day", Seq("event_type"))
+      .orderBy("user_id", "effective_from")
+  }
+
   /** P14/P16: per-key activity span in seconds (date_diff port). */
   def timeDiff(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -154,6 +169,7 @@ object Lakehouse {
     "q_action_queue" -> actionQueue,
     "q_action_queue_rows" -> actionQueueRowsFull,
     "q_merge_upsert" -> mergeUpsert,
+    "q_scd2" -> scd2,
     "q_time_diff" -> timeDiff,
     "q_null_battery" -> nullBattery,
     "q_freshness" -> freshness,
@@ -289,6 +305,23 @@ object Lakehouse {
         |SELECT user_id, event_type, value, ts_sec FROM tgt
         |WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.user_id = tgt.user_id)
         |ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |lg AS (SELECT user_id, day, event_type FROM e WHERE rn = 1),
+        |c AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn2
+        |      FROM lg WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |v AS (SELECT user_id, day, event_type FROM c
+        |      WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type),
+        |o AS (SELECT user_id, event_type, day AS effective_from,
+        |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS effective_to
+        |      FROM v)
+        |SELECT user_id, event_type, effective_from, effective_to,
+        |  effective_to IS NULL AS is_current
+        |FROM o ORDER BY user_id, effective_from""".stripMargin,
     "q_time_diff" ->
       """SELECT user_id,
         | date_diff('second', min(date_trunc('second', ts)), max(date_trunc('second', ts))) AS span_seconds,

@@ -44,6 +44,30 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got == Map("u1" -> "new1b", "u2" -> "old2", "u3" -> "new3"))
   }
 
+  test("scd2: consecutive duplicates collapse, intervals chain, current version open") {
+    val log = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "view"),   // no-op update → one version
+      ("u1", 3L, "click"), ("u1", 4L, "view"),  // value can recur in a LATER version
+      ("u2", 1L, "buy")).toDF("k", "ts", "attr")
+    val got = MergeOps.scd2(log, Seq("k"), "ts", Seq("attr"))
+      .select("k", "attr", "effective_from", "effective_to", "is_current")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      ("u1", "view", 1L, Some(3L), false),
+      ("u1", "click", 3L, Some(4L), false),
+      ("u1", "view", 4L, None, true),
+      ("u2", "buy", 1L, None, true)))
+  }
+
+  test("scd2: null attribute values compare null-safely (null→null is a no-op)") {
+    val log = Seq(
+      ("u1", 1L, Option.empty[String]), ("u1", 2L, Option.empty[String]),
+      ("u1", 3L, Some("x")), ("u1", 4L, Option.empty[String])).toDF("k", "ts", "attr")
+    val got = MergeOps.scd2(log, Seq("k"), "ts", Seq("attr"))
+      .select("attr", "effective_from").as[(Option[String], Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((None, 1L), (Some("x"), 3L), (None, 4L)))
+  }
+
   test("insertIfAbsent is idempotent") {
     val target = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val rows = Seq(("b", 99), ("c", 3)).toDF("k", "v")
