@@ -33,7 +33,15 @@ object AsofJoin {
                leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(valueCols.map(col): _*)
-    val taggedRight = right.select(
+    // null semantics must match the inequality formulation (and SQL
+    // ASOF): a null key or null timestamp never compares true, so a
+    // right row carrying either can match nothing — drop it BEFORE the
+    // union, otherwise the window (which groups null keys together and
+    // sorts null ts first) would carry its payload onto left rows. Left
+    // rows with null key/ts need no guard: their partition then holds
+    // no right rows / nothing sorts before them, so they get null.
+    val rightClean = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
+    val taggedRight = rightClean.select(
       Seq(col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__src"),
         payload.as("__payload")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

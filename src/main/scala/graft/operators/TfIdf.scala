@@ -28,10 +28,15 @@ object TfIdf {
     * driver-side action. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             broadcastVocab: Boolean = true): DataFrame = {
+    // persisted because both aggregation passes read the tokenized
+    // corpus; lives until the caller unpersists/clearCache (same
+    // contract as Dedup.lshCandidatePairs — the returned plan still
+    // references the cache, so this operator cannot unpersist it itself;
+    // Verify/Bench clearCache between queries)
     val toks = docs
       .withColumn("__tokens", TextAnalysis.tokens(textCol))
       .select(col(idCol), col("__tokens"))
-      .persist() // both aggregation passes read the tokenized corpus
+      .persist()
 
     val n = toks.agg(count(lit(1)).cast("double").as("__n_docs"))
     val df = toks

@@ -277,9 +277,14 @@ object Relational {
     * SketchSpec asserts the ≤2% error and union consistency. */
   def hllSketch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
+    // persisted: both union legs (per-type rows + the sketch-union
+    // total) read this aggregate — without the cache the events scan +
+    // sketch build would run twice; caller-scoped lifetime (Verify/
+    // Bench clearCache between queries)
     val perType = e.groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
+      .persist()
     val totalRow = perType.agg(hll_union_agg(col("sk")).as("sk"))
       .crossJoin(broadcast(e.agg(countDistinct(col("user_id")).as("exact_users"))))
       .select(lit("__ALL__").as("event_type"),

@@ -69,31 +69,43 @@ object StreamBench {
       bronzeTrigger = Trigger.ProcessingTime(0),
       goldTrigger = Trigger.ProcessingTime(0))
 
-    val listener = new DropRatioListener
-    spark.streams.addListener(listener)
+    // metrics come from each query's OWN recentProgress ring (read
+    // synchronously after processAllAvailable), not a
+    // StreamingQueryListener: listener events are dispatched async on
+    // the bus, so a trailing progress event — often the one recording
+    // the watermark drops — could be missed at read time. Same
+    // stateful-only denominator rule as DropRatioListener.
     val job = StreamingJob.start(spark, raw, jobCfg)
-    val t0 = System.nanoTime()
-    job.processAllAvailable()
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val batchDurations = job.all.flatMap(_.recentProgress.toSeq)
-      .filter(_.numInputRows > 0)
-      .map(_.durationMs.get("triggerExecution").toDouble / 1e3)
-    job.stopAll()
-    spark.streams.removeListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      job.processAllAvailable()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val progresses = job.all.flatMap(_.recentProgress.toSeq)
+      val batchDurations = progresses
+        .filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble / 1e3)
+      val stateful = progresses.filter(_.stateOperators.nonEmpty)
+      val statefulInput = stateful.map(_.numInputRows).sum
+      val dropped = stateful.flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
 
-    val bronzeRows = spark.read.parquet(s"$dir/bronze").count()
-    val quarantineRows = spark.read.parquet(s"$dir/quarantine").count()
-    val goldRows = spark.read.parquet(s"$dir/gold").count()
-    StreamBenchResult(
-      nEvents = totalEvents.toLong,
-      elapsedSec = elapsed,
-      eventsPerSec = totalEvents / elapsed,
-      nBatches = batchDurations.size,
-      maxBatchSec = if (batchDurations.nonEmpty) batchDurations.max else 0.0,
-      bronzeRows = bronzeRows,
-      quarantineRows = quarantineRows,
-      goldRows = goldRows,
-      dropRatio = listener.dropRatio,
-      lateRatioConfigured = cfg.lateEventRatio)
+      val bronzeRows = spark.read.parquet(s"$dir/bronze").count()
+      val quarantineRows = spark.read.parquet(s"$dir/quarantine").count()
+      val goldRows = spark.read.parquet(s"$dir/gold").count()
+      StreamBenchResult(
+        nEvents = totalEvents.toLong,
+        elapsedSec = elapsed,
+        eventsPerSec = totalEvents / elapsed,
+        nBatches = batchDurations.size,
+        maxBatchSec = if (batchDurations.nonEmpty) batchDurations.max else 0.0,
+        bronzeRows = bronzeRows,
+        quarantineRows = quarantineRows,
+        goldRows = goldRows,
+        dropRatio = if (statefulInput == 0) 0.0 else dropped.toDouble / statefulInput,
+        lateRatioConfigured = cfg.lateEventRatio)
+    } finally {
+      // a throw anywhere above must not leak three running streaming
+      // queries into the caller's (shared) session
+      job.stopAll()
+    }
   }
 }

@@ -29,6 +29,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(20.0), 2L -> Some(10.0), 3L -> None, 4L -> None, 5L -> Some(30.0)))
   }
 
+  test("null keys/timestamps never match — same as the inequality formulation") {
+    val left = Seq(
+      (1L, Some(10L), Some(ts("2024-01-01 00:05:00"))),
+      (2L, Option.empty[Long], Some(ts("2024-01-01 00:05:00"))), // null key
+      (3L, Some(10L), Option.empty[java.sql.Timestamp])          // null ts
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(10L), Some(ts("2024-01-01 00:00:00")), 1.0),
+      (Option.empty[Long], Some(ts("2024-01-01 00:00:00")), 666.0), // null key: matches nothing
+      (Some(10L), Option.empty[java.sql.Timestamp], 777.0)          // null ts: matches nothing
+    ).toDF("k", "rt", "v")
+    val got = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    val twin = AsofJoin.asofJoinViaWindow(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(twin == got, "null semantics must agree between formulations")
+  }
+
   test("union-window implementation ≡ inequality-join twin on real events") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
