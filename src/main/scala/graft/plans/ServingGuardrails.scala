@@ -88,5 +88,6 @@ object ServingGuardrails {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(_ => ServingGuardrails.check)
+    e.injectOptimizerRule(_ => BinnedIntervalJoin)
   }
 }
