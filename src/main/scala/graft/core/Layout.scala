@@ -43,4 +43,47 @@ object Layout {
       .queryExecution.executedPlan.toString()
     !plan.contains("Exchange hashpartitioning")
   }
+
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Small-file compaction — the lakehouse OPTIMIZE/maintenance analog
+    * for a plain-parquet directory. Streaming appends (e.g. the bronze
+    * sink's per-micro-batch files) accumulate files far below the
+    * ideal scan unit; each scan task then pays open/footer overhead per
+    * tiny file and the NameNode/listing cost grows unbounded. This
+    * rewrites the directory into ceil(totalBytes/targetBytes) files and
+    * swaps it in with the same checked two-rename pattern as
+    * ParquetUpsertSink (crash between renames leaves the old snapshot
+    * parked at `<path>.compact.old`; rerunning recovers it).
+    *
+    * Unpartitioned directories only (compact each partition directory
+    * of a partitioned table separately — that is also the unit a real
+    * table service parallelizes over). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".compact.old")
+    // crash recovery: a previous run that renamed dest away but died
+    // before installing tmp left the snapshot parked at old
+    if (!fs.exists(dest) && fs.exists(old))
+      require(fs.rename(old, dest), s"crash recovery: restoring $old to $dest failed")
+
+    def dataFiles() = fs.listStatus(dest)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+
+    val tmp = new Path(path + ".compact.tmp")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(dest, old), s"swap step 1: rename $dest -> $old failed")
+    require(fs.rename(tmp, dest), s"swap step 2: rename $tmp -> $dest failed (snapshot parked at $old)")
+    fs.delete(old, true)
+    CompactionStats(before.length, dataFiles().length, bytes)
+  }
 }

@@ -8,6 +8,39 @@ class LayoutSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("compact: small files collapse to the target count, rows byte-identical, no leftovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "value")
+    df.repartition(40).write.parquet(dir)
+    val before = df.orderBy("event_id").collect().toSeq
+
+    val stats = Layout.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(stats.filesBefore == 40)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected compaction, got ${stats.filesAfter} files from ${stats.filesBefore}")
+    val after = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(after == before, "compaction must preserve every row exactly")
+    // swap hygiene: no tmp/old residue
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact.tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact.old")))
+  }
+
+  test("compact: recovers a parked snapshot from a simulated crash between renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(4).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: swap step 1 done (dest renamed away), step 2 never ran
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact.old")))
+    val stats = Layout.compact(spark, dir, targetBytes = 1L * 1024 * 1024)
+    assert(stats.filesAfter >= 1)
+    assert(spark.read.parquet(dir).count() == 2L, "recovered snapshot must be compacted intact")
+  }
+
   test("registerAll exposes every testdata table to spark.sql") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
