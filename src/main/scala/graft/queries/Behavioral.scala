@@ -67,12 +67,75 @@ object Behavioral {
       count(col("t_purchase")).as("n_purchasers"))
   }
 
+  /** Cohort retention: cohort = first active day per user; n distinct
+    * users active at each (cohort_day, day_offset). Two aggregations on
+    * user_id + one broadcast-size join — the standard retention
+    * triangle. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Analytic-function battery over purchases, one window definition:
+    * row_number / ntile / percent_rank / cume_dist / lag / lead /
+    * running first — the W-surface beyond the reference's
+    * row_number-only usage, cross-checked against DuckDB. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"), col("value"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ntile4", ntile(4).over(w))
+      .withColumn("pct_rank", rd(percent_rank().over(w), 6))
+      .withColumn("cume", rd(cume_dist().over(w), 6))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("first_value", first(col("value")).over(w))
+      .drop("ts")
+      .orderBy("user_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
     "q_funnel" -> funnel,
+    "q_retention" -> retention,
+    "q_window_suite" -> windowSuite,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_suite" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, value,
+        |    date_trunc('microseconds', ts) AS tsu, date_trunc('second', ts) AS ts_sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, ts_sec, value,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS ntile4,
+        |  floor((percent_rank() OVER w)*1000000 + 0.5)/1000000 AS pct_rank,
+        |  floor((cume_dist() OVER w)*1000000 + 0.5)/1000000 AS cume,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER w AS first_value
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, value,
