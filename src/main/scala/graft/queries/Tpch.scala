@@ -72,6 +72,38 @@ object Tpch {
       .orderBy("region", "nation")
   }
 
+  /** GROUPING SETS with grouping() markers: three explicit aggregation
+    * grains in one pass (Expand under the hood — one scan, one
+    * shuffle), the generalization of [[rollup]]. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), rd(sum(col("value")), 2).as("value_sum"),
+        grouping(col("event_type")).as("g_type"), grouping(col("day")).as("g_day"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        col("n"), col("value_sum"),
+        col("g_type").cast("int").as("g_type"), col("g_day").cast("int").as("g_day"))
+      .orderBy("event_type", "day", "g_type", "g_day")
+
+  /** UNPIVOT (melt): wide per-type counter columns back to long
+    * (metric, value) rows — the inverse of the A9 max-case pivot. */
+  def unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+    wide.unpivot(Array(col("user_id")), Array(col("views"), col("clicks"), col("purchases")),
+        "metric", "n")
+      .orderBy("user_id", "metric")
+  }
+
   /** Approx sketches — the 100 TB swap-ins for exact distinct/quantile
     * (HLL++ / KLL-style). No SQL oracle (sketch internals differ across
     * engines); ApproxSpec asserts tolerance vs exact instead. */
@@ -89,10 +121,31 @@ object Tpch {
     "q_tpch_q3" -> q3,
     "q_tpch_q6" -> q6,
     "q_rollup" -> rollup,
+    "q_grouping_sets" -> groupingSets,
+    "q_unpivot" -> unpivot,
     "q_approx_stats" -> approxStats,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+        |  count(*) AS n, floor((sum(value))*100 + 0.5)/100 AS value_sum,
+        |  CAST(grouping(event_type) AS INTEGER) AS g_type,
+        |  CAST(grouping(day) AS INTEGER) AS g_day
+        |FROM e GROUP BY GROUPING SETS ((event_type, day), (day), ())
+        |ORDER BY event_type, day, g_type, g_day""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'view') AS views,
+        |    count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, metric, n FROM (
+        |  UNPIVOT wide ON views, clicks, purchases INTO NAME metric VALUE n)
+        |ORDER BY user_id, metric""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity))*100 + 0.5)/100 AS sum_qty,

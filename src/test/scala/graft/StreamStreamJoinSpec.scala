@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-stream interval join (beyond the reference, which only joins
+  * stream→static dim): clicks joined to impressions of the same user
+  * within a bounded event-time window. Both sides are watermarked and
+  * the join condition bounds click time to [imp, imp + 10 min], so the
+  * state store can evict rows as watermarks advance — the only shape a
+  * stream-stream join can run with finite state. */
+class StreamStreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("watermarked interval join matches clicks to in-window impressions only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+
+    val impDf = imps.toDF().toDF("user", "imp_ts").withWatermark("imp_ts", "30 minutes")
+    val clickDf = clicks.toDF().toDF("c_user", "click_ts").withWatermark("click_ts", "30 minutes")
+    val joined = impDf.join(clickDf,
+      col("user") === col("c_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+
+    val q = joined.writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    imps.addData(("u1", ts("2024-01-01 00:00:00")), ("u2", ts("2024-01-01 00:00:00")))
+    clicks.addData(
+      ("u1", ts("2024-01-01 00:05:00")),  // in window → joins
+      ("u1", ts("2024-01-01 00:20:00")),  // beyond +10m → no join
+      ("u3", ts("2024-01-01 00:05:00")))  // no impression → no join
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ss_join")
+      .select("user", "click_ts").as[(String, java.sql.Timestamp)].collect().toSet
+    assert(got == Set(("u1", ts("2024-01-01 00:05:00"))))
+  }
+}
