@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Checked two-rename directory swap — the single implementation of the
+  * crash-safety invariants shared by ParquetUpsertSink (per-micro-batch
+  * MERGE rewrite) and Layout.compact (maintenance rewrite):
+  *
+  *   write(tmp) → [dest → old] → [tmp → dest] → delete old
+  *
+  * The swap is NOT atomic (two renames); every rename is checked
+  * (HDFS-style filesystems return false instead of throwing), and at
+  * every crash point the data survives in at least one of dest/old/tmp:
+  * a crash between the renames leaves dest missing with the snapshot
+  * parked at `old` — [[recoverParked]] restores it on the next run.
+  */
+object AtomicSwap {
+
+  /** If `dest` is missing, restore the NEWEST sibling parked snapshot
+    * whose name is `dest.getName + oldInfix + ...` (callers use unique
+    * suffixes per attempt; lexicographic max = newest). No-op when dest
+    * exists or nothing is parked. */
+  def recoverParked(fs: FileSystem, dest: Path, oldInfix: String): Unit =
+    if (!fs.exists(dest)) {
+      val parent = dest.getParent
+      if (parent != null && fs.exists(parent)) {
+        fs.listStatus(parent).map(_.getPath)
+          .filter(_.getName.startsWith(dest.getName + oldInfix))
+          .sortBy(_.getName).lastOption
+          .foreach(o => require(fs.rename(o, dest), s"crash recovery: restoring $o to $dest failed"))
+      }
+    }
+
+  /** Replace `dest` with the directory `write` produces at `tmp`,
+    * parking the previous snapshot at `old` during the switch. A stale
+    * `old` (crash after install, before cleanup) is deleted first so
+    * step 1's rename cannot collide with it. */
+  def swap(fs: FileSystem, dest: Path, tmp: Path, old: Path)(write: Path => Unit): Unit = {
+    write(tmp)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dest))
+      require(fs.rename(dest, old), s"swap step 1: rename $dest -> $old failed")
+    require(fs.rename(tmp, dest), s"swap step 2: rename $tmp -> $dest failed (snapshot parked at $old)")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}

@@ -64,26 +64,25 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(path + ".compact.old")
-    // crash recovery: a previous run that renamed dest away but died
-    // before installing tmp left the snapshot parked at old
-    if (!fs.exists(dest) && fs.exists(old))
-      require(fs.rename(old, dest), s"crash recovery: restoring $old to $dest failed")
+    AtomicSwap.recoverParked(fs, dest, ".compact.old")
+    if (!fs.exists(dest)) return CompactionStats(0, 0, 0L)
 
     def dataFiles() = fs.listStatus(dest)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
     val before = dataFiles()
     val bytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // already compact (covers the empty directory too): a steady-state
+    // maintenance loop must no-op, not rewrite every table every run
+    if (before.length <= nOut) return CompactionStats(before.length, before.length, bytes)
 
-    val tmp = new Path(path + ".compact.tmp")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(dest, old), s"swap step 1: rename $dest -> $old failed")
-    require(fs.rename(tmp, dest), s"swap step 2: rename $tmp -> $dest failed (snapshot parked at $old)")
-    fs.delete(old, true)
+    AtomicSwap.swap(fs, dest,
+      tmp = new Path(path + ".compact.tmp"),
+      old = new Path(path + ".compact.old")) { tmp =>
+      fs.delete(tmp, true)
+      spark.read.parquet(path).repartition(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     CompactionStats(before.length, dataFiles().length, bytes)
   }
 }

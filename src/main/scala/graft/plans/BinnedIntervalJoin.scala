@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Optimizer rewrite: a pure temporal-proximity join
   *
@@ -25,11 +25,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Fires only when: inner join, the condition's conjuncts contain NO
   * equi pair (Spark handles those fine), and exactly one conjunct of
-  * shape `abs(a − b) <= positive numeric literal` with `a`/`b` each
-  * bound to one side and of numeric type (epoch seconds — cast
-  * timestamps upstream, the RangeJoin contract). The rewritten join's
-  * top-level condition gains an equi conjunct, so the rule cannot
-  * re-fire on its own output (fixed-point safe).
+  * shape `abs(a − b) <= positive INTEGRAL literal` with `a`/`b` each
+  * bound to one side and of INTEGRAL type (epoch seconds — cast
+  * timestamps upstream, the RangeJoin contract). Binning runs in exact
+  * 64-bit arithmetic (floorDiv via pmod — no double cast), because a
+  * float bin of an epoch-nanos-scale long (≫2^53) rounds by hundreds
+  * of units and would silently drop matching pairs across a bin edge;
+  * fractional radii / floating-point operands are left to Spark's own
+  * plan rather than rewritten unsafely. The rewritten join's top-level
+  * condition gains an equi conjunct, so the rule cannot re-fire on its
+  * own output (fixed-point safe).
   *
   * Wire-up: `spark.experimental.extraOptimizations ++= Seq(BinnedIntervalJoin)`
   * or session-wide via `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -39,18 +44,27 @@ object BinnedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def oneSide(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
-  private def numericValue(l: Literal): Option[Double] = l.value match {
-    case n: java.lang.Number => Some(n.doubleValue())
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def integralValue(l: Literal): Option[Long] = l.value match {
+    case n: java.lang.Long => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Byte => Some(n.longValue())
     case _ => None
   }
 
-  /** (leftTs, rightTs, radius) when the conjunct is a proximity bound. */
+  /** (leftTs, rightTs, radius) when the conjunct is an exactly-binnable
+    * proximity bound: integral operands, integral positive radius. */
   private def proximity(conjunct: Expression, left: LogicalPlan,
-                        right: LogicalPlan): Option[(Expression, Expression, Double)] =
+                        right: LogicalPlan): Option[(Expression, Expression, Long)] =
     conjunct match {
       case LessThanOrEqual(abs: Abs, lit: Literal) =>
-        (abs.child, numericValue(lit)) match {
-          case (sub: Subtract, Some(r)) if r > 0 =>
+        (abs.child, integralValue(lit)) match {
+          case (sub: Subtract, Some(r)) if r > 0 && isIntegral(sub.left) && isIntegral(sub.right) =>
             val (a, b) = (sub.left, sub.right)
             if (oneSide(a, left) && oneSide(b, right)) Some((a, b, r))
             else if (oneSide(a, right) && oneSide(b, left)) Some((b, a, r))
@@ -68,8 +82,14 @@ object BinnedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  private def binOf(ts: Expression, radius: Double): Expression =
-    Floor(Divide(Cast(ts, DoubleType), Literal(radius, DoubleType)))
+  /** Exact floorDiv(ts, radius) in 64-bit: (t − pmod(t, r)) div r. The
+    * numerator is an exact multiple of r, so truncating division IS
+    * floor division — no float rounding at any timestamp magnitude. */
+  private def binOf(ts: Expression, radius: Long): Expression = {
+    val t = Cast(ts, LongType)
+    val r = Literal(radius, LongType)
+    IntegralDivide(Subtract(t, Pmod(t, r)), r)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>

@@ -91,40 +91,24 @@ class ParquetUpsertSink(spark: SparkSession, tablePath: String, keys: Seq[String
     } finally session.catalog.dropTempView(view)
   }
 
-  /** A crash between the two swap renames leaves dest missing with the
-    * snapshot parked in an `__old_` dir — find it so the next batch can
-    * restore instead of silently restarting history from one batch. */
-  private def orphanedSnapshot(): Option[Path] = {
-    val dest = new Path(tablePath)
-    val parent = dest.getParent
-    if (parent == null || !fs.exists(parent)) None
-    else fs.listStatus(parent).map(_.getPath)
-      .filter(_.getName.startsWith(dest.getName + "__old_"))
-      .sortBy(_.getName).lastOption
-  }
-
   /** Parquet emulation: union with the stored snapshot, dedup-latest,
-    * rewrite, two-rename directory swap. The swap is NOT atomic (two
-    * renames); every rename is checked (HDFS-style filesystems return
-    * false instead of throwing) and a half-completed swap is recovered
-    * on the next merge — under checkpointed foreachBatch replay no
-    * merged history is lost. */
+    * rewrite, checked two-rename directory swap (core.AtomicSwap — the
+    * shared crash-safety implementation). A crash between the renames
+    * leaves the snapshot parked in an `__old_<batchId>` dir;
+    * recoverParked restores the newest one before the next merge, so
+    * under checkpointed foreachBatch replay no merged history is lost. */
   private def mergeParquetSwap(batch: DataFrame, batchId: Long): Unit = {
     val dest = new Path(tablePath)
-    if (!fs.exists(dest)) orphanedSnapshot().foreach { o =>
-      require(fs.rename(o, dest), s"crash recovery: restoring $o to $dest failed")
-    }
+    graft.core.AtomicSwap.recoverParked(fs, dest, "__old_")
     val ordAsc = orderBy.map(col)
     val merged =
       if (!exists) MergeOps.dedupLatestBy(batch, keys, ordAsc)
       else MergeOps.dedupLatestBy(read().unionByName(batch.select(read().columns.map(col).toSeq: _*)), keys, ordAsc)
-    val tmp = new Path(tablePath + s"__tmp_$batchId")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(tablePath + s"__old_$batchId")
-    if (fs.exists(dest))
-      require(fs.rename(dest, old), s"swap step 1: rename $dest -> $old failed")
-    require(fs.rename(tmp, dest), s"swap step 2: rename $tmp -> $dest failed (snapshot parked at $old)")
-    if (fs.exists(old)) fs.delete(old, true)
+    graft.core.AtomicSwap.swap(fs, dest,
+      tmp = new Path(tablePath + s"__tmp_$batchId"),
+      old = new Path(tablePath + s"__old_$batchId")) { tmp =>
+      merged.write.mode("overwrite").parquet(tmp.toString)
+    }
   }
 
   def foreachBatchFn: (DataFrame, Long) => Unit = (df, id) => merge(df, id)

@@ -54,6 +54,31 @@ class BinnedIntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("exact at epoch-nanos magnitude (beyond double's 2^53) and on negative timestamps") {
+    // at ~1.7e18 a double bin would round by hundreds of units and
+    // drop true pairs across a bin edge; the long floorDiv must not
+    val base = 1700000000000000000L
+    val l = Seq((1L, base), (2L, base + 99L), (3L, base + 101L), (4L, -1000L), (5L, -899L))
+      .toDF("lid", "lt")
+    val r = Seq((10L, base + 50L), (11L, -950L)).toDF("rid", "rt")
+    def q = l.join(r, abs(col("lt") - col("rt")) <= 100)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val plain = q
+    val binned = withRule(q)
+    assert(binned == plain)
+    assert(plain == Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 11L), (5L, 11L)))
+  }
+
+  test("non-integral radius or operands are left to Spark's own plan (no unsafe rewrite)") {
+    withRule {
+      val l = Seq((1L, 1.5)).toDF("lid", "lt")
+      val r = Seq((9L, 1.2)).toDF("rid", "rt")
+      val j = l.join(r, abs(col("lt") - col("rt")) <= 0.5)
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__lbin"))
+      assert(j.count() == 1)
+    }
+  }
+
   test("rule is fixed-point safe and equivalent on random collision-heavy data") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -28,6 +28,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact.old")))
   }
 
+  test("compact: already-compact directory no-ops; missing directory no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1).write.parquet(dir)
+    val s1 = Layout.compact(spark, dir, targetBytes = 128L * 1024 * 1024)
+    assert(s1.filesBefore == 1 && s1.filesAfter == 1, "steady-state maintenance must no-op")
+    // file set untouched by the no-op (no rewrite happened)
+    val s2 = Layout.compact(spark, dir + "_never_written")
+    assert(s2 == Layout.CompactionStats(0, 0, 0L), "missing dir must no-op, not throw")
+  }
+
   test("compact: recovers a parked snapshot from a simulated crash between renames") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(4).write.parquet(dir)
