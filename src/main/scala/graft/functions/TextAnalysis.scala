@@ -102,6 +102,25 @@ object TextAnalysis {
   def fingerprint(tokensCol: String): Column =
     expr(s"array_min(transform($tokensCol, t -> md5(t)))")
 
+  /** Fixed-size overlapping token chunks per document — the standard
+    * context-window preprocessing for LLM training (long documents
+    * split into `size`-token windows sharing `overlap` tokens so no
+    * span is ever cut without context). Pure expression: starts =
+    * 1, 1+stride, … up to greatest(n−overlap, 1) with
+    * stride = size − overlap, each start sliced to `size` tokens (the
+    * tail chunk is shorter). Empty docs yield no chunks. */
+  def chunks(tokensCol: String, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    expr(
+      s"""CASE WHEN size($tokensCol) = 0 THEN array()
+         | ELSE transform(
+         |   sequence(1, greatest(size($tokensCol) - $overlap, 1), $stride),
+         |   i -> struct(i AS start, slice($tokensCol, i, $size) AS toks))
+         | END""".stripMargin)
+  }
+
   /** Text cleaning/normalization (the standard pre-tokenization scrub
     * of a web-crawl pipeline): drop HTML-ish tags, strip ASCII control
     * characters, collapse whitespace runs, trim. Pure regexp_replace

@@ -148,6 +148,16 @@ object TextVector {
         rd(col("tf"), 6).as("tf"), col("df"), rd(col("score"), 6).as("score"))
       .orderBy("doc_id", "rank")
 
+  /** Context-window chunking: 64-token windows, 8-token overlap. */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("ch", explode(TextAnalysis.chunks("toks", size = 64, overlap = 8)))
+      .select(col("doc_id"), col("ch.start").as("chunk_start"),
+        size(col("ch.toks")).as("n_toks"),
+        md5(concat_ws(" ", col("ch.toks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_start")
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens("text"))
@@ -281,6 +291,7 @@ object TextVector {
     "q_decontaminate" -> decontaminate,
     "q_text_clean" -> textClean,
     "q_tfidf" -> tfidfTop,
+    "q_chunks" -> chunks,
     "q_simhash" -> simhash,
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")),
@@ -464,6 +475,16 @@ object TextVector {
          |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
          |ORDER BY id_a, id_b""".stripMargin),
+    "q_chunks" ->
+      """WITH tkc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest([ {'start': i, 'toks': list_slice(w, i, i + 63)}
+        |    FOR i IN generate_series(1, greatest(len(w) - 8, 1), 56) ]) AS c
+        |  FROM tkc WHERE len(w) > 0)
+        |SELECT doc_id, CAST(c.start AS INTEGER) AS chunk_start,
+        |  CAST(len(c.toks) AS INTEGER) AS n_toks,
+        |  md5(array_to_string(c.toks, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_start""".stripMargin,
     "q_tfidf" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tk),

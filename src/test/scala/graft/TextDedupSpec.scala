@@ -171,6 +171,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == "a x y z")
   }
 
+  test("chunks: stride/overlap cover every token; tail chunk shorter; reconstruction exact") {
+    val docs = Seq((1L, (1 to 11).map(i => s"w$i").mkString(" ")), (2L, ""), (3L, "only two"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("ch", explode(TextAnalysis.chunks("toks", size = 4, overlap = 1)))
+      .select(col("doc_id"), col("ch.start").as("start"), col("ch.toks").as("toks"))
+    val got = docs.as[(Long, Int, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1 (11 tokens, stride 3): starts 1,4,7,10; tail chunk length 2
+    assert(got.map(r => (r._1, r._2, r._3.length)) ==
+      Seq((1L, 1, 4), (1L, 4, 4), (1L, 7, 4), (1L, 10, 2), (3L, 1, 2)))
+    // consecutive chunks share exactly `overlap` tokens; dropping the
+    // overlap from every non-first chunk reconstructs the document
+    val d1 = got.filter(_._1 == 1L).map(_._3)
+    d1.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) == b.take(1)) }
+    val rebuilt = d1.head ++ d1.tail.flatMap(_.drop(1))
+    assert(rebuilt == (1 to 11).map(i => s"w$i"))
+    // empty doc yields no chunks (doc 2 absent from `got`)
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("quality band thresholds") {
     val df = Seq(0.71, 0.69, 0.5, 0.49).toDF("s")
     val got = df.select(TextAnalysis.qualityBand(col("s"))).as[String].collect().toSeq
