@@ -155,13 +155,15 @@ object Dedup {
     val hashed =
       if (bits == 16)
         toks.withColumn("__h0", expr("cast(conv(substr(md5(__tok), 1, 4), 16, 10) as int)"))
-      else toks
-        .withColumn("__hhi", expr("cast(conv(substr(md5(__tok), 1, 8), 16, 10) as bigint)"))
-        .withColumn("__hlo", expr("cast(conv(substr(md5(__tok), 9, 8), 16, 10) as bigint)"))
+      // custom Md5Long: ONE digest pass for the full 64-bit token hash
+      // (first 8 md5 bytes big-endian == (hex1-8 << 32) | hex9-16, so
+      // fingerprints — and the HUGEINT oracle — are value-identical to
+      // the two-conv SQL formulation it replaces)
+      else toks.withColumn("__h64",
+        graft.plans.TextExpressions.md5Long(col("__tok")))
     def bitSet(b: Int): Column =
       if (bits == 16) expr(s"(shiftright(__h0, $b) & 1) = 1")
-      else if (b < 32) expr(s"(shiftright(__hlo, $b) & 1) = 1")
-      else expr(s"(shiftright(__hhi, ${b - 32}) & 1) = 1")
+      else expr(s"(shiftright(__h64, $b) & 1) = 1")
     val bitSums = (0 until bits).map(b =>
       sum(when(bitSet(b), 1).otherwise(-1)).as(s"s$b"))
     // disjoint bits: OR-assembly never overflows (1L << 63 is a Scala

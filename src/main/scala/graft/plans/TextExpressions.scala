@@ -101,12 +101,64 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** First 8 bytes of md5(input) as a big-endian signed long — ONE digest
+  * pass replacing the two `conv(substr(md5(x), …), 16, 10)` string
+  * round-trips of the SQL formulation. Value-identical to
+  * `(hi32 << 32) | lo32` with hi = hex chars 1-8, lo = 9-16 (hex is the
+  * big-endian byte rendering), so the DuckDB oracle mirrors it with
+  * exactly that arithmetic and the 64-bit simhash fingerprints are
+  * unchanged. */
+case class Md5Long(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string column, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Long.digestLong(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.Md5Long.digestLong($in.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+object Md5Long {
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static so generated code can call it (janino-friendly). */
+  def digestLong(bytes: Array[Byte]): Long = {
+    val md = md5Pool.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+}
+
 object TextExpressions {
   def asciiTokens(s: Column): Column =
     ColumnBridge.column(AsciiTokens(ColumnBridge.expression(s)))
 
-  /** SQL registration: ascii_tokens(s). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def md5Long(s: Column): Column =
+    ColumnBridge.column(Md5Long(ColumnBridge.expression(s)))
+
+  /** SQL registration: ascii_tokens(s), md5_long(s). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ascii_tokens", exprs => AsciiTokens(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long", exprs => Md5Long(exprs.head), "built-in")
+  }
 }
