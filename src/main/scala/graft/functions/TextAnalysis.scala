@@ -114,7 +114,9 @@ object TextAnalysis {
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
     expr(
-      s"""CASE WHEN size($tokensCol) = 0 THEN array()
+      // IS NULL guard: size(NULL)=NULL slips a `= 0` check and would
+      // wrap the null in one spurious chunk (greatest(NULL-ov,1) → 1)
+      s"""CASE WHEN $tokensCol IS NULL OR size($tokensCol) = 0 THEN array()
          | ELSE transform(
          |   sequence(1, greatest(size($tokensCol) - $overlap, 1), $stride),
          |   i -> struct(i AS start, slice($tokensCol, i, $size) AS toks))

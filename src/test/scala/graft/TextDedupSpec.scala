@@ -172,7 +172,8 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("chunks: stride/overlap cover every token; tail chunk shorter; reconstruction exact") {
-    val docs = Seq((1L, (1 to 11).map(i => s"w$i").mkString(" ")), (2L, ""), (3L, "only two"))
+    val docs = Seq((1L, Some((1 to 11).map(i => s"w$i").mkString(" "))),
+        (2L, Some("")), (3L, Some("only two")), (4L, Option.empty[String]))
       .toDF("doc_id", "text")
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("ch", explode(TextAnalysis.chunks("toks", size = 4, overlap = 1)))
@@ -187,8 +188,8 @@ class TextDedupSpec extends AnyFunSuite {
     d1.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) == b.take(1)) }
     val rebuilt = d1.head ++ d1.tail.flatMap(_.drop(1))
     assert(rebuilt == (1 to 11).map(i => s"w$i"))
-    // empty doc yields no chunks (doc 2 absent from `got`)
-    assert(!got.exists(_._1 == 2L))
+    // empty doc and NULL-text doc yield no chunks (docs 2, 4 absent)
+    assert(!got.exists(r => r._1 == 2L || r._1 == 4L))
   }
 
   test("quality band thresholds") {
