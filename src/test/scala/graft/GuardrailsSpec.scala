@@ -55,4 +55,16 @@ class GuardrailsSpec extends AnyFunSuite {
     ServingGuardrails.check(
       spark.sql("SELECT count(*) FROM v_decision_context_30m_1m").queryExecution.analyzed)
   }
+
+  test("GraftFunctions.registerAll: full SQL surface + rule in one call, idempotent") {
+    val s2 = TestSpark.spark.newSession()
+    graft.plans.GraftFunctions.registerAll(s2)
+    graft.plans.GraftFunctions.registerAll(s2) // second call must not double-add the rule
+    import org.apache.spark.sql.functions._
+    val r = s2.sql("SELECT ascii_tokens('A b1') t, md5_long('x') h, dot_product(array(1.0D), array(2.0D)) d")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b1") && r.getDouble(2) == 2.0)
+    assert(s2.experimental.extraOptimizations.count(_ eq graft.plans.BinnedIntervalJoin) == 1)
+  }
+
 }
