@@ -273,9 +273,14 @@ object Relational {
     * merge algebra that makes distinct counting embarrassingly parallel
     * at 100 TB (sketches combine associatively across partitions and
     * time grains; exact countDistinct carried alongside for the
-    * tolerance check). Rows-only (DuckDB has no HLL surface);
-    * SketchSpec asserts the ≤2% error and union consistency. */
-  def hllSketch(s: SparkSession, dir: String): DataFrame = {
+    * tolerance check). DuckDB has no HLL surface, so the estimates
+    * themselves can't be oracled; the output carries the exact counts
+    * plus a within-2%-of-exact boolean per row (the SketchSpec bound),
+    * which the oracle predicts as literal TRUE — full rows+schema+hash
+    * coverage that goes red if the sketch drifts. */
+  /** Detailed sketch output (approx + exact side by side) — the form
+    * SketchSpec pins; [[hllSketch]] folds it into the oracled gate. */
+  def hllSketchDetail(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     // persisted: both union legs (per-type rows + the sketch-union
     // total) read this aggregate — without the cache the events scan +
@@ -293,8 +298,16 @@ object Relational {
       .select(col("event_type"), hll_sketch_estimate(col("sk")).as("approx_users"),
         col("exact_users"))
       .unionByName(totalRow)
-      .orderBy("event_type")
   }
+
+  def hllSketch(s: SparkSession, dir: String): DataFrame =
+    hllSketchDetail(s, dir)
+      .select(col("event_type"), col("exact_users"),
+        // same absolute floor rationale as q_approx_stats: tiny groups
+        // (sf0.001) make a pure 2% bound demand exactness
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.02), lit(2.0))).as("within_tol"))
+      .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_conditional_agg" -> conditionalAgg,
@@ -345,8 +358,16 @@ object Relational {
         |SELECT user_id, count(DISTINCT event_id) AS n_near_events,
         |  count(DISTINCT err_id) AS n_errors, count(*) AS n_pairs
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q_hll_sketch: rows-only (no DuckDB HLL surface); SketchSpec pins
-    // the ≤2% tolerance and sketch-union consistency.
+    // q_hll_sketch: exact distinct counts are SQL; the sketch estimate
+    // is folded into a within-2% boolean the oracle predicts as TRUE
+    // (SketchSpec still pins the estimate + union consistency).
+    "q_hll_sketch" ->
+      """WITH p AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__ALL__' AS event_type, count(DISTINCT user_id) AS exact_users FROM events)
+        |SELECT event_type, exact_users, TRUE AS within_tol
+        |FROM p ORDER BY event_type""".stripMargin,
     "q_conditional_agg" ->
       """SELECT date_trunc('minute', ts) AS minute,
         | count(*) FILTER (WHERE event_type = 'click') AS clicks,

@@ -240,10 +240,9 @@ object TextVector {
   }
 
   /** IVF with the FITTED spherical-k-means quantizer + multi-probe
-    * (nprobe=3) — the production ANN path. No SQL oracle (the Lloyd
-    * iteration isn't SQL-expressible); rows-only for the driver,
-    * golden-pinned by GoldenRowsOnlySpec (counts + recall bound vs the
-    * exact brute-force baseline). */
+    * (nprobe=3) — the production ANN path. The Lloyd iteration isn't
+    * SQL-expressible, so the detailed ranking can't be oracled; the
+    * full per-rank output stays golden-pinned by GoldenRowsOnlySpec. */
   def embedIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val centroids = Similarity.kMeansFit(e, "vec_id", "embedding", stride = 100, iters = 2)
@@ -252,6 +251,28 @@ object TextVector {
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
         rd(col("cosine"), 4).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Driver-facing view of [[embedIvfKmeans]]: per-query result count +
+    * a recall gate vs the exact brute-force top-k. The exact side IS
+    * SQL-expressible, so the oracle predicts (query_id, n_results,
+    * recall_ok=TRUE) — a full rows+schema+hash gate that goes red if
+    * the quantizer stops finding true neighbors or buckets go empty,
+    * while the centroid-dependent ranking detail stays spec-pinned. */
+  def embedIvfKmeansRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val centroids = Similarity.kMeansFit(e, "vec_id", "embedding", stride = 100, iters = 2)
+    val ivf = Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 3, centroids, nprobe = 3)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+    val hits = ivf.join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("hits"), lit(0L)) >= 1).as("recall_ok"))
+      .orderBy("query_id")
   }
 
   // ---- multimodal ----------------------------------------------------------
@@ -302,7 +323,7 @@ object TextVector {
       .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
-    "q_embed_ivf_kmeans" -> embedIvfKmeans,
+    "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
@@ -372,6 +393,63 @@ object TextVector {
        |       THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash64
        |  FROM u64)""".stripMargin
   }
+
+  /** Mirrors TextAnalysis.langGuess: per-language function-word counts
+    * + CJK probe, argmax with the sort_array(desc) tiebreak (score desc,
+    * then alphabetically-LAST language). Built from LangProfiles so the
+    * marker lists can never drift from the Spark side. */
+  private val langIdOracle = {
+    val scores = graft.functions.TextAnalysis.LangProfiles.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(w, t -> t IN ($set))) AS s_$lang"
+    }.mkString(",\n      |    ")
+    val langsDesc = graft.functions.TextAnalysis.LangProfiles.map(_._1).sorted.reverse
+    val allZero = langsDesc.map(l => s"s_$l").mkString("greatest(", ", ", ") = 0")
+    // CASE ladder in lang-desc order: each branch requires >= every
+    // later (alphabetically-smaller) language — ties resolve to the
+    // alphabetically-last lang, exactly sort_array(desc)[0]
+    val ladder = langsDesc.init.zipWithIndex.map { case (l, i) =>
+      val rest = langsDesc.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n      |    ")
+    s"""WITH d AS (SELECT lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |s AS (SELECT lang, regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+      |    $scores
+      |  FROM d),
+      |g AS (SELECT lang, CASE WHEN has_cjk THEN 'zh'
+      |    WHEN $allZero THEN 'und'
+      |    $ladder
+      |    ELSE '${langsDesc.last}' END AS lang_guess
+      |  FROM s)
+      |SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Multimodal.decodeStub byte statistics: bytes of the UTF-8
+    * content recovered from hex(encode(text)) two chars at a time. All
+    * sums are integer-valued doubles (exact below 2^53), so the
+    * mean/fraction divisions are bit-identical across engines. */
+  private val multimodalFeaturesOracle =
+    """WITH h AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n,
+      |    [CAST('0x'||substr(hx, 2*i-1, 2) AS INT) FOR i IN generate_series(1, CAST(n AS INT))] AS bs
+      |  FROM h),
+      |f AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n = 0 THEN 0.0
+      |         ELSE list_sum(list_transform(bs, x -> CAST(x AS DOUBLE))) / n END AS mean_byte,
+      |    CASE WHEN n = 0 THEN 0.0
+      |         ELSE 1.0 * len(list_filter(bs, x -> x // 32 = 1)) / n END AS f1
+      |  FROM b)
+      |SELECT doc_id AS asset_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  n AS n_bytes,
+      |  floor((mean_byte)*10000 + 0.5)/10000 AS mean_byte,
+      |  floor((f1)*10000 + 0.5)/10000 AS f1
+      |FROM f ORDER BY asset_id""".stripMargin
 
   private val cosineCtes =
     """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -659,8 +737,13 @@ object TextVector {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens
         |FROM r WHERE cum_before < share * 50000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q_lang_id, q_multimodal_features, q_embed_ivf_kmeans: rows-only
-    // (profile-table / stub-decode / Lloyd-iteration logic intentionally
-    // not mirrored in SQL); each pinned by GoldenRowsOnlySpec.
+    "q_lang_id" -> langIdOracle,
+    "q_multimodal_features" -> multimodalFeaturesOracle,
+    // The k-means ranking detail isn't SQL-expressible (Lloyd loop);
+    // the oracle predicts the exact-side invariants instead: every
+    // query returns a full top-3 and recalls >= 1 true neighbor.
+    "q_embed_ivf_kmeans" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
   )
 }

@@ -105,15 +105,38 @@ object Tpch {
   }
 
   /** Approx sketches — the 100 TB swap-ins for exact distinct/quantile
-    * (HLL++ / KLL-style). No SQL oracle (sketch internals differ across
-    * engines); ApproxSpec asserts tolerance vs exact instead. */
+    * (HLL++ / KLL-style). Sketch internals differ across engines, so
+    * the approx values themselves can't be oracled; instead the query
+    * carries the exact values PLUS within-tolerance booleans computed
+    * approx-vs-exact on the Spark side. The oracle predicts the exact
+    * columns and literal TRUE for the booleans — a full
+    * rows+schema+hash gate that goes red if a sketch drifts out of its
+    * documented tolerance (2% distinct, 1% p90; same bounds
+    * ApproxSpec asserts). */
   def approxStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        rd(expr("percentile_approx(value, 0.9, 10000)"), 2).as("approx_p90"),
+        approx_count_distinct(col("user_id"), 0.01).as("au"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("percentile_approx(value, 0.9, 10000)").as("ap90"),
+        expr("percentile(value, 0.9)").as("ep90"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"),
+        rd(col("ep90"), 2).as("exact_p90"), col("n"),
+        // absolute floor of 2: at tiny cardinalities (sf0.001 groups
+        // have ~15 distinct users) a pure 2% bound demands exactness,
+        // which HLL++ sparse mode doesn't guarantee; at scale the
+        // relative term dominates and the floor is inert
+        (abs(col("au") - col("exact_users")) <= greatest(col("exact_users") * lit(0.02), lit(2.0)))
+          .as("users_within_tol"),
+        // absolute floor of 3.0: percentile_approx returns a real data
+        // point while exact percentile interpolates — at tiny samples
+        // (sf0.001: 188 rows/group, measured gap up to 1.82) the
+        // nearest order statistic sits further than 1% from the
+        // interpolated value; inert once groups have >1k rows
+        (abs(col("ap90") - col("ep90")) <= greatest(abs(col("ep90")) * lit(0.01), lit(3.0)))
+          .as("p90_within_tol"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,6 +150,11 @@ object Tpch {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_approx_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  floor((quantile_cont(value, 0.9))*100 + 0.5)/100 AS exact_p90,
+        |  count(*) AS n, TRUE AS users_within_tol, TRUE AS p90_within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" ->
       """WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value FROM events)
         |SELECT coalesce(event_type, 'ALL') AS event_type,

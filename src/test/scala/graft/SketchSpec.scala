@@ -2,17 +2,18 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q_hll_sketch has no DuckDB oracle (no HLL surface there); this pins
-  * its accuracy contract instead: per-group estimates within 2% of the
-  * exact distinct counts carried in the same row, and the sketch-UNION
-  * total consistent with the exact global distinct — the merge algebra
-  * that makes the operator shard at scale. */
+/** DuckDB has no HLL surface, so q_hll_sketch's oracle only sees the
+  * folded within-2% boolean; this pins the underlying accuracy contract
+  * on the detailed output: per-group estimates within 2% of the exact
+  * distinct counts carried in the same row, and the sketch-UNION total
+  * consistent with the exact global distinct — the merge algebra that
+  * makes the operator shard at scale. */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("q_hll_sketch: per-type and unioned estimates within 2% of exact") {
-    val rows = SparkEntry.queries("q_hll_sketch")(spark, "/root/testdata/sf0.01")
+  test("hll sketch detail: per-type and unioned estimates within 2% of exact") {
+    val rows = graft.queries.Relational.hllSketchDetail(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect()
     assert(rows.nonEmpty)
     val all = rows.filter(_._1 == "__ALL__")
