@@ -317,18 +317,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-bit seeded index pairs for the WTA bucket: compile-time LCG
+    * hashes (exact integer arithmetic, so the DuckDB oracle can mirror
+    * the bucket bit-for-bit); only the `% dim` lands at runtime. The
+    * second index is drawn from the remaining dim-1 positions, so the
+    * pair is always distinct. */
+  private def wtaPairHashes(signBits: Int): Seq[(Long, Long)] =
+    (0 until signBits).map { j =>
+      val h1 = (2654435761L * (j + 1) + 40503L) % 1000003L
+      val h2 = (2246822519L * (j + 1) + 104729L) % 1000003L
+      (h1, h2)
+    }
+
+  /** Winner-take-all bucket expression over `vecCol`, emitted for either
+    * dialect: bit j is `v[a_j] > v[b_j]` for a seeded pseudo-random
+    * distinct index pair. Comparison-based, so the key is invariant to
+    * per-corpus sign bias, uniform shifts, and positive scaling — the
+    * failure modes that collapse a raw sign-bit key into one bucket —
+    * and involves no float summation, so Spark and DuckDB agree
+    * bit-for-bit (WTA hash: Yagnik et al., ICCV 2011). */
+  private[graft] def wtaBucketSqlWith(elem: (String, String) => String, sizeOf: String => String,
+                                      vecCol: String, signBits: Int): String = {
+    val n = sizeOf(vecCol)
+    val bits = wtaPairHashes(signBits).zipWithIndex.map { case ((h1, h2), j) =>
+      val a0 = s"$h1 % $n"
+      val b0 = s"(($a0) + 1 + $h2 % ($n - 1)) % $n"
+      s"(CASE WHEN ${elem(vecCol, s"CAST($a0 AS INT) + 1")} > ${elem(vecCol, s"CAST($b0 AS INT) + 1")} THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Spark-dialect WTA bucket column. */
+  def wtaBucket(vecCol: String, signBits: Int): Column =
+    expr(wtaBucketSqlWith((v, i) => s"element_at($v, $i)", v => s"size($v)", vecCol, signBits))
+
+  /** DuckDB-dialect WTA bucket SQL fragment (for oracle queries) —
+    * generated from the same seeded pairs as [[wtaBucket]], so the two
+    * dialects cannot drift. */
+  def wtaBucketDuckSql(vecCol: String, signBits: Int): String =
+    wtaBucketSqlWith((v, i) => s"$v[$i]", v => s"len($v)", vecCol, signBits)
+
   /** Embedding-cosine near-dup pairs above a similarity threshold,
-    * bucketed by a coarse SimHash-of-sign-bits key so candidate
+    * bucketed by a coarse WTA (rank-comparison) key so candidate
     * generation is an equi-join, not a cross join (scale path). Exact
     * brute-force variant lives in Similarity.bruteForceTopK.
     *
+    * The bucket key is a [[wtaBucket]] — NOT the sign pattern of the
+    * leading dims: real embedding models often emit coordinates with
+    * strongly biased signs, and a raw sign key then sends the whole
+    * corpus to one bucket, turning the within-bucket join all-pairs.
+    * WTA bits compare seeded coordinate pairs instead, which stays
+    * uniform under per-dimension bias (BiasedCorpusSpec pins this).
+    *
     * Scale note: within-bucket comparison is quadratic in bucket size —
     * size `signBits` so 2^signBits tracks the corpus (8 bits suits the
-    * test corpus; a billion-vector corpus wants 20+, same operator). */
+    * test corpus; a billion-vector corpus wants 20+, same operator).
+    * Requires vectors of length >= 2 (the pair draw needs two distinct
+    * positions). */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, signBits: Int = 8): DataFrame = {
-    val keyed = embeddings.withColumn("__bucket",
-      expr(s"aggregate(slice($vecCol, 1, $signBits), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"))
+    val keyed = embeddings.withColumn("__bucket", wtaBucket(vecCol, signBits))
     val a = keyed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = keyed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("__bucket"))

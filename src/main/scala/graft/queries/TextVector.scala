@@ -626,13 +626,14 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    // bucket fragment is GENERATED from the same seeded WTA pairs the
+    // Spark side uses (Dedup.wtaBucketDuckSql) — the dialects cannot
+    // drift, and the comparison-based key has no float-order hazard
     "q_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (
         |  SELECT vec_id, v,
-        |    CAST(v[1]>=0 AS BIGINT)*128 + CAST(v[2]>=0 AS BIGINT)*64 + CAST(v[3]>=0 AS BIGINT)*32
-        |    + CAST(v[4]>=0 AS BIGINT)*16 + CAST(v[5]>=0 AS BIGINT)*8 + CAST(v[6]>=0 AS BIGINT)*4
-        |    + CAST(v[7]>=0 AS BIGINT)*2 + CAST(v[8]>=0 AS BIGINT) AS bucket
+        |    ${graft.operators.Dedup.wtaBucketDuckSql("v", 8)} AS bucket
         |  FROM e),
         |p AS (
         |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
