@@ -58,30 +58,25 @@ object Similarity {
   }
 
   /** Heap-based top-k: same results as [[bruteForceTopK]], different
-    * physical shape — a typed `Aggregator` with a size-k buffer, so the
+    * physical shape — a bounded size-k aggregation buffer, so the
     * shuffle carries at most k candidates per partition per query
-    * instead of the full scored cross product (see functions.TopK). */
+    * instead of the full scored cross product. The aggregate is a
+    * native TypedImperativeAggregate over unsafe rows
+    * (plans.TopKAggregate): no typed `.map` into case classes, so the
+    * scoring side stays inside whole-stage codegen — the plan has no
+    * DeserializeToObject/SerializeFromObject (PlanQualitySpec pins it). */
   def heapTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{udaf => _, _}
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = q.crossJoin(c)
+    q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").as("id"), cosineExpr("qv", "cv").as("score"))
-      .as[(Long, Long, Double)]
-      .map { case (qid, id, s) => (qid, graft.functions.TopK.Scored(id, s)) }
-    val agg = graft.functions.TopK.topK(k).toColumn
-    scored
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("top"))
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case (sc, i) => (qid, i + 1, sc.id, sc.score) }
-      }
-      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.heapTopKAgg(col("id"), col("score"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("neighbor_id"), col("s.score").as("cosine"))
   }
 
   /** Deterministic coarse "training" stub: every strideth vector is a

@@ -143,14 +143,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(r._1 - 1.0) < 1e-12 && r._2 > 0.0)
   }
 
-  test("heapTopK (bounded Aggregator) matches window bruteForceTopK exactly") {
+  test("heapTopK (bounded native aggregate) matches window bruteForceTopK exactly") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 12)
     val win = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().sorted.toSeq
-    val heap = Similarity.heapTopK(e, q, "vec_id", "embedding", k = 5)
+    val heapDf = Similarity.heapTopK(e, q, "vec_id", "embedding", k = 5)
+    val heap = heapDf
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().sorted.toSeq
     assert(heap == win)
+    // the point of the native aggregate: the scoring pipeline stays on
+    // unsafe rows — no object-serde hop anywhere in the physical plan
+    val plan = heapDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"object serde leaked into heapTopK plan:\n$plan")
+  }
+
+  test("heapTopK tie-break and NaN ordering match the window formulation") {
+    // scores engineered so ties and NaN are present: identical vectors
+    // (cosine 1.0 ties), a zero vector (cosine NaN, ranks FIRST under
+    // descending sort — Double.compare semantics)
+    val vs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 0f)), (4L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val q = vs.filter(col("vec_id") === 0)
+    val win = Similarity.bruteForceTopK(vs, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    val heap = Similarity.heapTopK(vs, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(heap == win && win.nonEmpty)
   }
 
   test("decontaminate: flags exactly the train docs sharing an n-gram with the eval set") {
