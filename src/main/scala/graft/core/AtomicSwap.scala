@@ -17,16 +17,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object AtomicSwap {
 
   /** If `dest` is missing, restore the NEWEST sibling parked snapshot
-    * whose name is `dest.getName + oldInfix + ...` (callers use unique
-    * suffixes per attempt; lexicographic max = newest). No-op when dest
-    * exists or nothing is parked. */
+    * whose name is `dest.getName + oldInfix + ...`. Newest = max
+    * modification time (name order would mis-sort unpadded numeric
+    * suffixes: `__old_9` > `__old_10` lexicographically, and restoring
+    * the older snapshot after a double-crash sequence silently loses
+    * the later batch); name is only the deterministic tie-break. No-op
+    * when dest exists or nothing is parked. */
   def recoverParked(fs: FileSystem, dest: Path, oldInfix: String): Unit =
     if (!fs.exists(dest)) {
       val parent = dest.getParent
       if (parent != null && fs.exists(parent)) {
-        fs.listStatus(parent).map(_.getPath)
-          .filter(_.getName.startsWith(dest.getName + oldInfix))
-          .sortBy(_.getName).lastOption
+        fs.listStatus(parent)
+          .filter(_.getPath.getName.startsWith(dest.getName + oldInfix))
+          .sortBy(st => (st.getModificationTime, st.getPath.getName)).lastOption
+          .map(_.getPath)
           .foreach(o => require(fs.rename(o, dest), s"crash recovery: restoring $o to $dest failed"))
       }
     }

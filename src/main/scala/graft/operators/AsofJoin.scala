@@ -27,11 +27,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsofJoin {
 
+  /** Internal helper column names the union-tag plan builds; user
+    * frames must not collide with them (checked, fail-fast). */
+  private val reserved = Set("__k", "__t", "__src", "__payload", "__match")
+
   /** @param valueCols right-side columns carried onto matched left rows
     *                  (null when no right row precedes the left row). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clash = (leftCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")} internally; " +
+        s"rename input column(s) ${clash.distinct.mkString(", ")}")
+    val dup = valueCols.filter(leftCols.contains)
+    require(dup.isEmpty,
+      s"asofJoin output would carry duplicate column(s) ${dup.mkString(", ")}: " +
+        "valueCols must be disjoint from the left frame's columns")
     val payload = struct(valueCols.map(col): _*)
     // null semantics must match the inequality formulation (and SQL
     // ASOF): a null key or null timestamp never compares true, so a

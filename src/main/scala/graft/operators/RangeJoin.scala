@@ -23,6 +23,10 @@ object RangeJoin {
   def proximityJoin(left: DataFrame, right: DataFrame, key: String,
                     leftSec: String, rightSec: String, radiusSec: Long): DataFrame = {
     require(radiusSec > 0, s"radius must be positive, got $radiusSec")
+    val clash = (left.columns ++ right.columns).filter(Set("__bin", "__bin0"))
+    require(clash.isEmpty,
+      s"proximityJoin reserves column names __bin, __bin0 internally; " +
+        s"rename input column(s) ${clash.distinct.mkString(", ")}")
     val binW = radiusSec // binWidth = radius ⇒ adjacency coverage is exact
     val l = left.withColumn("__bin", floor(col(leftSec) / binW))
     val r = right

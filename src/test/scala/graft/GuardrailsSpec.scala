@@ -67,4 +67,35 @@ class GuardrailsSpec extends AnyFunSuite {
     assert(s2.experimental.extraOptimizations.count(_ eq graft.plans.BinnedIntervalJoin) == 1)
   }
 
+  test("registerAll on an extensions-built session does not add the rule a second time") {
+    import org.apache.spark.sql.SparkSession
+    val prev = TestSpark.spark
+    // getOrCreate returns the existing session (ignoring withExtensions)
+    // unless the active/default slots are cleared; restored in finally
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s3 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      // the extension already injected the rule (Spark places injected
+      // optimizer rules in its operator-optimization batches itself);
+      // registerAll must detect it there — not only in
+      // extraOptimizations — and add NOTHING on top
+      def ruleCount = s3.sessionState.optimizer.batches
+        .flatMap(_.rules).count(_ eq graft.plans.BinnedIntervalJoin)
+      val before = ruleCount
+      assert(before >= 1, "extension wiring should have injected the rule")
+      graft.plans.GraftFunctions.registerAll(s3)
+      assert(ruleCount == before,
+        s"registerAll re-added the extension-injected rule ($before -> $ruleCount)")
+      assert(s3.experimental.extraOptimizations.isEmpty)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
 }

@@ -51,6 +51,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2L, "recovered snapshot must be compacted intact")
   }
 
+  test("recoverParked restores the NEWEST parked snapshot by mtime, not name order") {
+    // double-crash shape: __old_9 and __old_10 coexist; lexicographic
+    // name order picks __old_9 (the stale batch) — mtime must win
+    val base = java.nio.file.Files.createTempDirectory("graft_park").toString
+    val dest = new org.apache.hadoop.fs.Path(base + "/t")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((9L, "stale")).toDF("id", "v").write.parquet(base + "/t__old_9")
+    Thread.sleep(1100) // parquet dir mtime granularity is 1 s on some filesystems
+    Seq((10L, "fresh")).toDF("id", "v").write.parquet(base + "/t__old_10")
+    graft.core.AtomicSwap.recoverParked(fs, dest, "__old_")
+    val got = spark.read.parquet(base + "/t").as[(Long, String)].collect().toSeq
+    assert(got == Seq((10L, "fresh")), s"recovered the wrong snapshot: $got")
+  }
+
+  test("asofJoin / proximityJoin fail fast on reserved internal column names") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "__payload")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofJoin(l, r, "k", "t", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("__payload"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.proximityJoin(
+        Seq((1L, 10L, 0L)).toDF("k", "s", "__bin"), r.toDF("k", "s", "v"), "k", "s", "s", 5L)
+    }
+    assert(e2.getMessage.contains("__bin"))
+  }
+
   test("registerAll exposes every testdata table to spark.sql") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
