@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and packing: PII redaction and per-source quota capping.
+  *
+  * Both are single-pass, shuffle-minimal shapes: redaction is a pure
+  * projection (codegen'd regexp engine, no UDF); capping is one
+  * shuffle on the quota key with WindowGroupLimit pushing the per-key
+  * top-n into the sort (no full materialization per group).
+  */
+object Curation {
+
+  /** Redaction patterns — written in the common subset of Java regex
+    * (Spark) and RE2 (DuckDB) so the oracle can run the identical
+    * pattern: no lookarounds, no \d shorthands, explicit classes. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern: String = "\\+?[0-9]{3}[- ]?[0-9]{3}[- ]?[0-9]{4}"
+
+  /** Redact emails → IPv4s → phone-shaped numbers (that order: the
+    * IPv4 pass must not see addresses hidden inside emails' domains,
+    * and the phone pass must not see the digits of IPv4s). Emits the
+    * redacted text plus per-kind match counts — the observability a
+    * scrub job ships to its data-quality dashboard. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    df
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
+      .withColumn("redacted", redacted)
+  }
+
+  /** Keep at most `n` rows per `key`, preferring by `order` (ties
+    * broken by `tiebreak` for determinism) — the per-domain/per-source
+    * quota that stops one crawl host from dominating a training mix.
+    * Plans as WindowGroupLimit: the rank filter is pushed into the
+    * per-partition sort, so only n rows per key survive the shuffle. */
+  def capPerKey(df: DataFrame, key: String, order: Column, tiebreak: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = Window.partitionBy(col(key)).orderBy(order, tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -40,6 +40,24 @@ object Behavioral {
       .orderBy("user_id", "session_no")
   }
 
+  /** Native session-window aggregation — Spark's built-in
+    * `session_window(time, gap)` (the streaming-capable form of
+    * [[sessionize]]'s lag+cumsum). Boundary semantics differ from the
+    * manual formulation: windows are half-open [start, end), so an
+    * event exactly `gap` after its predecessor starts a NEW session
+    * (the oracle mirrors with `>=`). Timestamps are second-truncated
+    * up front so both engines do identical integer gap math. */
+  def sessionWindows(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    t(s, dir, "events")
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("tss"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), rd(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+
   /** Conversion funnel per user: first view → first click after that →
     * first purchase after that; counts users reaching each stage. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
@@ -105,6 +123,7 @@ object Behavioral {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
+    "q_session_window" -> ((s, d) => sessionWindows(s, d)),
     "q_funnel" -> funnel,
     "q_retention" -> retention,
     "q_window_suite" -> windowSuite,
@@ -156,6 +175,26 @@ object Behavioral {
         |  count(*) AS n_events,
         |  floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      // gaps-and-islands mirror of session_window: NEW session when the
+      // second-truncated gap is >= 1800 s (half-open window semantics);
+      // end = last event + gap
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS tss, value FROM events),
+        |m AS (
+        |  SELECT user_id, tss, value,
+        |    CASE WHEN lag(tss) OVER w IS NULL
+        |           OR date_diff('second', lag(tss) OVER w, tss) >= 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+        |g AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tss
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(tss) AS session_start,
+        |  max(tss) + INTERVAL '30' MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  floor((sum(value))*100 + 0.5)/100 AS value_sum
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q_funnel" ->
       // every ts is µs-truncated up front: Spark reads the ns parquet at
       // µs precision, so comparing raw ns on the DuckDB side could admit

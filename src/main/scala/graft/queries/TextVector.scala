@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity, TfIdf}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TfIdf}
 
 /** Training-data-pipeline operator surface: text analysis, dedup family
   * (exact / prefix / MinHash+LSH / n-gram Jaccard / SimHash), embedding
@@ -327,6 +327,14 @@ object TextVector {
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
+    "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        md5(col("redacted")).as("fingerprint"))
+      .orderBy("doc_id")),
+    "q_source_cap" -> ((s, d) =>
+      Curation.capPerKey(docs(s, d), "source", col("n_chars").desc, col("doc_id"), n = 5)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "doc_id")),
     "q_hash_split" -> ((s, d) => {
       import graft.operators.Sampling
       Sampling.hashSplit(docs(s, d), "doc_id")
@@ -687,6 +695,23 @@ object TextVector {
         |  floor((1.0 - 1.0*n_distinct/n_words)*10000 + 0.5)/10000 AS word_dup_frac,
         |  floor((1.0*top_bg/total_bg)*10000 + 0.5)/10000 AS top_bigram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    // patterns interpolated from the SAME Curation constants the Spark
+    // side compiles (common Java-regex/RE2 subset); DuckDB needs the
+    // 'g' flag for replace-all, Spark's regexp_replace is all-match
+    "q_pii_scrub" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${Curation.EmailPattern}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${Curation.Ipv4Pattern}')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '${Curation.PhonePattern}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${Curation.EmailPattern}', '<EMAIL>', 'g'),
+        |    '${Curation.Ipv4Pattern}', '<IP>', 'g'),
+        |    '${Curation.PhonePattern}', '<PHONE>', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_cap" ->
+      """SELECT source, doc_id, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT *, CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket

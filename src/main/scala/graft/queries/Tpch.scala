@@ -52,6 +52,75 @@ object Tpch {
       .agg(rd(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Q5: local-supplier revenue — the 6-way join with the
+    * c_nationkey = s_nationkey co-location condition (customer and
+    * supplier in the SAME nation). Fact⋈fact (lineitem⋈orders)
+    * shuffles on the orderkey; every dimension (customer, supplier,
+    * nation, region) broadcasts, so the co-location condition adds a
+    * second broadcast probe, not a second shuffle. */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = broadcast(t(s, dir, "customer"))
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(n, sup("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  /** Q10: returned-item losses — customers ranked by revenue on
+    * 'R'-flagged lineitems in one quarter. Both fact filters reach the
+    * scans; customer/nation broadcast; top-20 via
+    * TakeOrderedAndProject. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14: promo-revenue share — conditional-sum ratio over
+    * lineitem⋈part in one shipdate month. The part side broadcasts;
+    * the ratio is a single-row aggregate, rounded where the division
+    * result is stable across engines (numerator/denominator are exact
+    * 4-decimal sums, mirrored structurally). */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = broadcast(t(s, dir, "part"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .agg(
+        rd(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 4)
+          .as("promo_revenue"),
+        rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(
+        rd(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"), col("n_items"))
+  }
+
   /** ROLLUP: hierarchical totals region → nation → grand total
     * (beyond-reference completeness; group keys coalesced to 'ALL' so
     * both engines order identically). */
@@ -142,7 +211,10 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> q1,
     "q_tpch_q3" -> q3,
+    "q_tpch_q5" -> q5,
     "q_tpch_q6" -> q6,
+    "q_tpch_q10" -> q10,
+    "q_tpch_q14" -> q14,
     "q_rollup" -> rollup,
     "q_grouping_sets" -> groupingSets,
     "q_unpivot" -> unpivot,
@@ -214,6 +286,42 @@ object Tpch {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
-    // q_approx_stats: rows-only (sketches are engine-specific).
+    "q_tpch_q5" ->
+      """SELECT n.n_name AS nation,
+        | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-10-01' AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH a AS (
+        |  SELECT
+        |    floor((sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END))*10000 + 0.5)/10000 AS promo_revenue,
+        |    floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS total_revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT floor((100.0 * promo_revenue / total_revenue)*1000000 + 0.5)/1000000 AS promo_pct,
+        |  promo_revenue, total_revenue, n_items
+        |FROM a""".stripMargin,
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** PII redaction + per-source quota capping. The driver's q_pii_scrub
+  * runs over synthetic text with no real PII (counts 0, fingerprints
+  * still cross-engine-checked); this spec plants real-shaped PII and
+  * pins the redaction semantics. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("piiScrub redacts emails, IPv4s and phone numbers; counts match") {
+    val df = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or 555 123-4567"),
+      (2L, "server at 192.168.0.1 and backup at 10.0.0.255, call 555-123-4567"),
+      (3L, "mixed: bob@host.org from 172.16.254.3 dials +1 555 867 5309"),
+      (4L, "nothing sensitive here, just words and the number 42")
+    ).toDF("doc_id", "text")
+    val got = Curation.piiScrub(df, "text")
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+
+    assert(got(0) == ((1L, 1, 0, 1, "contact me at <EMAIL> or <PHONE>")))
+    assert(got(1) == ((2L, 0, 2, 1, "server at <IP> and backup at <IP>, call <PHONE>")))
+    // "+1 555 867 5309" — the pattern anchors on the 10-digit run with
+    // optional separators, leaving the country-code prefix in place
+    assert(got(2)._2 == 1 && got(2)._3 == 1 && got(2)._4 == 1)
+    assert(got(2)._5.contains("<EMAIL>") && got(2)._5.contains("<IP>") && got(2)._5.contains("<PHONE>"))
+    assert(got(3) == ((4L, 0, 0, 0, "nothing sensitive here, just words and the number 42")))
+  }
+
+  test("piiScrub order: the email pass consumes its domain before the IPv4 pass runs") {
+    // mail.example.com must be swallowed by <EMAIL>, not re-scanned;
+    // the standalone dotted quad is still an <IP>
+    val df = Seq((1L, "x@mail.example.com then 111.222.333.444")).toDF("doc_id", "text")
+    val r = Curation.piiScrub(df, "text").select("redacted").as[String].head()
+    assert(r == "<EMAIL> then <IP>", s"got: $r")
+  }
+
+  test("capPerKey keeps exactly n rows per key with deterministic preference") {
+    val df = (1L to 40L).map(i => (s"s${i % 4}", i, i * 10)).toDF("source", "doc_id", "n_chars")
+    val got = Curation.capPerKey(df, "source", col("n_chars").desc, col("doc_id"), n = 3)
+    assert(got.groupBy("source").count().as[(String, Long)].collect().forall(_._2 == 3L))
+    // preference: the 3 largest n_chars per source survive
+    val s0 = got.filter(col("source") === "s0").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s0 == Seq(32L, 36L, 40L), s"got $s0")
+  }
+
+  test("capPerKey plans as WindowGroupLimit (rank filter pushed into the sort)") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Curation.capPerKey(docs, "source", col("n_chars").desc, col("doc_id"), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+}

@@ -114,4 +114,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("regexp_replace(lower(substring("),
       "prefix normalization regressed to a full-text regex pass")
   }
+
+  test("q_tpch_q5/q10: one fact⋈fact shuffle, every dim broadcast, filters pushed") {
+    for (q <- Seq("q_tpch_q5", "q_tpch_q10")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      // lineitem⋈orders is the only shuffle join; all dims broadcast
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1,
+        s"$q shuffles more than the single fact-fact join")
+      assert(p.contains("BroadcastHashJoin"), s"$q dims not broadcast")
+      assert(p.contains("PushedFilters:"), s"$q filters not pushed")
+    }
+    // the quarter bound must reach the orders scan, not a post-filter
+    assert(plan("q_tpch_q10").contains("GreaterThanOrEqual(o_orderdate"),
+      "q10 orderdate bound not pushed to the orders scan")
+  }
+
+  test("q_tpch_q14: part side broadcast, single-row aggregate, no shuffle beyond the agg") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_source_cap gets the WindowGroupLimit rank pushdown") {
+    assert(plan("q_source_cap").contains("WindowGroupLimit"))
+  }
+
+  test("q_pii_scrub is a pure projection — no shuffle before the final sort") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "redaction must stay a scan+project pipeline")
+  }
 }
