@@ -161,7 +161,34 @@ object Lakehouse {
       .orderBy("event_type")
   }
 
+  /** Columns profiled by q_profile — one of each type family (int,
+    * string, double, timestamp) so every render path is oracled. */
+  private val profileCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+  /** Single-scan per-column profile of `orders` (operators/Profiler):
+    * the data-quality summary job. */
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(t(s, dir, "orders"), profileCols)
+
+  /** DuckDB mirror generated from the same column list + type dispatch
+    * as the Spark side (one UNION ALL leg per column). */
+  private[queries] def profileOracle: String = {
+    val legs = Seq(
+      ("o_orderkey", "CAST(%s(o_orderkey) AS VARCHAR)"),
+      ("o_orderstatus", "CAST(%s(o_orderstatus) AS VARCHAR)"),
+      ("o_totalprice", "CAST(CAST(%s(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR)"),
+      ("o_orderdate", "CAST(date_trunc('second', %s(o_orderdate)) AS VARCHAR)"))
+      .map { case (c, render) =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  ${render.format("min")} AS min_val, ${render.format("max")} AS max_val
+           |FROM orders""".stripMargin
+      }
+    legs.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> profileOrders,
     "q_validation_split" -> validationSplit,
     "q_json_metrics" -> jsonMetrics,
     "q_decision_context" -> decisionContext,
@@ -224,6 +251,7 @@ object Lakehouse {
       |FROM ctx_core""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> profileOracle,
     "q_validation_split" ->
       """SELECT coalesce(
         |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'E_PARSE_ERROR'

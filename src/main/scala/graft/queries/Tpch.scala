@@ -182,15 +182,21 @@ object Tpch {
     * rows+schema+hash gate that goes red if a sketch drifts out of its
     * documented tolerance (2% distinct, 1% p90; same bounds
     * ApproxSpec asserts). */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("au"),
-        countDistinct(col("user_id")).as("exact_users"),
-        expr("percentile_approx(value, 0.9, 10000)").as("ap90"),
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    // two aggregations joined on the (tiny) group key, NOT one: mixing
+    // countDistinct's Expand rewrite with the percentile object
+    // buffers in a single agg forces every expanded row through the
+    // object-hash/sort-agg path (~7x slower at sf0.1: 8.8 s vs 1.2 s).
+    // Split, each agg keeps its fast shape; the join is 5 rows.
+    val users = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("au"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val values = e.groupBy(col("event_type"))
+      .agg(expr("percentile_approx(value, 0.9, 10000)").as("ap90"),
         expr("percentile(value, 0.9)").as("ep90"),
         count(lit(1)).as("n"))
+    users.join(values, Seq("event_type"))
       .select(col("event_type"), col("exact_users"),
         rd(col("ep90"), 2).as("exact_p90"), col("n"),
         // absolute floor of 2: at tiny cardinalities (sf0.001 groups
@@ -207,6 +213,7 @@ object Tpch {
         (abs(col("ap90") - col("ep90")) <= greatest(abs(col("ep90")) * lit(0.01), lit(3.0)))
           .as("p90_within_tol"))
       .orderBy("event_type")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> q1,

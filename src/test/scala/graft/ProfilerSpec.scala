@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Profiler
+
+class ProfilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profile: null counting, cardinality, ranges per type family") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, None, Some(2.5)),
+      (3L, Some("c"), None),
+      (4L, Some("a"), Some(10.25))
+    ).toDF("id", "s", "d")
+    val rows = Profiler.profile(df, Seq("id", "s", "d"))
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("d", 4L, 3L, 3L, "1.500000", "10.250000"),
+      ("id", 4L, 4L, 4L, "1", "4"),
+      ("s", 4L, 3L, 2L, "a", "c")))
+  }
+
+  test("profile reads the table once (single scan, Expand for the distinct aggs)") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "orders")
+    val plan = Profiler.profile(docs, Seq("o_orderkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
+  test("all-null column: zero nonnull/distinct, null-rendered range") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val r = Profiler.profile(df, Seq("s")).as[(String, Long, Long, Long, String, String)].head()
+    assert(r._3 == 0L && r._4 == 0L && r._5 == null && r._6 == null)
+  }
+}
