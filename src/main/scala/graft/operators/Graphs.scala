@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph scoring over edge lists — the shuffle-on-edge
+  * shape that scales: per-iteration state is one (node, rank) frame,
+  * each round is one equi-join on the edge source + one groupBy on the
+  * destination. No adjacency materialization, no driver-side graph.
+  * Complements Dedup.connectedComponents (pointer-doubling min-label).
+  */
+object Graphs {
+
+  /** PageRank with a fixed iteration count (the batch form: unrollable,
+    * deterministic, ORACLE-mirrorable — a convergence loop would be
+    * data-dependent). Contract: every node must have at least one
+    * out-edge (feed symmetric edges for bipartite/undirected graphs;
+    * checked). Dangling-mass redistribution is deliberately out of
+    * scope — symmetric edges make it unreachable.
+    *
+    * Each iteration: contributions = edges ⋈ ranks on src (one shuffle
+    * on src, which stays stable across iterations so AQE/exchange
+    * reuse applies), then sum per dst (one shuffle on dst). At any
+    * scale the state frame is |V| rows — never collected.
+    *
+    * @param edges (srcCol, dstCol) directed edge list; duplicates are
+    *              dropped (distinct) so parallel edges don't double-count.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    // every node needs out-degree >= 1, or its rank mass silently leaks
+    val dangling = nodes.join(deg, nodes("id") === deg("src"), "left_anti").limit(1).count()
+    require(dangling == 0L,
+      "pageRank contract: every node needs an out-edge (feed symmetric edges for undirected graphs)")
+    val n = nodes.count().toDouble
+    val withDeg = e.join(deg, "src") // reused every iteration
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 0 until iters) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      // nodes with no in-edges keep only the teleport term
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+}

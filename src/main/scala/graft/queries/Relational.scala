@@ -227,6 +227,24 @@ object Relational {
       .orderBy("set_op", "user_id")
   }
 
+  /** Distributed PageRank (operators/Graphs) over the customer↔supplier
+    * bipartite trade graph (symmetric edges from lineitem⋈orders).
+    * Fixed 2 iterations so the oracle can unroll the same arithmetic;
+    * ranks rounded at 1e-10 (sums of ~tens of doubles agree across
+    * engines far below that). */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
+      .select(col("id"), rd(col("rank"), 10).as("rank"))
+      .orderBy("id")
+  }
+
   /** As-of join (J8 analog, beyond the reference's equi-joins): every
     * non-purchase event matched to the same user's latest purchase at
     * or before it. Union-tag + single window pass (operators/AsofJoin)
@@ -328,6 +346,7 @@ object Relational {
     "q_quantiles" -> quantiles,
     "q_topk" -> topK,
     "q_set_ops" -> setOps,
+    "q_pagerank" -> pagerank,
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,5 +488,29 @@ object Relational {
         |UNION ALL
         |SELECT 'purchase_not_error' AS set_op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
         |ORDER BY set_op, user_id""".stripMargin,
+    // 2 unrolled PageRank iterations mirroring Graphs.pageRank exactly:
+    // same teleport arithmetic ((1.0-0.85)/N, not a 0.15 literal —
+    // 1.0-0.85 != 0.15 in binary), same left-join coalesce for nodes
+    // without in-edges
+    "q_pagerank" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0/nn AS rank FROM n, cnt),
+        |c1 AS (SELECT e.dst AS id, sum(r.rank/deg.d) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r0 r ON e.src = r.id GROUP BY 1),
+        |r1 AS (SELECT n.id, (1.0 - 0.85)/cnt.nn + 0.85*coalesce(c1.inflow, 0.0) AS rank
+        |       FROM n CROSS JOIN cnt LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum(r.rank/deg.d) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r1 r ON e.src = r.id GROUP BY 1),
+        |r2 AS (SELECT n.id, (1.0 - 0.85)/cnt.nn + 0.85*coalesce(c2.inflow, 0.0) AS rank
+        |       FROM n CROSS JOIN cnt LEFT JOIN c2 ON n.id = c2.id)
+        |SELECT id, floor((rank)*10000000000 + 0.5)/10000000000 AS rank
+        |FROM r2 ORDER BY id""".stripMargin,
   )
 }
