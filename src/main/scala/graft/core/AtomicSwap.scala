@@ -21,15 +21,23 @@ object AtomicSwap {
     * modification time (name order would mis-sort unpadded numeric
     * suffixes: `__old_9` > `__old_10` lexicographically, and restoring
     * the older snapshot after a double-crash sequence silently loses
-    * the later batch); name is only the deterministic tie-break. No-op
-    * when dest exists or nothing is parked. */
+    * the later batch). Equal mtimes are possible too (1-second
+    * granularity filesystems, adjacent micro-batches), so the
+    * tie-break is the NUMERIC value of the suffix when both parse
+    * (batch ids), with raw name order as the final resort. No-op when
+    * dest exists or nothing is parked. */
   def recoverParked(fs: FileSystem, dest: Path, oldInfix: String): Unit =
     if (!fs.exists(dest)) {
       val parent = dest.getParent
       if (parent != null && fs.exists(parent)) {
+        val prefix = dest.getName + oldInfix
         fs.listStatus(parent)
-          .filter(_.getPath.getName.startsWith(dest.getName + oldInfix))
-          .sortBy(st => (st.getModificationTime, st.getPath.getName)).lastOption
+          .filter(_.getPath.getName.startsWith(prefix))
+          .sortBy { st =>
+            val suffix = st.getPath.getName.drop(prefix.length)
+            val numeric = suffix.toLongOption.getOrElse(-1L)
+            (st.getModificationTime, numeric, st.getPath.getName)
+          }.lastOption
           .map(_.getPath)
           .foreach(o => require(fs.rename(o, dest), s"crash recovery: restoring $o to $dest failed"))
       }

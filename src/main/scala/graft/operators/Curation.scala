@@ -25,19 +25,23 @@ object Curation {
     * IPv4 pass must not see addresses hidden inside emails' domains,
     * and the phone pass must not see the digits of IPv4s). Emits the
     * redacted text plus per-kind match counts — the observability a
-    * scrub job ships to its data-quality dashboard. */
+    * scrub job ships to its data-quality dashboard. Each count runs on
+    * the PRECEDING pass's output, so it counts redactions actually
+    * performed, not pattern hits an earlier pass already consumed
+    * (n_ipv4 must not claim an <IP> for a dotted quad that was
+    * swallowed inside an email's domain). */
   def piiScrub(df: DataFrame, textCol: String): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-          Ipv4Pattern, "<IP>"),
-        PhonePattern, "<PHONE>")
+    val taken = df.columns.toSet
+    val clash = Seq("n_emails", "n_ipv4", "n_phones", "redacted").filter(taken)
+    require(clash.isEmpty,
+      s"piiScrub writes output column(s) ${clash.mkString(", ")} that already exist; rename them")
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
     df
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
-      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Pattern)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
-      .withColumn("redacted", redacted)
+      .withColumn("n_ipv4", regexp_count(afterEmail, lit(Ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhonePattern)))
+      .withColumn("redacted", regexp_replace(afterIp, PhonePattern, "<PHONE>"))
   }
 
   /** Keep at most `n` rows per `key`, preferring by `order` (ties
@@ -47,6 +51,8 @@ object Curation {
     * per-partition sort, so only n rows per key survive the shuffle. */
   def capPerKey(df: DataFrame, key: String, order: Column, tiebreak: Column, n: Int): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
+    require(!df.columns.contains("__rn"),
+      "capPerKey reserves column name __rn internally; rename the input column")
     val w = Window.partitionBy(col(key)).orderBy(order, tiebreak)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)

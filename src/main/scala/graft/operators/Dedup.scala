@@ -344,7 +344,12 @@ object Dedup {
       val b0 = s"(($a0) + 1 + $h2 % ($n - 1)) % $n"
       s"(CASE WHEN ${elem(vecCol, s"CAST($a0 AS INT) + 1")} > ${elem(vecCol, s"CAST($b0 AS INT) + 1")} THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }
-    bits.mkString("(", " + ", ")")
+    // vectors shorter than 2 can't draw a distinct index pair (and the
+    // `% (n-1)` would divide by zero under ANSI): key them NULL, which
+    // drops them from the equi-join candidate generation on BOTH
+    // engines (null never equi-matches) instead of crashing the job or
+    // silently collapsing them into bucket 0
+    s"(CASE WHEN $n >= 2 THEN ${bits.mkString("(", " + ", ")")} ELSE NULL END)"
   }
 
   /** Spark-dialect WTA bucket column. */
@@ -372,8 +377,9 @@ object Dedup {
     * Scale note: within-bucket comparison is quadratic in bucket size —
     * size `signBits` so 2^signBits tracks the corpus (8 bits suits the
     * test corpus; a billion-vector corpus wants 20+, same operator).
-    * Requires vectors of length >= 2 (the pair draw needs two distinct
-    * positions). */
+    * Vectors shorter than 2 elements can't draw an index pair and are
+    * keyed NULL → excluded from candidate generation (degenerate for
+    * similarity anyway). */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, signBits: Int = 8): DataFrame = {
     val keyed = embeddings.withColumn("__bucket", wtaBucket(vecCol, signBits))

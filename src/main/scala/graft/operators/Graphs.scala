@@ -31,13 +31,20 @@ object Graphs {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+      .persist() // read by the contract check, the n count, and every iteration
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    // every node needs out-degree >= 1, or its rank mass silently leaks
-    val dangling = nodes.join(deg, nodes("id") === deg("src"), "left_anti").limit(1).count()
+    // ONE action answers both prechecks: node count + dangling count
+    // (every node needs out-degree >= 1, or rank mass silently leaks)
+    val Array(nl, dangling) = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .agg(count(lit(1)), count(when(col("src").isNull, 1))).head().toSeq.toArray
+      .map(_.asInstanceOf[Long])
     require(dangling == 0L,
       "pageRank contract: every node needs an out-edge (feed symmetric edges for undirected graphs)")
-    val n = nodes.count().toDouble
-    val withDeg = e.join(deg, "src") // reused every iteration
+    val n = nl.toDouble
+    // reused every iteration — without the persist each of the `iters`
+    // actions downstream would recompute the upstream edge derivation
+    // (often a fact-fact join) from scratch
+    val withDeg = e.join(deg, "src").persist()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 0 until iters) {
       val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))

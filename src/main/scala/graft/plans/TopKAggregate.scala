@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -56,10 +56,14 @@ case class TopKAggregate(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, s"topk requires k > 0, got $k")
 
+  // analysis-time typing: an int id / float score coerces here instead
+  // of ClassCastException-ing in update() at runtime (AbstractDataType
+  // is private[sql]; Seq[DataType] narrows the override covariantly)
+  override def inputTypes: Seq[DataType] = Seq(LongType, DoubleType)
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

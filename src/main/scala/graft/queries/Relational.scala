@@ -489,9 +489,11 @@ object Relational {
         |SELECT 'purchase_not_error' AS set_op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
         |ORDER BY set_op, user_id""".stripMargin,
     // 2 unrolled PageRank iterations mirroring Graphs.pageRank exactly:
-    // same teleport arithmetic ((1.0-0.85)/N, not a 0.15 literal —
-    // 1.0-0.85 != 0.15 in binary), same left-join coalesce for nodes
-    // without in-edges
+    // the teleport term must subtract in DOUBLE — DuckDB parses 1.0 and
+    // 0.85 as DECIMALs and subtracts EXACTLY (0.15), while Spark's
+    // lit((1.0-0.85)/n) carries the binary result 0.15000000000000002;
+    // the casts force the identical IEEE subtraction. Same left-join
+    // coalesce for nodes without in-edges.
     "q_pagerank" ->
       """WITH pe AS (
         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -501,14 +503,14 @@ object Relational {
         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
-        |r0 AS (SELECT id, 1.0/nn AS rank FROM n, cnt),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/nn AS rank FROM n, cnt),
         |c1 AS (SELECT e.dst AS id, sum(r.rank/deg.d) AS inflow
         |       FROM e JOIN deg USING (src) JOIN r0 r ON e.src = r.id GROUP BY 1),
-        |r1 AS (SELECT n.id, (1.0 - 0.85)/cnt.nn + 0.85*coalesce(c1.inflow, 0.0) AS rank
+        |r1 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/cnt.nn + CAST(0.85 AS DOUBLE)*coalesce(c1.inflow, 0.0) AS rank
         |       FROM n CROSS JOIN cnt LEFT JOIN c1 ON n.id = c1.id),
         |c2 AS (SELECT e.dst AS id, sum(r.rank/deg.d) AS inflow
         |       FROM e JOIN deg USING (src) JOIN r1 r ON e.src = r.id GROUP BY 1),
-        |r2 AS (SELECT n.id, (1.0 - 0.85)/cnt.nn + 0.85*coalesce(c2.inflow, 0.0) AS rank
+        |r2 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/cnt.nn + CAST(0.85 AS DOUBLE)*coalesce(c2.inflow, 0.0) AS rank
         |       FROM n CROSS JOIN cnt LEFT JOIN c2 ON n.id = c2.id)
         |SELECT id, floor((rank)*10000000000 + 0.5)/10000000000 AS rank
         |FROM r2 ORDER BY id""".stripMargin,

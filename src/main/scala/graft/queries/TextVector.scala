@@ -697,17 +697,24 @@ object TextVector {
         |FROM a ORDER BY doc_id""".stripMargin,
     // patterns interpolated from the SAME Curation constants the Spark
     // side compiles (common Java-regex/RE2 subset); DuckDB needs the
-    // 'g' flag for replace-all, Spark's regexp_replace is all-match
+    // 'g' flag for replace-all, Spark's regexp_replace is all-match.
+    // Counts run on the preceding pass's output (= redactions actually
+    // performed), mirroring piiScrub exactly.
     "q_pii_scrub" ->
-      s"""SELECT doc_id,
+      s"""WITH s1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '${Curation.EmailPattern}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '${Curation.Ipv4Pattern}', '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '${Curation.EmailPattern}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '${Curation.Ipv4Pattern}')) AS INT) AS n_ipv4,
-        |  CAST(len(regexp_extract_all(text, '${Curation.PhonePattern}')) AS INT) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '${Curation.EmailPattern}', '<EMAIL>', 'g'),
-        |    '${Curation.Ipv4Pattern}', '<IP>', 'g'),
-        |    '${Curation.PhonePattern}', '<PHONE>', 'g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(t1, '${Curation.Ipv4Pattern}')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t2, '${Curation.PhonePattern}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(t2, '${Curation.PhonePattern}', '<PHONE>', 'g')) AS fingerprint
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5

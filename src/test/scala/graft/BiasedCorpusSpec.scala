@@ -48,6 +48,17 @@ class BiasedCorpusSpec extends AnyFunSuite {
     assert(base.join(shifted, "vec_id").filter(col("b") =!= col("b2")).count() == 0L)
   }
 
+  test("length-1 vectors are keyed NULL and excluded, not crashed on (ANSI % 0)") {
+    val mixed = biased.unionByName(
+      Seq((2000L, Array(1.0f))).toDF("vec_id", "embedding"))
+    val buckets = mixed.select(col("vec_id"), Dedup.wtaBucket("embedding", 8).as("b"))
+    assert(buckets.filter(col("vec_id") === 2000L).select("b").head().isNullAt(0))
+    // and pair generation simply skips it
+    val pairs = Dedup.embeddingNearDups(mixed, "vec_id", "embedding", threshold = -1.0)
+      .filter(col("id_a") === 2000L || col("id_b") === 2000L).count()
+    assert(pairs == 0L)
+  }
+
   test("near-identical pair still collides and is reported on the biased corpus") {
     // plant an exact near-dup of vec 7 (one coordinate nudged 1e-3)
     val dup = biased.filter(col("vec_id") === 7)

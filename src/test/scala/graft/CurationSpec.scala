@@ -40,6 +40,28 @@ class CurationSpec extends AnyFunSuite {
     assert(r == "<EMAIL> then <IP>", s"got: $r")
   }
 
+  test("counts report redactions PERFORMED, not raw pattern hits") {
+    // the dotted quad lives inside the email's domain: the email pass
+    // consumes it, so n_ipv4 must be 0 even though the raw text matches
+    // the IPv4 pattern once
+    val df = Seq((1L, "bob@1.2.3.4.co says hi")).toDF("doc_id", "text")
+    val r = Curation.piiScrub(df, "text")
+      .select("n_emails", "n_ipv4", "n_phones", "redacted")
+      .as[(Int, Int, Int, String)].head()
+    assert(r == ((1, 0, 0, "<EMAIL> says hi")), s"got: $r")
+  }
+
+  test("reserved output names fail fast") {
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.piiScrub(Seq((1L, "t", 0)).toDF("doc_id", "text", "n_emails"), "text")
+    }
+    assert(e1.getMessage.contains("n_emails"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.capPerKey(Seq((1L, "a", 2L)).toDF("k", "s", "__rn"), "k", col("s"), col("s"), 1)
+    }
+    assert(e2.getMessage.contains("__rn"))
+  }
+
   test("capPerKey keeps exactly n rows per key with deterministic preference") {
     val df = (1L to 40L).map(i => (s"s${i % 4}", i, i * 10)).toDF("source", "doc_id", "n_chars")
     val got = Curation.capPerKey(df, "source", col("n_chars").desc, col("doc_id"), n = 3)

@@ -65,6 +65,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == Seq((10L, "fresh")), s"recovered the wrong snapshot: $got")
   }
 
+  test("recoverParked equal-mtime tie-break: numeric batch id wins, not name order") {
+    // 1-second-granularity filesystems make adjacent micro-batch parks
+    // share an mtime; '__old_9' > '__old_10' lexicographically, so the
+    // tie-break must parse the numeric suffix
+    val base = java.nio.file.Files.createTempDirectory("graft_park2").toString
+    val dest = new org.apache.hadoop.fs.Path(base + "/t")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((9L, "stale")).toDF("id", "v").write.parquet(base + "/t__old_9")
+    Seq((10L, "fresh")).toDF("id", "v").write.parquet(base + "/t__old_10")
+    val now = System.currentTimeMillis()
+    fs.setTimes(new org.apache.hadoop.fs.Path(base + "/t__old_9"), now, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(base + "/t__old_10"), now, -1)
+    graft.core.AtomicSwap.recoverParked(fs, dest, "__old_")
+    val got = spark.read.parquet(base + "/t").as[(Long, String)].collect().toSeq
+    assert(got == Seq((10L, "fresh")), s"recovered the wrong snapshot: $got")
+  }
+
   test("asofJoin / proximityJoin fail fast on reserved internal column names") {
     val l = Seq((1L, 10L, "x")).toDF("k", "t", "__payload")
     val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
