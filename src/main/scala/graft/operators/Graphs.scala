@@ -29,7 +29,13 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 2, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // e feeds nodes (twice), deg, and the iteration frame — persist AND
+    // materialize it eagerly: a lazy persist only helps across actions
+    // AFTER it's populated, so the first downstream job would compute
+    // the upstream edge derivation (often a fact-fact join + distinct)
+    // once per uncached traversal it contains
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    e.count()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
       .persist() // read by the contract check, the n count, and every iteration
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -41,9 +47,11 @@ object Graphs {
     require(dangling == 0L,
       "pageRank contract: every node needs an out-edge (feed symmetric edges for undirected graphs)")
     val n = nl.toDouble
-    // reused every iteration — without the persist each of the `iters`
-    // actions downstream would recompute the upstream edge derivation
-    // (often a fact-fact join) from scratch
+    // reused every iteration — persisted so the upstream edge
+    // derivation (often a fact-fact join) computes once. No explicit
+    // repartition: the |V|-row rank frame broadcasts (AQE) into this
+    // side each round, so the edge frame is never re-shuffled; the
+    // only per-iteration shuffle is the groupBy(dst) of contributions
     val withDeg = e.join(deg, "src").persist()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 0 until iters) {

@@ -231,15 +231,25 @@ object Relational {
     * bipartite trade graph (symmetric edges from lineitem⋈orders).
     * Fixed 2 iterations so the oracle can unroll the same arithmetic;
     * ranks rounded at 1e-10 (sums of ~tens of doubles agree across
-    * engines far below that). */
+    * engines far below that).
+    *
+    * Node ids are parity-encoded LONGS (customer c → 2c, supplier s →
+    * 2s+1), not string-prefixed keys: every downstream dedup / join /
+    * groupBy then shuffles and hashes 8-byte longs — the string-keyed
+    * variant spent ~2× the time hashing 1.17M concat'd keys. No
+    * distinct here: pageRank dedups its edge input itself. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
-    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      .distinct()
-    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize with ONE pass: a self-union of the joined frame would
+    // execute the fact join once per union leg (plans don't share
+    // subtrees); explode emits both directions inline
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
       .select(col("id"), rd(col("rank"), 10).as("rank"))
       .orderBy("id")
@@ -496,8 +506,7 @@ object Relational {
     // coalesce for nodes without in-edges.
     "q_pagerank" ->
       """WITH pe AS (
-        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),

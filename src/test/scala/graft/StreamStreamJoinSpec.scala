@@ -40,4 +40,45 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       .select("user", "click_ts").as[(String, java.sql.Timestamp)].collect().toSet
     assert(got == Set(("u1", ts("2024-01-01 00:05:00"))))
   }
+
+  test("LEFT OUTER interval join emits unmatched impressions once the watermark passes") {
+    // the attribution shape: every impression must surface, clicked or
+    // not — but the null row can only be emitted when the watermark
+    // proves no in-window click can still arrive, so state stays finite
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+
+    val impDf = imps.toDF().toDF("user", "imp_ts").withWatermark("imp_ts", "5 minutes")
+    val clickDf = clicks.toDF().toDF("c_user", "click_ts").withWatermark("click_ts", "5 minutes")
+    val joined = impDf.join(clickDf,
+      col("user") === col("c_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    imps.addData(("u1", ts("2024-01-01 00:00:00")), ("u2", ts("2024-01-01 00:00:00")))
+    clicks.addData(("u1", ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // matched row emits immediately; u2's null row must NOT exist yet —
+    // a click inside [00:00, 00:10] could still arrive
+    val early = spark.table("ss_left_join")
+      .select("user", "c_user").as[(String, Option[String])].collect().toSet
+    assert(early == Set(("u1", Some("u1"))), s"premature outer emission: $early")
+
+    // advance both watermarks far past u2's join window end (00:10 +
+    // 5m delay); the unmatched impression must now emit with nulls
+    imps.addData(("u9", ts("2024-01-01 01:00:00")))
+    clicks.addData(("u9", ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val late = spark.table("ss_left_join")
+      .select("user", "c_user").as[(String, Option[String])].collect().toSet
+    assert(late.contains(("u2", None)), s"unmatched impression never emitted: $late")
+    assert(!late.contains(("u1", None)), "matched impression must not also emit a null row")
+  }
 }
