@@ -98,4 +98,17 @@ object MergeOps {
       .withColumn("is_current", col("effective_to").isNull)
       .drop(tsCol)
   }
+
+  /** Reconstruct the dimension AS OF an instant from [[scd2]] history —
+    * time travel without a table format: the version effective at `at`
+    * is `effective_from <= at AND (effective_to IS NULL OR
+    * effective_to > at)` (half-open intervals, so snapshots at an
+    * exact version boundary pick the NEW version). Pure filter: pushes
+    * to the history scan, no shuffle. Because scd2's intervals
+    * partition time per key, the result has at most one row per key
+    * (Scd2AsofSpec pins it). */
+  def snapshotAsOf(history: DataFrame, at: Column,
+                   fromCol: String = "effective_from",
+                   toCol: String = "effective_to"): DataFrame =
+    history.filter(col(fromCol) <= at && (col(toCol).isNull || col(toCol) > at))
 }

@@ -120,6 +120,14 @@ object Lakehouse {
       .orderBy("user_id", "effective_from")
   }
 
+  /** Dimension snapshot AS OF mid-history (2024-01-15), reconstructed
+    * from the [[scd2]] interval table — time travel as a pushed-down
+    * filter, no table format needed. */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame =
+    MergeOps.snapshotAsOf(scd2(s, dir), lit("2024-01-15").cast("date"))
+      .select(col("user_id"), col("event_type"), col("effective_from"))
+      .orderBy("user_id")
+
   /** P14/P16: per-key activity span in seconds (date_diff port). */
   def timeDiff(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -197,6 +205,7 @@ object Lakehouse {
     "q_action_queue_rows" -> actionQueueRowsFull,
     "q_merge_upsert" -> mergeUpsert,
     "q_scd2" -> scd2,
+    "q_scd2_asof" -> scd2AsOf,
     "q_time_diff" -> timeDiff,
     "q_null_battery" -> nullBattery,
     "q_freshness" -> freshness,
@@ -249,6 +258,23 @@ object Lakehouse {
       |  floor((skip_rate_30m)*10000 + 0.5)/10000 AS skip_rate_30m,
       |  candidate_flag, quality_gate_pass, under_exposed_flag, decision_type_preview
       |FROM ctx_core""".stripMargin
+
+  /** SCD2 versioning CTE chain ending at the interval relation `o` —
+    * shared by the history dump and the as-of snapshot oracle. */
+  private val scd2CoreSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+      |  FROM events),
+      |lg AS (SELECT user_id, day, event_type FROM e WHERE rn = 1),
+      |c AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn2
+      |      FROM lg WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |v AS (SELECT user_id, day, event_type FROM c
+      |      WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type),
+      |o AS (SELECT user_id, event_type, day AS effective_from,
+      |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS effective_to
+      |      FROM v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileOracle,
@@ -334,22 +360,19 @@ object Lakehouse {
         |WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.user_id = tgt.user_id)
         |ORDER BY user_id""".stripMargin,
     "q_scd2" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
-        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
-        |  FROM events),
-        |lg AS (SELECT user_id, day, event_type FROM e WHERE rn = 1),
-        |c AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn2
-        |      FROM lg WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-        |v AS (SELECT user_id, day, event_type FROM c
-        |      WHERE rn2 = 1 OR prev IS DISTINCT FROM event_type),
-        |o AS (SELECT user_id, event_type, day AS effective_from,
-        |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS effective_to
-        |      FROM v)
+      (scd2CoreSql + """
         |SELECT user_id, event_type, effective_from, effective_to,
         |  effective_to IS NULL AS is_current
-        |FROM o ORDER BY user_id, effective_from""".stripMargin,
+        |FROM o ORDER BY user_id, effective_from""".stripMargin),
+    // half-open interval containment: the version effective at the
+    // snapshot instant is from <= t AND (to IS NULL OR to > t)
+    "q_scd2_asof" ->
+      (scd2CoreSql + """
+        |SELECT user_id, event_type, effective_from
+        |FROM o
+        |WHERE effective_from <= DATE '2024-01-15'
+        |  AND (effective_to IS NULL OR effective_to > DATE '2024-01-15')
+        |ORDER BY user_id""".stripMargin),
     "q_time_diff" ->
       """SELECT user_id,
         | date_diff('second', min(date_trunc('second', ts)), max(date_trunc('second', ts))) AS span_seconds,

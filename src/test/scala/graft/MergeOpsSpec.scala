@@ -59,6 +59,26 @@ class MergeOpsSpec extends AnyFunSuite {
       ("u2", "buy", 1L, None, true)))
   }
 
+  test("snapshotAsOf: at most one version per key; boundary instant picks the NEW version") {
+    val log = Seq(
+      ("u1", 1L, "view"), ("u1", 3L, "click"), ("u1", 4L, "view"),
+      ("u2", 1L, "buy")).toDF("k", "ts", "attr")
+    val hist = MergeOps.scd2(log, Seq("k"), "ts", Seq("attr"))
+    def at(t: Long) = MergeOps.snapshotAsOf(hist, lit(t))
+      .select("k", "attr").as[(String, String)].collect().sorted.toSeq
+    // mid-interval
+    assert(at(2L) == Seq(("u1", "view"), ("u2", "buy")))
+    // exactly on a version boundary: half-open intervals → new version
+    assert(at(3L) == Seq(("u1", "click"), ("u2", "buy")))
+    // current open version
+    assert(at(99L) == Seq(("u1", "view"), ("u2", "buy")))
+    // before any history: empty
+    assert(at(0L).isEmpty)
+    // invariant: never more than one row per key at any instant
+    for (t <- 0L to 5L)
+      assert(at(t).map(_._1).distinct.size == at(t).size, s"duplicate key in snapshot at $t")
+  }
+
   test("scd2: null attribute values compare null-safely (null→null is a no-op)") {
     val log = Seq(
       ("u1", 1L, Option.empty[String]), ("u1", 2L, Option.empty[String]),
