@@ -16,7 +16,9 @@ object Graphs {
     * data-dependent). Contract: every node must have at least one
     * out-edge (feed symmetric edges for bipartite/undirected graphs;
     * checked). Dangling-mass redistribution is deliberately out of
-    * scope — symmetric edges make it unreachable.
+    * scope — symmetric edges make it unreachable. Returns a PERSISTED
+    * |V|-row (id, rank) frame, already materialized; the caller
+    * unpersists it (or clearCache()s) when done.
     *
     * Each iteration: contributions = edges ⋈ ranks on src (one shuffle
     * on src, which stays stable across iterations so AQE/exchange
@@ -64,6 +66,16 @@ object Graphs {
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank"))
     }
-    ranks
+    // materialize the final |V|-row result, then release the edge-sized
+    // intermediates — a repeated caller otherwise accumulates ~3 pinned
+    // edge-scale frames per invocation. The returned frame stays
+    // persisted (one |V|-row frame); the caller unpersists (or
+    // clearCache()s) when done with it.
+    val result = ranks.persist()
+    result.count()
+    e.unpersist()
+    nodes.unpersist()
+    withDeg.unpersist()
+    result
   }
 }

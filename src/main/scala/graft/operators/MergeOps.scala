@@ -106,7 +106,7 @@ object MergeOps {
     * exact version boundary pick the NEW version). Pure filter: pushes
     * to the history scan, no shuffle. Because scd2's intervals
     * partition time per key, the result has at most one row per key
-    * (Scd2AsofSpec pins it). */
+    * (MergeOpsSpec pins it at every instant of a hand-built history). */
   def snapshotAsOf(history: DataFrame, at: Column,
                    fromCol: String = "effective_from",
                    toCol: String = "effective_to"): DataFrame =
