@@ -215,13 +215,163 @@ object Tpch {
       .orderBy("event_type")
   }
 
+  /** Q7: volume shipping between two nations — supplier-nation ×
+    * customer-nation pair filter (disjunctive over the two directions)
+    * with per-year revenue. The nation dim broadcasts twice under two
+    * aliases; the only shuffle is the lineitem⋈orders fact join plus
+    * the final 4-group aggregate. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(n1, sup("s_nationkey") === n1("s_nkey"))
+      .join(n2, c("c_nationkey") === n2("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q13: customer order-count distribution — LEFT OUTER join with an
+    * extra join-side predicate (so unmatched customers count 0), then a
+    * second aggregation over the first's result (two shuffles by
+    * design: per-customer, then per-count histogram). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15: top supplier — a revenue CTE used twice (per-supplier revenue
+    * and its max), joined back: the classic reused-subplan + scalar
+    * aggregate shape. The max comparison is unrounded WITHIN each
+    * engine (consistent), only the emitted revenue is rounded. */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val revenue = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    val sup = broadcast(t(s, dir, "supplier"))
+    revenue.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), rd(col("total_revenue"), 4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17: small-quantity-order revenue — per-part average-quantity
+    * threshold (the correlated scalar subquery), decorrelated into a
+    * broadcast-able per-part aggregate join. The threshold
+    * `qty < 0.2 * avg` is evaluated as `5 * qty * cnt < qty_total`:
+    * quantities are integer-valued doubles, so both sides are EXACT in
+    * IEEE arithmetic and the borderline row can't flip between
+    * engines. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#1"))
+    val stats = li.groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty_total"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(stats, li("l_partkey") === col("sp_partkey"))
+      .filter(col("l_quantity") * lit(5) * col("cnt") < col("qty_total"))
+      .agg(rd(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q18: large-volume customers — GROUP BY + HAVING subquery as a
+    * semi-join back onto the fact, then a second grouped aggregate.
+    * sum(l_quantity) is exact (integer-valued doubles), so the HAVING
+    * threshold is engine-stable. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("big_orderkey"))
+      .agg(sum(col("l_quantity")).as("order_qty"))
+      .filter(col("order_qty") > 250)
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    li.join(big, li("l_orderkey") === col("big_orderkey"), "left_semi")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19: discounted revenue under three disjunctive brand/size/
+    * quantity branches — the equi-join on partkey stays a hash join
+    * and the OR ladder becomes a post-join filter (Catalyst extracts
+    * the common p_partkey key; the per-branch predicates can't be
+    * pushed below the join because they straddle both sides). */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = broadcast(t(s, dir, "part"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q22: dormant high-balance customers — scalar AVG subquery as a
+    * 1-row broadcast threshold plus an anti-join against urgent
+    * orders (every customer has SOME order in this corpus, so the
+    * classic no-orders predicate is re-targeted at '1-URGENT'),
+    * grouped by nation. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), rd(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> q1,
     "q_tpch_q3" -> q3,
     "q_tpch_q5" -> q5,
     "q_tpch_q6" -> q6,
+    "q_tpch_q7" -> q7,
     "q_tpch_q10" -> q10,
+    "q_tpch_q13" -> q13,
     "q_tpch_q14" -> q14,
+    "q_tpch_q15" -> q15,
+    "q_tpch_q17" -> q17,
+    "q_tpch_q18" -> q18,
+    "q_tpch_q19" -> q19,
+    "q_tpch_q22" -> q22,
     "q_rollup" -> rollup,
     "q_grouping_sets" -> groupingSets,
     "q_unpivot" -> unpivot,
@@ -318,6 +468,84 @@ object Tpch {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |  floor((r.total_revenue)*10000 + 0.5)/10000 AS total_revenue
+        |FROM revenue r
+        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH stats AS (
+        |  SELECT l_partkey, count(*) AS cnt, sum(l_quantity) AS qty_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT floor((sum(l.l_extendedprice) / 7.0)*100 + 0.5)/100 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN stats s ON l.l_partkey = s.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity * 5 * s.cnt < s.qty_total""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |  sum(l.l_quantity) AS total_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH avg_bal AS (
+        |  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey, count(*) AS numcust,
+        |  floor((sum(c.c_acctbal))*100 + 0.5)/100 AS totacctbal
+        |FROM customer c, avg_bal
+        |WHERE c.c_acctbal > avg_bal.avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q14" ->
       """WITH a AS (
         |  SELECT
