@@ -155,6 +155,89 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"), col("__sim").as("sim"))
   }
 
+  /** Seeded corpus-vector pairs for [[differencePlanes]]: 12 planes →
+    * 3 bands × 4 bits. Ids are fixed primes < 500 (the smallest corpus
+    * size), so every SF sees the same planes. */
+  val DefaultPlanePairs: Seq[(Long, Long)] = Seq(
+    (3L, 17L), (29L, 41L), (53L, 67L), (79L, 97L), (103L, 113L), (131L, 149L),
+    (151L, 167L), (179L, 197L), (211L, 223L), (227L, 239L), (251L, 263L), (271L, 283L))
+
+  /** Random-hyperplane source for LSH: plane i is the DIFFERENCE of two
+    * seeded corpus vectors (a−b). Differences of i.i.d. draws are
+    * zero-mean even when the embedding model emits a strong common
+    * component, so the sign bits stay balanced — the same bias failure
+    * the WTA bucket key fixes for near-dup (raw leading-dim signs
+    * collapse every row into one bucket on a biased corpus). The plane
+    * is never materialized as a vector: downstream uses
+    * dot(v, a−b) = dot(v,a) − dot(v,b), two codegen'd dots. */
+  def differencePlanes(corpus: DataFrame, idCol: String, vecCol: String,
+                       pairs: Seq[(Long, Long)] = DefaultPlanePairs): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idx = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("plane_idx", "a_id", "b_id")
+    val va = corpus.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    broadcast(idx).join(va, "a_id").join(vb, "b_id")
+      .select(col("plane_idx"), col("va"), col("vb"))
+  }
+
+  /** b-bit sign signature per row: bit i = [dot(v, planeᵢ) ≥ 0],
+    * assembled into one BIGINT. One broadcast fan-out over the (tiny)
+    * plane table + one groupBy on the row id — the vector rides along
+    * (every row of a group carries the identical array, so first() is
+    * deterministic). */
+  def lshSignatures(df: DataFrame, idCol: String, vecCol: String,
+                    planes: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(planes))
+      .withColumn("__bit", dotExpr(vecCol, "va") - dotExpr(vecCol, "vb") >= 0)
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        sum(when(col("__bit"), expr("shiftleft(CAST(1 AS BIGINT), plane_idx)"))
+          .otherwise(0L)).as("sig"))
+
+  /** Minhash-style banding over the sign signature: a row fans out to
+    * `nBands` (band_id, band_key) rows; two rows are candidates iff
+    * they collide on at least one band. */
+  def lshBands(sigs: DataFrame, idCol: String, vecCol: String,
+               bandBits: Int, nBands: Int): DataFrame =
+    sigs.select(col(idCol), col(vecCol), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"))
+      .withColumn("band_key",
+        expr(s"(sig >> (band_id * $bandBits)) & ${(1 << bandBits) - 1}"))
+
+  /** LSH-bucketed ANN top-k — the third point on the exact↔approx
+    * spectrum next to [[bruteForceTopK]] (exact, O(|Q|·|C|)) and
+    * [[ivfTopKWith]] (needs a trained quantizer). Candidate generation
+    * is a pure equi-join on (band_id, band_key): no training pass, no
+    * cross join, corpus-side work is one broadcast fan-out + one
+    * shuffle on the band key. Candidates are deduped across bands
+    * (dropDuplicates on the pair — vectors ride along), then exactly
+    * re-ranked by cosine. Recall is tunable via bands × bandBits; a
+    * query returns fewer than k rows only if its buckets genuinely
+    * hold fewer candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, pairs: Seq[(Long, Long)] = DefaultPlanePairs,
+              bandBits: Int = 4): DataFrame = {
+    require(pairs.nonEmpty && pairs.length % bandBits == 0,
+      s"plane count ${pairs.length} must be a positive multiple of bandBits=$bandBits")
+    val nBands = pairs.length / bandBits
+    val planes = differencePlanes(corpus, idCol, vecCol, pairs)
+    val cb = lshBands(lshSignatures(corpus, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("band_id"), col("band_key"))
+    val qb = lshBands(lshSignatures(queries, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("band_id"), col("band_key"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(qb).join(cb, Seq("band_id", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosineExpr("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** [[ivfTopK]] against caller-supplied centroids (e.g. a
     * [[kMeansFit]] quantizer), with optional multi-probe. */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -239,6 +239,16 @@ object TextVector {
       .orderBy("query_id", "rank")
   }
 
+  /** Training-free LSH ANN (difference-plane sign bands + exact
+    * re-rank) — candidate generation is a band equi-join, no quantizer
+    * fit, no cross join. */
+  def embedLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF with the FITTED spherical-k-means quantizer + multi-probe
     * (nprobe=3) — the production ANN path. The Lloyd iteration isn't
     * SQL-expressible, so the detailed ranking can't be oracled; the
@@ -323,6 +333,7 @@ object TextVector {
       .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
+    "q_embed_lsh" -> embedLsh,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -650,6 +661,40 @@ object TextVector {
         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
         |SELECT id_a, id_b, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM p WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+    // plane pairs interpolated from Similarity.DefaultPlanePairs (the
+    // generated-SQL pattern: dialects can't drift); the plane is never
+    // materialized — dot(v, a−b) = dot(v,a) − dot(v,b) on both engines
+    "q_embed_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs(plane_idx, a_id, b_id) AS (VALUES ${
+          graft.operators.Similarity.DefaultPlanePairs.zipWithIndex
+            .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+        |planes AS (
+        |  SELECT p.plane_idx, ea.v AS va, eb.v AS vb
+        |  FROM pairs p JOIN e ea ON ea.vec_id = p.a_id JOIN e eb ON eb.vec_id = p.b_id),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.va) - list_dot_product(e.v, pl.vb) >= 0
+        |      THEN CAST(1 AS BIGINT) << pl.plane_idx ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e CROSS JOIN planes pl GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, b AS band_id, (sig >> (4*b)) & 15 AS band_key
+        |  FROM sigs, generate_series(0, 2) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM cand cd JOIN e a ON a.vec_id = cd.query_id JOIN e b ON b.vec_id = cd.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |  floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q_embed_ivf" ->
       """WITH cent AS (
         |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec

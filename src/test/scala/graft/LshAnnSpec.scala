@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** LSH-bucketed ANN (difference-plane sign bands + exact re-rank):
+  * candidate quality, bias resistance, and the no-cross-join plan
+  * shape. The per-row result values are oracled by q_embed_lsh; these
+  * tests pin the properties the oracle can't see. */
+class LshAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("re-ranked output: ranks contiguous from 1, cosine non-increasing per query") {
+    val out = Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSeq == (1 to rows.length), s"query $q ranks not contiguous")
+      val cos = rows.sortBy(_._2).map(_._4)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q cosine not sorted")
+    }
+  }
+
+  test("every LSH hit is a true-cosine hit: scores match brute force exactly") {
+    val q = embs.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", k = 500)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
+    val lsh = Similarity.lshTopK(embs, q, "vec_id", "embedding", k = 3)
+    val joined = lsh.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("bf_cosine").isNull || col("bf_cosine") =!= col("cosine")).count() == 0L)
+  }
+
+  test("recall@3 vs brute force clears the documented floor on the real corpus") {
+    val q = embs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = Similarity.lshTopK(embs, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = lsh.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    assert(total == 8 * 3L)
+    val recall = hits.toDouble / total
+    assert(recall >= 0.3, f"recall@3 = $recall%.2f below documented floor 0.3")
+  }
+
+  test("difference-plane signatures fan out on an all-positive (sign-biased) corpus") {
+    val rows = (0L until 64L).map { id =>
+      val v = Array.tabulate(16) { i =>
+        val x = (1.0 + math.sin(id * 16 + i)).toFloat
+        if (x <= 0f) 0.01f else x
+      }
+      (id, v)
+    }
+    val biased = rows.toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (3L, 5L), (7L, 11L), (13L, 17L), (19L, 23L), (29L, 31L),
+      (37L, 41L), (43L, 47L), (4L, 8L), (6L, 9L), (10L, 14L), (12L, 15L))
+    val planes = Similarity.differencePlanes(biased, "vec_id", "embedding", pairs)
+    val sigs = Similarity.lshSignatures(biased, "vec_id", "embedding", planes)
+    assert(sigs.select("sig").distinct().count() > 8L, "signatures collapsed on biased corpus")
+  }
+
+  test("plan: candidate generation is a hash join on the band key, no cartesian product") {
+    val plan = Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in LSH plan:\n$plan")
+  }
+}
