@@ -58,4 +58,39 @@ object Profiler {
       .select("p.*")
       .orderBy("col_name")
   }
+
+  /** Equi-depth (equal-frequency) histogram: `bins` buckets whose
+    * boundaries are the exact 1/bins .. (bins-1)/bins percentiles, then
+    * one counting pass with the (bins-1)-element boundary array
+    * broadcast into a scalar fold — no sort, no second shuffle of the
+    * data. Bucket of x = #boundaries strictly below x, so ties on a
+    * boundary all land in the lower bucket (deterministic, order-free).
+    * Two scans total; at 100 TB swap `percentile` for
+    * `approx_percentile` — the exact form is kept because the
+    * cross-engine oracle must predict it (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` bit-for-bit). Pass bins as a power of two so the
+    * percentile fractions are exact binary doubles on both engines. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, bins: Int,
+                         boundaryDecimals: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val ps = (1 until bins).map(i => s"CAST(${i}.0/${bins}.0 AS DOUBLE)").mkString(", ")
+    // Boundaries are rounded (half-up at `boundaryDecimals`) BEFORE the
+    // comparison pass: when a percentile lands exactly on a duplicated
+    // data value, engines disagree in the last ulp of the interpolation
+    // (a + f*(b-a) vs (1-f)*a + f*b) and rows sitting ON the boundary
+    // would flip bins. Input data at 2 decimals puts true boundaries on
+    // a 5-decimal grid, so 6-decimal rounding absorbs the drift without
+    // merging distinct boundaries.
+    val scale = math.pow(10, boundaryDecimals).toLong
+    val bounds = df.agg(expr(
+      s"""transform(percentile($valueCol, array($ps)),
+         | b -> CAST(FLOOR(b * $scale.0 + 0.5) AS DOUBLE) / $scale.0)""".stripMargin)
+      .as("__bounds"))
+    df.select(col(valueCol)).crossJoin(broadcast(bounds))
+      .withColumn("bin_id",
+        expr(s"aggregate(__bounds, 0, (acc, b) -> acc + (CASE WHEN $valueCol > b THEN 1 ELSE 0 END))"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"), min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .orderBy("bin_id")
+  }
 }

@@ -195,8 +195,15 @@ object Lakehouse {
     legs.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Equi-depth 8-bin histogram of events.value (operators/Profiler):
+    * exact-percentile boundaries + one broadcast counting pass. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.equiDepthHistogram(t(s, dir, "events"), "value", bins = 8)
+      .select(col("bin_id").cast("int").as("bin_id"), col("n"), col("lo"), col("hi"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
+    "q_histogram" -> valueHistogram,
     "q_validation_split" -> validationSplit,
     "q_json_metrics" -> jsonMetrics,
     "q_decision_context" -> decisionContext,
@@ -278,6 +285,20 @@ object Lakehouse {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileOracle,
+    // exact percentile boundaries: Spark `percentile` ≡ DuckDB
+    // `quantile_cont` bit-for-bit; 1/8-grid fractions are exact binary
+    "q_histogram" ->
+      """WITH bounds AS (
+        |  SELECT list_transform(
+        |    quantile_cont(value, [1.0/8.0, 2.0/8.0, 3.0/8.0, 4.0/8.0, 5.0/8.0, 6.0/8.0, 7.0/8.0]),
+        |    b -> floor(b * 1000000.0 + 0.5) / 1000000.0) AS bs
+        |  FROM events),
+        |binned AS (
+        |  SELECT value, len(list_filter(bs, b -> value > b)) AS bin_id
+        |  FROM events, bounds)
+        |SELECT CAST(bin_id AS INTEGER) AS bin_id, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_validation_split" ->
       """SELECT coalesce(
         |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'E_PARSE_ERROR'
