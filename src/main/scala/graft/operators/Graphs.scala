@@ -78,4 +78,44 @@ object Graphs {
     withDeg.unpersist()
     result
   }
+
+  /** Triangle census over an undirected edge list via wedge-closing:
+    * canonicalize every edge to (u < v), build wedges a<b<c with two
+    * id-oriented passes (ab ⋈ bc on the middle node), then LEFT-join
+    * the closing (a,c) edge — `n_wedges` = open+closed paths,
+    * `n_triangles` = closed ones (each triangle counted exactly once
+    * under the a<b<c convention). Single (n_nodes, n_edges, n_wedges,
+    * n_triangles) row; global clustering coefficient =
+    * 3·triangles / wedges.
+    *
+    * Shuffle budget: one distinct on the canonical edge, one equi-join
+    * per pass — wedge volume is Σ deg², so feed SPARSE graphs (a kNN
+    * graph from [[Similarity.knnGraph]] is ≤ k·|V| edges by
+    * construction). At scale the id-orientation would be replaced by
+    * degree-orientation (orient each edge toward the higher-degree
+    * endpoint) to bound the wedge count on skewed graphs — same plan
+    * shape, one extra degree join. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(
+        e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+          .agg(count(lit(1)).as("n_nodes")))
+    val ab = e.select(col("u").as("a"), col("v").as("b"))
+    val bc = e.select(col("u").as("wb"), col("v").as("c"))
+    val closing = e.select(col("u").as("ca"), col("v").as("cc"), lit(1).as("closed"))
+    val wedgeAgg = ab.join(bc, col("b") === col("wb"))
+      .join(closing, col("a") === col("ca") && col("c") === col("cc"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
+    val result = counts.crossJoin(wedgeAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+      .persist()
+    result.count()
+    e.unpersist()
+    result
+  }
 }

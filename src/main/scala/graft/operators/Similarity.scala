@@ -219,17 +219,21 @@ object Similarity {
     * hold fewer candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, pairs: Seq[(Long, Long)] = DefaultPlanePairs,
-              bandBits: Int = 4): DataFrame = {
+              bandBits: Int = 4, broadcastQueries: Boolean = true): DataFrame = {
     require(pairs.nonEmpty && pairs.length % bandBits == 0,
       s"plane count ${pairs.length} must be a positive multiple of bandBits=$bandBits")
     val nBands = pairs.length / bandBits
     val planes = differencePlanes(corpus, idCol, vecCol, pairs)
     val cb = lshBands(lshSignatures(corpus, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("band_id"), col("band_key"))
-    val qb = lshBands(lshSignatures(queries, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
+    val qb0 = lshBands(lshSignatures(queries, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("band_id"), col("band_key"))
+    // broadcast for the few-probes-against-big-corpus shape; turn OFF
+    // when queries ARE the corpus (kNN graph) — there both sides
+    // shuffle on the band key instead
+    val qb = if (broadcastQueries) broadcast(qb0) else qb0
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(qb).join(cb, Seq("band_id", "band_key"))
+    qb.join(cb, Seq("band_id", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosineExpr("qv", "cv"))
@@ -237,6 +241,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** k-NN graph over the corpus itself: every vector queries the LSH
+    * index (queries ARE the corpus, so nothing is broadcast — both
+    * sides shuffle on the band key). Returns directed
+    * (query_id, rank, neighbor_id, cosine) edges, ≤ k per node —
+    * sparse by construction, the input shape for graph analytics over
+    * an embedding space ([[Graphs.triangleStats]], connected
+    * components, label propagation). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               pairs: Seq[(Long, Long)] = DefaultPlanePairs, bandBits: Int = 4): DataFrame =
+    lshTopK(corpus, corpus, idCol, vecCol, k, pairs, bandBits, broadcastQueries = false)
 
   /** [[ivfTopK]] against caller-supplied centroids (e.g. a
     * [[kMeansFit]] quantizer), with optional multi-probe. */

@@ -249,6 +249,15 @@ object TextVector {
       .orderBy("query_id", "rank")
   }
 
+  /** Triangle census of the LSH 3-NN graph: composes
+    * Similarity.knnGraph (corpus-as-queries, no broadcast) with
+    * Graphs.triangleStats — the clustering-structure probe over the
+    * embedding space. */
+  def knnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
+  }
+
   /** IVF with the FITTED spherical-k-means quantizer + multi-probe
     * (nprobe=3) — the production ANN path. The Lloyd iteration isn't
     * SQL-expressible, so the detailed ranking can't be oracled; the
@@ -334,6 +343,7 @@ object TextVector {
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
     "q_embed_lsh" -> embedLsh,
+    "q_knn_triangles" -> knnTriangles,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -478,6 +488,41 @@ object TextVector {
       |  SELECT query_id, neighbor_id,
       |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
       |  FROM q, c WHERE query_id <> neighbor_id)""".stripMargin
+
+  /** Shared LSH CTE chain (through the ranked relation `r`): generated
+    * from the SAME Similarity.DefaultPlanePairs constants the Spark
+    * side uses (plane pairs, 4-bit bands, dot-difference signs) so the
+    * dialects cannot drift. `queryPred` filters the query side of the
+    * band join (`q` = the bands relation aliased for queries). */
+  private def lshRankedCtes(queryPred: String): String = {
+    val pairValues = graft.operators.Similarity.DefaultPlanePairs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pairs(plane_idx, a_id, b_id) AS (VALUES $pairValues),
+       |planes AS (
+       |  SELECT p.plane_idx, ea.v AS va, eb.v AS vb
+       |  FROM pairs p JOIN e ea ON ea.vec_id = p.a_id JOIN e eb ON eb.vec_id = p.b_id),
+       |sigs AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.va) - list_dot_product(e.v, pl.vb) >= 0
+       |      THEN CAST(1 AS BIGINT) << pl.plane_idx ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN planes pl GROUP BY 1),
+       |bands AS (
+       |  SELECT vec_id, b AS band_id, (sig >> (4*b)) & 15 AS band_key
+       |  FROM sigs, generate_series(0, 2) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
+       |  WHERE ($queryPred) AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |  FROM cand cd JOIN e a ON a.vec_id = cd.query_id JOIN e b ON b.vec_id = cd.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |      FROM scored)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -665,36 +710,26 @@ object TextVector {
     // generated-SQL pattern: dialects can't drift); the plane is never
     // materialized — dot(v, a−b) = dot(v,a) − dot(v,b) on both engines
     "q_embed_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pairs(plane_idx, a_id, b_id) AS (VALUES ${
-          graft.operators.Similarity.DefaultPlanePairs.zipWithIndex
-            .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
-        |planes AS (
-        |  SELECT p.plane_idx, ea.v AS va, eb.v AS vb
-        |  FROM pairs p JOIN e ea ON ea.vec_id = p.a_id JOIN e eb ON eb.vec_id = p.b_id),
-        |sigs AS (
-        |  SELECT e.vec_id,
-        |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.va) - list_dot_product(e.v, pl.vb) >= 0
-        |      THEN CAST(1 AS BIGINT) << pl.plane_idx ELSE 0 END) AS BIGINT) AS sig
-        |  FROM e CROSS JOIN planes pl GROUP BY 1),
-        |bands AS (
-        |  SELECT vec_id, b AS band_id, (sig >> (4*b)) & 15 AS band_key
-        |  FROM sigs, generate_series(0, 2) AS t(b)),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        |  FROM bands q JOIN bands c ON q.band_id = c.band_id AND q.band_key = c.band_key
-        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-        |scored AS (
-        |  SELECT cd.query_id, cd.neighbor_id,
-        |    list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-        |  FROM cand cd JOIN e a ON a.vec_id = cd.query_id JOIN e b ON b.vec_id = cd.neighbor_id),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |      FROM scored)
+      s"""WITH ${lshRankedCtes(queryPred = "q.vec_id < 8")}
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |  floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // kNN graph (all-corpus LSH, k=3) → canonical undirected edges →
+    // wedge-closing triangle census; CTE chain shared with q_embed_lsh
+    "q_knn_triangles" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |edges AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |nn AS (SELECT count(*) AS n_nodes FROM (SELECT u FROM edges UNION SELECT v FROM edges)),
+        |ne AS (SELECT count(*) AS n_edges FROM edges),
+        |w AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |      FROM edges ab JOIN edges bc ON ab.v = bc.u),
+        |cl AS (SELECT w.a, w.c, e2.u AS closed
+        |       FROM w LEFT JOIN edges e2 ON w.a = e2.u AND w.c = e2.v),
+        |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
     "q_embed_ivf" ->
       """WITH cent AS (
         |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec

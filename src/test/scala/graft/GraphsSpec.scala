@@ -39,4 +39,26 @@ class GraphsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("out-edge"))
   }
+
+  test("triangleStats: K4 has 4 triangles, 4 wedges under a<b<c; path has 1 open wedge") {
+    // complete graph on {1,2,3,4}: C(4,3)=4 triangles; under the a<b<c
+    // orientation every ordered triple is exactly one wedge, all closed
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    val r = Graphs.triangleStats(k4, "s", "d")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((4L, 6L, 4L, 4L)), s"K4 census wrong: $r")
+
+    // 3-node path 1-2-3: one wedge, zero triangles
+    val p = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val rp = Graphs.triangleStats(p, "s", "d").as[(Long, Long, Long, Long)].head()
+    assert(rp == ((3L, 2L, 1L, 0L)), s"path census wrong: $rp")
+  }
+
+  test("triangleStats: reversed duplicates and self-loops collapse to the canonical edge") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (2L, 2L))
+      .toDF("s", "d")
+    val r = Graphs.triangleStats(messy, "s", "d").as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 1L, 1L)), s"canonicalization wrong: $r")
+  }
 }
