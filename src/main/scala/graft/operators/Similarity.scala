@@ -233,10 +233,14 @@ object Similarity {
     // shuffle on the band key instead
     val qb = if (broadcastQueries) broadcast(qb0) else qb0
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    // score BEFORE the cross-band dedup: a pair colliding in b bands is
+    // scored b times (cheap, codegen'd, map-side), but the dedup
+    // shuffle then carries (id, id, cosine) — 24 bytes — instead of
+    // two embedding arrays per row
     qb.join(cb, Seq("band_id", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosineExpr("qv", "cv").as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosineExpr("qv", "cv"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
