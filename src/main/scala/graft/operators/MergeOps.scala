@@ -111,4 +111,47 @@ object MergeOps {
                    fromCol: String = "effective_from",
                    toCol: String = "effective_to"): DataFrame =
     history.filter(col(fromCol) <= at && (col(toCol).isNull || col(toCol) > at))
+
+  /** Diff two snapshots of the same keyed table: one (keys...,
+    * change_type) row per difference — 'I' key only in `after`, 'D' key
+    * only in `before`, 'U' key in both with any `compareCols` value
+    * changed (null-safe per column, so null→null is NOT a change).
+    * Unchanged keys are absent. The change-feed generator for engines
+    * without a native CDF: one full-outer equi-join on the key, nothing
+    * else. Keys must be non-null (absence is detected via key
+    * nullness on the unmatched side). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val b = before.select((keys ++ compareCols).map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select((keys ++ compareCols).map(c => col(c).as(s"__a_$c")): _*)
+    val joined = b.join(a, keys.map(k => col(s"__b_$k") === col(s"__a_$k")).reduce(_ && _), "full_outer")
+    val changed = compareCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col(s"__b_${keys.head}").isNull, "I")
+          .when(col(s"__a_${keys.head}").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(k => coalesce(col(s"__a_$k"), col(s"__b_$k")).as(k)) :+ col("change_type"): _*)
+  }
+
+  /** Apply a CDC feed WITH DELETES to a keyed target — the op-code
+    * generalization of [[upsert]]: the LATEST change per key (by the
+    * caller's total `orderBy`, descending-first like [[dedupLatest]])
+    * decides the key's fate — op 'D' removes it, anything else replaces
+    * it with the change row; an earlier delete followed by a later
+    * upsert resurrects the key. Feed rows must carry the target's
+    * columns (extra columns — the op, the ordering — are dropped on
+    * output). Shuffles on the key only: one window dedup + one
+    * anti-join. */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+               orderBy: Seq[Column], opCol: String = "op",
+               deleteOp: String = "D"): DataFrame = {
+    val latest = dedupLatest(changes, keys, orderBy)
+    val cols = target.columns.map(col).toSeq
+    val survivors = target.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    survivors.select(cols: _*)
+      .unionByName(latest.filter(col(opCol) =!= deleteOp).select(cols: _*))
+  }
 }

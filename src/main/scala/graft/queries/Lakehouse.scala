@@ -195,6 +195,41 @@ object Lakehouse {
     legs.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Snapshot diff (operators/MergeOps.snapshotDiff): the change feed
+    * between the customer table and a deterministically mutated copy —
+    * deletes (key % 97), updates (+100 on key % 13), inserts (shifted
+    * keys for key % 101). */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val after = c.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 13 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")))
+      .unionByName(
+        c.filter(col("c_custkey") % 101 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+    graft.operators.MergeOps.snapshotDiff(c, after, Seq("c_custkey"),
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** CDC apply with deletes (operators/MergeOps.applyCdc): each
+    * customer's LATEST order is its op — '1-URGENT' deletes the row,
+    * anything else replaces the balance with that order's total;
+    * customers with no orders survive untouched. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val changes = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"), col("c_mktsegment"),
+        when(col("o_orderpriority") === "1-URGENT", "D").otherwise("U").as("op"),
+        col("o_orderkey").as("seq"))
+    graft.operators.MergeOps.applyCdc(c, changes, Seq("c_custkey"), Seq(col("seq").desc))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
   /** Equi-depth 8-bin histogram of events.value (operators/Profiler):
     * exact-percentile boundaries + one broadcast counting pass. */
   def valueHistogram(s: SparkSession, dir: String): DataFrame =
@@ -204,6 +239,8 @@ object Lakehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
     "q_histogram" -> valueHistogram,
+    "q_table_diff" -> tableDiff,
+    "q_cdc_apply" -> cdcApply,
     "q_validation_split" -> validationSplit,
     "q_json_metrics" -> jsonMetrics,
     "q_decision_context" -> decisionContext,
@@ -285,6 +322,39 @@ object Lakehouse {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileOracle,
+    "q_table_diff" ->
+      """WITH after AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 101 = 0),
+        |d AS (
+        |  SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN b.c_custkey IS NULL THEN 'I'
+        |         WHEN a.c_custkey IS NULL THEN 'D'
+        |         WHEN NOT (b.c_name IS NOT DISTINCT FROM a.c_name
+        |               AND b.c_nationkey IS NOT DISTINCT FROM a.c_nationkey
+        |               AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal
+        |               AND b.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment) THEN 'U'
+        |    END AS change_type
+        |  FROM customer b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey)
+        |SELECT c_custkey, change_type FROM d
+        |WHERE change_type IS NOT NULL ORDER BY c_custkey""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH l AS (
+        |  SELECT o_custkey, o_totalprice, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |latest AS (SELECT * FROM l WHERE rn = 1)
+        |SELECT c.c_custkey,
+        |  CASE WHEN latest.o_custkey IS NULL THEN c.c_acctbal ELSE latest.o_totalprice END AS c_acctbal,
+        |  c.c_mktsegment
+        |FROM customer c LEFT JOIN latest ON c.c_custkey = latest.o_custkey
+        |WHERE latest.o_custkey IS NULL OR latest.o_orderpriority <> '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
     // exact percentile boundaries: Spark `percentile` ≡ DuckDB
     // `quantile_cont` bit-for-bit; 1/8-grid fractions are exact binary
     "q_histogram" ->

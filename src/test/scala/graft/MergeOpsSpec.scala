@@ -97,4 +97,31 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1, "b" -> 2, "c" -> 3))
     assert(twice.count() == 3)
   }
+
+  test("snapshotDiff: I/U/D detected, unchanged absent, null→null is not a change") {
+    val before = Seq((1L, "x", Some(10.0)), (2L, "y", Option.empty[Double]),
+      (3L, "z", Some(5.0))).toDF("k", "name", "bal")
+    val after = Seq((2L, "y", Option.empty[Double]), (3L, "z", Some(6.0)),
+      (4L, "w", Some(1.0))).toDF("k", "name", "bal")
+    val got = MergeOps.snapshotDiff(before, after, Seq("k"), Seq("name", "bal"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "D"), (3L, "U"), (4L, "I")), s"got $got")
+  }
+
+  test("snapshotDiff of identical snapshots is empty") {
+    val df = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "bal")
+    assert(MergeOps.snapshotDiff(df, df, Seq("k"), Seq("name", "bal")).count() == 0L)
+  }
+
+  test("applyCdc: latest op wins — delete removes, later upsert resurrects, untouched survive") {
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 0.0, "D", 5L), (1L, 99.0, "U", 7L), // delete then resurrect → v=99
+      (2L, 5.0, "U", 1L), (2L, 0.0, "D", 2L),  // update then delete → gone
+      (9L, 9.0, "U", 1L))                       // insert brand-new key
+      .toDF("k", "v", "op", "seq")
+    val got = MergeOps.applyCdc(target, changes, Seq("k"), Seq(col("seq").desc))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 99.0, 3L -> 30.0, 9L -> 9.0), s"got $got")
+  }
 }
