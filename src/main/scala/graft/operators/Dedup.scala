@@ -317,6 +317,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS plagiarism-detector selection): positional token k-gram
+    * hashes, then the MINIMUM hash of every w-hash sliding window is
+    * selected. Guarantee: any shared token run of length ≥ w + k − 1
+    * between two documents yields at least one shared selected
+    * fingerprint, while expected density is only ~2/(w+1) of all
+    * k-grams — a sparse signature with a hard recall floor, unlike
+    * MinHash's probabilistic one. Docs shorter than one window keep
+    * their single minimum so nothing goes unrepresented. Pure
+    * expressions (transform/slice/array_min) until one explode; output
+    * is one (id, fingerprint) row per distinct selected hash. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+    docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .withColumn("__h", expr(
+        s"""CASE WHEN size(__tokens) >= $k THEN
+           |  transform(sequence(1, size(__tokens) - ${k - 1}),
+           |    i -> cast(conv(substr(md5(concat_ws(' ', slice(__tokens, i, $k))), 1, 15), 16, 10) as bigint))
+           |ELSE array() END""".stripMargin))
+      .withColumn("__fp", expr(
+        s"""CASE WHEN size(__h) >= $w THEN
+           |  array_distinct(transform(sequence(1, size(__h) - ${w - 1}),
+           |    j -> array_min(slice(__h, j, $w))))
+           |WHEN size(__h) > 0 THEN array(array_min(__h))
+           |ELSE array() END""".stripMargin))
+      .select(col(idCol), explode(col("__fp")).as("fingerprint"))
+  }
+
+  /** Doc-pair winnowing overlap: equi-join on the fingerprint value
+    * (same scale shape as [[decontaminate]] — shuffle keyed by the
+    * 8-byte hash, never all-pairs), distinct-shared-fingerprint count
+    * per pair, thresholded. At production scale drop stop-fingerprints
+    * first (df > some cap): ubiquitous k-grams carry no overlap signal
+    * and their buckets are the only quadratic risk. */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, w: Int = 4, minShared: Int = 1): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val a = fps.select(col(idCol).as("id_a"), col("fingerprint"))
+    val b = fps.select(col(idCol).as("id_b"), col("fingerprint"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-bit seeded index pairs for the WTA bucket: compile-time LCG
     * hashes (exact integer arithmetic, so the DuckDB oracle can mirror
     * the bucket bit-for-bit); only the `% dim` lands at runtime. The

@@ -81,6 +81,53 @@ object Sampling {
       .drop("__bucket", "__cum_before")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES, IPL 2006): each row draws u ∈ (0,1) from a seeded
+    * hash-uniform and is ranked by key = u^(1/weight); the global top-k
+    * under that key is distributed exactly as sequential weighted
+    * sampling without replacement. The uniform is hash-derived (52
+    * md5 bits → (h+0.5)/2^52, every step IEEE-exact), so the sample is
+    * the same on every run, engine, and partitioning — `rand()`-based
+    * weighted sampling is not even the same twice locally. Scale shape:
+    * pure projection + global top-k (TakeOrderedAndProject — per-
+    * partition heaps of k, no full sort, no shuffle of non-winners). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     seed: String = "aes"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, `k` negatives drawn from a candidate pool, excluding the
+    * anchor's known positives, ranked by a seeded per-(anchor,candidate)
+    * hash — reproducible across runs/engines, and each anchor gets an
+    * independent pseudo-random order (no shared "first k" bias).
+    *
+    * Scale contract: `candidates` must be a PRE-SAMPLED pool (e.g.
+    * [[weightedSample]] or a hash-order top-P), small enough to
+    * broadcast — the cross join is anchors × pool, never anchors ×
+    * corpus. Positives are removed by anti-join before ranking, so the
+    * pool should carry ≥ k + expected-positive-overlap candidates. */
+  def negativeSample(anchors: DataFrame, anchorCol: String,
+                     candidates: DataFrame, candCol: String,
+                     positives: DataFrame, k: Int, seed: String = "neg"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(anchorCol)).orderBy(col("__r"), col(candCol))
+    anchors.select(col(anchorCol))
+      .crossJoin(broadcast(candidates.select(col(candCol))))
+      .join(positives.select(col(anchorCol), col(candCol)), Seq(anchorCol, candCol), "left_anti")
+      .withColumn("__r", md5(concat_ws(":", lit(seed),
+        col(anchorCol).cast("string"), col(candCol).cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__r")
+  }
+
   /** Exact stratified sample: per stratum, keep ceil(fraction·n) rows,
     * chosen by deterministic hash order (md5 of id, id tiebreak) — the
     * same rows every run, exact per-stratum allocation (largest-count

@@ -65,4 +65,60 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** BM25 term weighting — the production retrieval scorer (Robertson/
+    * Sparck Jones), same two-pass shape as [[tfidf]] plus the corpus
+    * length statistics, which ride the same 1-row broadcast as N:
+    *
+    *   score = idf(t) · (f·(k1+1)) / (f + k1·(1−b + b·dl/avgdl))
+    *
+    * with f = raw term count in the doc, dl = doc token length, avgdl =
+    * corpus mean length. `avgdl` is computed as exact BIGINT token-count
+    * sum ÷ N (single IEEE division), so it is bit-identical on any
+    * engine regardless of row order — never a float sum. As in
+    * [[tfidf]], idf is the log-free ratio N/df (see the class note:
+    * identical ranking, cross-engine-exact); the saturation term is pure
+    * rational arithmetic, so the whole score hash-gates exactly.
+    * Literal `1−b` is pre-folded by the caller-visible contract below so
+    * no engine-side subtraction ordering is involved. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol), col("__tokens"), size(col("__tokens")).as("dl"))
+      .persist()
+
+    // N and avgdl in one 1-row aggregate: broadcast, never collected.
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("__n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    val df = toks
+      .select(explode(array_distinct(col("__tokens"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val f = toks
+      .select(col(idCol), col("dl"), explode(col("__tokens")).as("term"))
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("f"))
+
+    val oneMinusB = 1.0 - b // folded once on the driver; a literal in the plan
+    f.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("f"), col("dl"), col("df"),
+        ((col("__n_docs") / col("df")) *
+          ((col("f").cast("double") * lit(k1 + 1.0)) /
+            (col("f").cast("double") +
+              lit(k1) * (lit(oneMinusB) + lit(b) * (col("dl").cast("double") / col("__avgdl"))))))
+          .as("score"))
+  }
+
+  /** Top-k BM25 terms per document (ties broken by term). */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    bm25(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("f"), col("df"), col("score"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Decisions
-import graft.operators.{MergeOps, Validation}
+import graft.operators.{IncrementalAgg, MergeOps, Validation}
 import graft.serving.Serving
 
 /** Lakehouse-pipeline operator surface: validation/quarantine split,
@@ -236,11 +236,30 @@ object Lakehouse {
     graft.operators.Profiler.equiDepthHistogram(t(s, dir, "events"), "value", bins = 8)
       .select(col("bin_id").cast("int").as("bin_id"), col("n"), col("lo"), col("hi"))
 
+  /** Incremental rollup maintenance: per-supplier lineitem state built
+    * from a base batch and a delta batch (l_orderkey % 10 split), then
+    * MERGED — must equal the full recompute, which is exactly what the
+    * oracle computes. At 100 TB only the delta and the state tables are
+    * read; the oracle-side full rescan is the thing being avoided. */
+  def incrAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val keys = Seq("l_suppkey")
+    val merged = IncrementalAgg.merge(keys,
+      IncrementalAgg.partials(li.filter(col("l_orderkey") % 10 =!= 0), keys, "l_extendedprice"),
+      IncrementalAgg.partials(li.filter(col("l_orderkey") % 10 === 0), keys, "l_extendedprice"))
+    IncrementalAgg.finalized(merged)
+      .select(col("l_suppkey"), col("n"),
+        rd(col("sum_v"), 2).as("sum_v"), col("min_v"), col("max_v"),
+        rd(col("avg_v"), 4).as("avg_v"))
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
     "q_histogram" -> valueHistogram,
     "q_table_diff" -> tableDiff,
     "q_cdc_apply" -> cdcApply,
+    "q_incr_agg" -> incrAgg,
     "q_validation_split" -> validationSplit,
     "q_json_metrics" -> jsonMetrics,
     "q_decision_context" -> decisionContext,
@@ -355,6 +374,14 @@ object Lakehouse {
         |FROM customer c LEFT JOIN latest ON c.c_custkey = latest.o_custkey
         |WHERE latest.o_custkey IS NULL OR latest.o_orderpriority <> '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+    // the oracle is the FULL recompute the incremental path avoids:
+    // merge(partials(base), partials(delta)) must equal agg(base ∪ delta)
+    "q_incr_agg" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  floor((sum(l_extendedprice))*100 + 0.5)/100 AS sum_v,
+        |  min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+        |  floor((sum(l_extendedprice)/count(*))*10000 + 0.5)/10000 AS avg_v
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact percentile boundaries: Spark `percentile` ≡ DuckDB
     // `quantile_cont` bit-for-bit; 1/8-grid fractions are exact binary
     "q_histogram" ->

@@ -148,6 +148,59 @@ object TextVector {
         rd(col("tf"), 6).as("tf"), col("df"), rd(col("score"), 6).as("score"))
       .orderBy("doc_id", "rank")
 
+  /** BM25 keyword scoring: top-3 terms per doc under the production
+    * retrieval weighting (k1=1.2, b=0.75, ratio IDF — see
+    * [[graft.operators.TfIdf.bm25]] for why the score is cross-engine
+    * hash-exact). Output restricted like q_tfidf. */
+  def bm25Top(s: SparkSession, dir: String): DataFrame =
+    TfIdf.bm25TopTerms(docs(s, dir), "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("f"), col("df"), rd(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+
+  /** Bounded edit-distance near-dup pairs over the 24-char leading
+    * title: SymSpell 1-deletion-neighborhood equi-join + exact
+    * levenshtein verify (complete for distance ≤ 1, no all-pairs). */
+  def editDistPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistance.symspellPairs(
+      docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 24).as("title")),
+      "doc_id", "title")
+      .orderBy("id_a", "id_b")
+
+  /** Winnowing (MOSS) overlap: doc pairs sharing ≥3 selected k-gram
+    * fingerprints (k=3, w=4 — guarantee floor: any shared 6-token run
+    * is caught). */
+  def winnowOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlap(docs(s, dir), "doc_id", "text", k = 3, w = 4, minShared = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Misra–Gries heavy hitters, m=32 counters: exact heavy terms
+    * (freq·(m+1) > total, integer arithmetic — the oracle) plus the
+    * sketch's two guarantee booleans: every heavy term is retained
+    * (no false negatives) with its estimate inside the n/(m+1)
+    * undercount bound. Raw estimates are legitimately merge-order
+    * dependent, so only the guarantees are emitted (hll pattern). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.HeavyHitters.mgHeavyHitters
+    val terms = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(explode(col("toks")).as("term"))
+    val sketch = terms.agg(mgHeavyHitters(col("term"), 32).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("term"), col("e.est").as("est"))
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tot = terms.agg(count(lit(1)).as("total"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("n") * 33 > col("total"))
+      .join(sketch, Seq("term"), "left")
+      .select(col("term"), col("n"),
+        col("est").isNotNull.as("sketch_found"),
+        (col("est").isNotNull && col("est") <= col("n") &&
+          (col("n") - coalesce(col("est"), lit(0L))) * 33 <= col("total")).as("within_err"))
+      .orderBy("term")
+  }
+
   /** Context-window chunking: 64-token windows, 8-token overlap. */
   def chunks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -331,6 +384,10 @@ object TextVector {
     "q_decontaminate" -> decontaminate,
     "q_text_clean" -> textClean,
     "q_tfidf" -> tfidfTop,
+    "q_bm25" -> bm25Top,
+    "q_editdist_pairs" -> editDistPairs,
+    "q_winnow" -> winnowOverlap,
+    "q_heavy_hitters" -> heavyHitters,
     "q_chunks" -> chunks,
     "q_simhash" -> simhash,
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
@@ -388,6 +445,28 @@ object TextVector {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("tokens"))
         .orderBy("lang")
+    }),
+    "q_weighted_sample" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"), rd(col("sample_key"), 6).as("sample_key"))
+        .orderBy("doc_id")
+    }),
+    // 3 negatives per anchor (docs 0-9) from a 40-doc hash-order pool,
+    // excluding self and successor as planted positives
+    "q_neg_sample" -> ((s, d) => {
+      import graft.operators.Sampling
+      val dd = docs(s, d)
+      val pool = dd
+        .select(col("doc_id").as("cand_id"))
+        .orderBy(md5(concat_ws(":", lit("pool"), col("cand_id").cast("string"))), col("cand_id"))
+        .limit(40)
+      val anchors = dd.filter(col("doc_id") < 10).select(col("doc_id").as("anchor_id"))
+      val positives = anchors.select(col("anchor_id"), (col("anchor_id") + 1).as("cand_id"))
+        .unionByName(anchors.select(col("anchor_id"), col("anchor_id").as("cand_id")))
+      Sampling.negativeSample(anchors, "anchor_id", pool, "cand_id", positives, k = 3)
+        .select(col("anchor_id"), col("rank"), col("cand_id").as("negative_id"))
+        .orderBy("anchor_id", "rank")
     }),
   )
 
@@ -647,6 +726,59 @@ object TextVector {
         |  floor((tf)*1000000 + 0.5)/1000000 AS tf, df,
         |  floor((score)*1000000 + 0.5)/1000000 AS score
         |FROM r WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank""".stripMargin,
+    "q_bm25" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM tk),
+        |dfx AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM tk) GROUP BY 1),
+        |fx AS (
+        |  SELECT doc_id, dl, term, count(*) AS f
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tk)
+        |  GROUP BY doc_id, dl, term),
+        |sc AS (
+        |  SELECT x.doc_id, x.term, x.f, d.df,
+        |    ((SELECT n_docs FROM st) / d.df) *
+        |    ((CAST(x.f AS DOUBLE) * 2.2) /
+        |     (CAST(x.f AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(x.dl AS DOUBLE) / (SELECT avgdl FROM st))))) AS score
+        |  FROM fx x JOIN dfx d USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, f, df,
+        |  floor((score)*1000000 + 0.5)/1000000 AS score
+        |FROM r WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank""".stripMargin,
+    "q_editdist_pairs" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+        |v AS (SELECT doc_id, s,
+        |  unnest(list_distinct(list_append(
+        |    [s[1:i-1] || s[i+1:len(s)] FOR i IN generate_series(1, len(s))], s))) AS var
+        |  FROM k),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS s_a, b.s AS s_b
+        |      FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, s_a, s_b FROM p
+        |WHERE levenshtein(s_a, s_b) <= 1 ORDER BY id_a, id_b""".stripMargin,
+    "q_winnow" ->
+      """WITH tw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |        THEN [tk[i]||' '||tk[i+1]||' '||tk[i+2] FOR i IN generate_series(1, len(tk)-2)]
+        |        ELSE [] END AS gs FROM tw),
+        |h AS (SELECT doc_id, list_transform(gs, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs FROM g),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |        THEN list_distinct([list_min(hs[j:j+3]) FOR j IN generate_series(1, len(hs)-3)])
+        |        WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END AS fps FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
+    // guarantee booleans are provable invariants of the MG sketch, so
+    // the oracle states them as constants over the exact heavy set
+    "q_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS total FROM tk),
+        |ex AS (SELECT term, count(*) AS n FROM tk GROUP BY 1)
+        |SELECT term, n, TRUE AS sketch_found, TRUE AS within_err
+        |FROM ex, tot WHERE n * 33 > total ORDER BY term""".stripMargin,
     "q_decontaminate" ->
       """WITH toksd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |sh5 AS (
@@ -850,6 +982,34 @@ object TextVector {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens
         |FROM r WHERE cum_before < share * 50000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    pow((CAST(('0x'||substr(md5('aes:'||CAST(doc_id AS VARCHAR)),1,13)) AS BIGINT) + 0.5)
+        |          / 4503599627370496.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS sample_key
+        |  FROM documents),
+        |topk AS (SELECT * FROM s ORDER BY sample_key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars,
+        |  floor((sample_key)*1000000 + 0.5)/1000000 AS sample_key
+        |FROM topk ORDER BY doc_id""".stripMargin,
+    "q_neg_sample" ->
+      """WITH pool AS (
+        |  SELECT doc_id AS cand_id FROM documents
+        |  ORDER BY md5('pool:'||CAST(doc_id AS VARCHAR)), doc_id LIMIT 40),
+        |anch AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 10),
+        |pos AS (SELECT anchor_id, anchor_id + 1 AS cand_id FROM anch
+        |        UNION ALL SELECT anchor_id, anchor_id FROM anch),
+        |c AS (
+        |  SELECT a.anchor_id, p.cand_id,
+        |    md5('neg:'||CAST(a.anchor_id AS VARCHAR)||':'||CAST(p.cand_id AS VARCHAR)) AS r
+        |  FROM anch a CROSS JOIN pool p
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |                    WHERE pos.anchor_id = a.anchor_id AND pos.cand_id = p.cand_id)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY r, cand_id) AS rank
+        |       FROM c)
+        |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, cand_id AS negative_id
+        |FROM rk WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_multimodal_features" -> multimodalFeaturesOracle,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);

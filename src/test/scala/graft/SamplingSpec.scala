@@ -56,6 +56,55 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == mix.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("weightedSample: without replacement, deterministic, weight-sensitive") {
+    val rows = (1L to 200L).map(i => (i, if (i == 42L) 1000000L else 10L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(got.length == 20, "exactly k rows when n >= k")
+    assert(got.distinct.length == 20, "without replacement")
+    // weight 1e6 vs 10: key = u^(1e-6) ~ 1 for any u — must be selected
+    assert(got.contains(42L), "dominant weight must be in the sample")
+    val again = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(again == got, "hash-seeded sample must be identical across runs")
+    // n < k degenerates to the full set
+    val small = Sampling.weightedSample(df.filter($"id" <= 5), "id", "w", k = 20)
+    assert(small.count() == 5)
+  }
+
+  test("weightedSample: equal weights approximate the uniform inclusion rate") {
+    val df = (1L to 1000L).map(i => (i, 7L)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(got.length == 100)
+    // hash-uniform keys: selected ids should not be clustered — crude
+    // sanity bound on the mean (uniform expectation 500 ± ~30·3)
+    val mean = got.sum.toDouble / got.length
+    assert(mean > 350 && mean < 650, s"suspicious clustering, mean=$mean")
+  }
+
+  test("negativeSample: k per anchor, positives excluded, per-anchor independent order") {
+    val anchors = Seq(1L, 2L, 3L).toDF("a")
+    val pool = (100L to 120L).toDF("c")
+    val positives = Seq((1L, 105L), (1L, 106L), (2L, 105L)).toDF("a", "c")
+    val got = Sampling.negativeSample(anchors, "a", pool, "c", positives, k = 5)
+      .select("a", "rank", "c").as[(Long, Int, Long)].collect().toSeq
+    val byAnchor = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(byAnchor.keySet == Set(1L, 2L, 3L))
+    byAnchor.values.foreach { negs =>
+      assert(negs.length == 5)
+      assert(negs.distinct.length == 5, "duplicate negative for one anchor")
+    }
+    assert(!byAnchor(1L).contains(105L) && !byAnchor(1L).contains(106L), "positive leaked")
+    assert(!byAnchor(2L).contains(105L), "positive leaked")
+    // seeded per-(anchor,cand) hash: anchors must not all share one order
+    assert(byAnchor.values.toSet.size > 1, "anchors share the identical negative order")
+    val again = Sampling.negativeSample(anchors, "a", pool, "c", positives, k = 5)
+      .select("a", "rank", "c").as[(Long, Int, Long)].collect().toSeq
+    assert(again.sorted == got.sorted, "sampling must be deterministic")
+  }
+
   test("stratifiedSample: exact ceil allocation per stratum, deterministic rows") {
     val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.1)

@@ -36,4 +36,51 @@ class TfIdfSpec extends AnyFunSuite {
     // tf=1/4·idf 2 = 0.5.
     assert(got == Seq((1L, 1, "bb"), (1L, 2, "cc"), (2L, 1, "aa"), (2L, 2, "zz")))
   }
+
+  test("bm25 matches the closed-form score bit-for-bit") {
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val m = TfIdf.bm25(docs, "doc_id", "text")
+      .select("doc_id", "term", "score").as[(Long, String, Double)].collect()
+      .map { case (id, t, s) => (id, t) -> s }.toMap
+    // N=2, dl1=3, dl2=2, avgdl=2.5 (exact: 5 tokens / 2 docs)
+    val k1 = 1.2; val b = 0.75
+    def score(f: Double, df: Double, dl: Double) =
+      (2.0 / df) * ((f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * (dl / 2.5))))
+    assert(m((1L, "aa")) == score(2.0, 2.0, 3.0))
+    assert(m((1L, "bb")) == score(1.0, 1.0, 3.0))
+    assert(m((2L, "cc")) == score(1.0, 1.0, 2.0))
+  }
+
+  test("bm25 saturates: more occurrences help sublinearly, bounded by (k1+1)·idf") {
+    val docs = Seq(
+      (1L, "x y y y y y y y"), // f(y)=7 of dl 8
+      (2L, "x y z z")).toDF("doc_id", "text")
+    val rows = TfIdf.bm25(docs, "doc_id", "text")
+      .select("doc_id", "term", "f", "score").as[(Long, String, Long, Double)].collect()
+    val y1 = rows.find(r => r._1 == 1L && r._2 == "y").get
+    val y2 = rows.find(r => r._1 == 2L && r._2 == "y").get
+    assert(y1._3 == 7L && y2._3 == 1L)
+    assert(y1._4 > y2._4, "higher raw count must score higher")
+    val idfY = 2.0 / 2.0
+    assert(y1._4 < (1.2 + 1.0) * idfY, "saturation ceiling (k1+1)·idf")
+    assert(y1._4 < 7.0 * y2._4, "growth is sublinear in f")
+  }
+
+  test("bm25TopTerms: exactly k rows per doc, score-desc with term tiebreak") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa aa zz")).toDF("doc_id", "text")
+    val got = TfIdf.bm25TopTerms(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "rank", "term").as[(Long, Int, String)].collect().sorted.toSeq
+    // doc1: all f=1/dl=4; unique bb/cc/dd (idf 2) beat shared aa (idf 1),
+    // alphabetical among ties. doc2: aa f=2 saturated still beats zz? no —
+    // zz idf 2 vs aa idf 1·sat(2): compare explicitly below.
+    val k1 = 1.2; val b = 0.75
+    def score(f: Double, df: Double, dl: Double, n: Double, avgdl: Double) =
+      (n / df) * ((f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * (dl / avgdl))))
+    val avgdl = 7.0 / 2.0
+    val aa2 = score(2.0, 2.0, 3.0, 2.0, avgdl)
+    val zz2 = score(1.0, 1.0, 3.0, 2.0, avgdl)
+    val expectedDoc2 = if (zz2 > aa2) Seq((2L, 1, "zz"), (2L, 2, "aa"))
+                       else Seq((2L, 1, "aa"), (2L, 2, "zz"))
+    assert(got == Seq((1L, 1, "bb"), (1L, 2, "cc")) ++ expectedDoc2)
+  }
 }
