@@ -246,6 +246,37 @@ object Tpch {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Q8: national market share — NATION_3 suppliers' share of PROMO-part
+    * revenue sold into AMERICA-region customers, by order year (adapted:
+    * this testdata has no partsupp, and p_type/nation names follow the
+    * generator). The share is a conditional-sum ÷ total-sum over one
+    * 6-way join: fact shuffles once, every dimension broadcasts. */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val p = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO"))
+    val c = broadcast(t(s, dir, "customer"))
+    val sup = broadcast(t(s, dir, "supplier"))
+    val sn = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val cn = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey")))
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA"))
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(cn, c("c_nationkey") === cn("c_nkey"))
+      .join(r, cn("n_regionkey") === r("r_regionkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(sn, sup("s_nationkey") === sn("s_nkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(rd(sum(when(col("supp_nation") === "NATION_3", volume).otherwise(lit(0.0))) /
+        sum(volume), 6).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
   /** Q13: customer order-count distribution — LEFT OUTER join with an
     * extra join-side predicate (so unmatched customers count 0), then a
     * second aggregation over the first's result (two shuffles by
@@ -364,6 +395,7 @@ object Tpch {
     "q_tpch_q5" -> q5,
     "q_tpch_q6" -> q6,
     "q_tpch_q7" -> q7,
+    "q_tpch_q8" -> q8,
     "q_tpch_q10" -> q10,
     "q_tpch_q13" -> q13,
     "q_tpch_q14" -> q14,
@@ -483,6 +515,21 @@ object Tpch {
         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        | floor((sum(CASE WHEN n1.n_name = 'NATION_3'
+        |                 THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END)
+        |        / sum(l.l_extendedprice * (1.0 - l.l_discount)))*1000000 + 0.5)/1000000 AS mkt_share,
+        | count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q13" ->
       """WITH pc AS (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count

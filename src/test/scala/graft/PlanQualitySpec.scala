@@ -145,4 +145,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("Join"),
       "redaction must stay a scan+project pipeline")
   }
+
+  test("q_editdist_pairs/q_winnow: variant/fingerprint equi-joins, never cartesian") {
+    for (q <- Seq("q_editdist_pairs", "q_winnow")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must pair via the derived-key equi-join, not all-pairs")
+      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+        s"$q lost its equi-join")
+    }
+  }
+
+  test("q_weighted_sample compiles to TakeOrderedAndProject (top-k, no full sort)") {
+    assert(plan("q_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_bm25: vocabulary and corpus stats broadcast; no shuffle join on the term table") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), "df table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "term join must not shuffle both sides")
+  }
+
+  test("q_heavy_hitters: MG sketch aggregates partial+final (map-side counters)") {
+    val p = plan("q_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial on
+    // the scan side + final after a 1-partition exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "MG sketch must combine map-side, not ship raw terms")
+  }
+
+  test("q_neg_sample: candidate pool broadcast (anchors never shuffle)") {
+    val p = plan("q_neg_sample")
+    assert(p.contains("BroadcastExchange"), "pool must broadcast")
+    assert(!p.contains("CartesianProduct"), "anchors × pool must use the broadcast loop")
+  }
 }
