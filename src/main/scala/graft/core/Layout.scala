@@ -44,6 +44,38 @@ object Layout {
     !plan.contains("Exchange hashpartitioning")
   }
 
+  /** Morton/Z-order interleave of two non-negative integer columns
+    * (`bits` low bits each): bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1, so sorting by the result clusters BOTH dimensions at
+    * once. Disjoint bit positions mean the terms sum (≡ bitwise OR) —
+    * pure codegen'd integer arithmetic, reproducible on any engine.
+    * Callers bucket/rank real values into the integer domain first
+    * (ntile, hashBucket, epoch-day — anything monotone). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustering: range-partition by the interleaved key into
+    * `files` output units, sorted within each — every file then covers a
+    * compact rectangle in (a, b) space, so parquet min/max stats skip on
+    * EITHER predicate column. The multi-dimensional generalization of
+    * sort-by-one-column layout (which gives perfect skipping on one
+    * dimension and none on the other); the standard OPTIMIZE ZORDER BY
+    * maintenance op re-expressed as repartitionByRange + local sort. */
+  def clusterByZ(df: DataFrame, aCol: String, bCol: String,
+                 files: Int, bits: Int = 16): DataFrame = {
+    val z = zValue(col(aCol), col(bCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   final case class CompactionStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
   /** Small-file compaction — the lakehouse OPTIMIZE/maintenance analog

@@ -93,4 +93,34 @@ object Profiler {
       .agg(count(lit(1)).as("n"), min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
       .orderBy("bin_id")
   }
+
+  /** Robust per-group outlier detection: a row is an outlier when its
+    * absolute deviation from the group MEDIAN exceeds `k` × MAD ×
+    * 1.4826 (the normal-consistency constant — Hampel's rule; k=3 ≈
+    * "3 robust sigmas"). Median/MAD resist the very outliers that drag
+    * mean/stddev toward themselves, which is why this beats a z-score
+    * gate on dirty telemetry.
+    *
+    * Two aggregate passes by construction (MAD needs the median first):
+    * fact → per-key median (broadcast back) → per-key MAD (broadcast
+    * back) → flag. Group-stat tables are |keys| rows, so both
+    * join-backs broadcast; the fact shuffles twice on the key, never
+    * more. Exact `percentile` keeps the cross-engine oracle exact —
+    * swap `approx_percentile` at 100 TB (same plan shape). */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Double = 3.0, boundaryDecimals: Int = 6): DataFrame = {
+    // med/mad are rounded like the histogram boundaries above: rows
+    // sitting exactly ON the k·MAD fence would otherwise flip with the
+    // engines' last-ulp percentile-interpolation drift
+    val scale = math.pow(10, boundaryDecimals).toLong
+    def roundedP50(c: String) =
+      expr(s"CAST(FLOOR(percentile($c, CAST(0.5 AS DOUBLE)) * $scale.0 + 0.5) AS DOUBLE) / $scale.0")
+    val med = df.groupBy(col(keyCol)).agg(roundedP50(valueCol).as("med"))
+    val withMed = df.join(broadcast(med), keyCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(col(keyCol)).agg(roundedP50("__absdev").as("mad"))
+    withMed.join(broadcast(mad), keyCol)
+      .withColumn("is_outlier", col("__absdev") > lit(k) * lit(1.4826) * col("mad"))
+      .drop("__absdev")
+  }
 }

@@ -254,9 +254,41 @@ object Lakehouse {
       .orderBy("l_suppkey")
   }
 
+  /** Hampel outlier gate per event_type: robust med/MAD stats + outlier
+    * counts (operators/Profiler.madOutliers, k=3). */
+  def outliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.madOutliers(t(s, dir, "events"), "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"))
+      .orderBy("event_type")
+
+  /** Z-order (Morton) clustering key over (customer, order-day): the
+    * per-z-bucket bounding rectangles this emits are exactly the
+    * parquet min/max stats a zorder-clustered write would give each
+    * file — compact in BOTH dimensions (core/Layout.zValue /
+    * clusterByZ; LayoutSpec measures the skipping win vs a linear
+    * sort). Domains are bracketed into 16 bits on both engines. */
+  def zorderBuckets(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "orders")
+      .withColumn("a", (col("o_custkey") % 65536).cast("long"))
+      .withColumn("b",
+        (datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")) % 65536).cast("long"))
+    x.withColumn("z", graft.core.Layout.zValue(col("a"), col("b")))
+      .withColumn("z_bucket", shiftright(col("z"), 19))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_cust"), max(col("a")).as("max_cust"),
+        min(col("b")).as("min_day"), max(col("b")).as("max_day"))
+      .orderBy("z_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
     "q_histogram" -> valueHistogram,
+    "q_outliers" -> outliers,
+    "q_zorder" -> zorderBuckets,
     "q_table_diff" -> tableDiff,
     "q_cdc_apply" -> cdcApply,
     "q_incr_agg" -> incrAgg,
@@ -374,6 +406,36 @@ object Lakehouse {
         |FROM customer c LEFT JOIN latest ON c.c_custkey = latest.o_custkey
         |WHERE latest.o_custkey IS NULL OR latest.o_orderpriority <> '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+    "q_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, floor((quantile_cont(value, 0.5))*1000000 + 0.5)/1000000 AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, floor((quantile_cont(absdev, 0.5))*1000000 + 0.5)/1000000 AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med, max(mad.mad) AS mad,
+        |  count(*) FILTER (WHERE d.absdev > 3.0 * 1.4826 * mad.mad) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the interleave is generated from the same bit-term loop the Spark
+    // side uses — disjoint bit positions, so + ≡ bitwise OR
+    "q_zorder" -> {
+      val zTerms = (0 until 16)
+        .map(i => s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH x AS (
+         |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS a,
+         |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS b
+         |  FROM orders),
+         |z AS (SELECT a, b, $zTerms AS z FROM x)
+         |SELECT (z >> 19) AS z_bucket, count(*) AS n,
+         |  min(a) AS min_cust, max(a) AS max_cust,
+         |  min(b) AS min_day, max(b) AS max_day
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // the oracle is the FULL recompute the incremental path avoids:
     // merge(partials(base), partials(delta)) must equal agg(base ∪ delta)
     "q_incr_agg" ->

@@ -133,4 +133,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.isShuffleFreeJoin(spark, "g_bucket_a", "g_bucket_b", "user_id"),
       "co-bucketed join should not shuffle")
   }
+
+  test("zValue matches the reference interleave and is monotone per dimension") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L), (7L, 42L))
+    val got = pairs.toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z")).as[Long].collect().toSeq
+    assert(got == pairs.map { case (a, b) => ref(a, b) })
+    // doubling-range property: z of (a,b) fits in 2·bits bits
+    assert(got.forall(z => z >= 0 && z < (1L << 32)))
+  }
+
+  test("clusterByZ: min/max stats skip files on BOTH dimensions; linear sort only on its own") {
+    // uniform 64×64 grid — the adversarial case for single-column sort:
+    // every a-stripe file spans the full b domain, so a predicate on b
+    // can never skip a file. Z-order files are compact squares.
+    val n = 4096
+    val grid = (0 until n).map(i => (i.toLong % 64, i.toLong / 64)).toDF("a", "b")
+    // files whose [min,max] range intersects the predicate band — what
+    // parquet footer stats give a reader
+    def touched(df: org.apache.spark.sql.DataFrame, dim: String, lo: Long, hi: Long): Long = {
+      import org.apache.spark.sql.functions.spark_partition_id
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg(min(col(dim)).as("mn"), max(col(dim)).as("mx"))
+        .filter($"mx" >= lo && $"mn" <= hi).count()
+    }
+    val z = Layout.clusterByZ(grid, "a", "b", files = 16, bits = 6).cache()
+    val lin = grid.repartitionByRange(16, $"a").sortWithinPartitions($"a").cache()
+    val (zb, linb) = (touched(z, "b", 10, 13), touched(lin, "b", 10, 13))
+    val (za, lina) = (touched(z, "a", 10, 13), touched(lin, "a", 10, 13))
+    assert(linb == 16, s"linear-by-a must touch every file for a b-band, got $linb")
+    assert(zb <= linb / 2, s"z-order should skip most files on b: z=$zb linear=$linb")
+    assert(za < 16, s"z-order must still skip on a, got $za")
+    assert(lina <= 2, "sanity: linear sort skips on its own column")
+    z.unpersist(); lin.unpersist()
+  }
 }

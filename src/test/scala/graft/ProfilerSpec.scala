@@ -36,4 +36,25 @@ class ProfilerSpec extends AnyFunSuite {
     val r = Profiler.profile(df, Seq("s")).as[(String, Long, Long, Long, String, String)].head()
     assert(r._3 == 0L && r._4 == 0L && r._5 == null && r._6 == null)
   }
+
+  test("madOutliers: planted spike flagged, tight cluster untouched, robust to the spike itself") {
+    // group g: 99 values at 10±0.5 plus one 1000 spike — mean/stddev
+    // would be dragged (~(1000-20)/99 sigma pull); med/MAD are not
+    val vals = (1 to 99).map(i => ("g", 10.0 + (i % 11 - 5) * 0.1)) :+ (("g", 1000.0))
+    val df = vals.toDF("k", "v")
+    val out = Profiler.madOutliers(df, "k", "v")
+    val flagged = out.filter($"is_outlier").select("v").as[Double].collect().toSeq
+    assert(flagged == Seq(1000.0), s"expected only the spike, got $flagged")
+    // med/mad land on the clean cluster
+    val (med, mad) = out.select("med", "mad").as[(Double, Double)].head()
+    assert(med > 9.0 && med < 11.0)
+    assert(mad < 1.0)
+  }
+
+  test("madOutliers: constant group has MAD 0 and flags only deviants") {
+    val df = (Seq.fill(20)(("c", 5.0)) ++ Seq(("c", 5.1))).toDF("k", "v")
+    val flagged = Profiler.madOutliers(df, "k", "v")
+      .filter($"is_outlier").select("v").as[Double].collect().toSeq
+    assert(flagged == Seq(5.1), "any deviation from a zero-MAD group is an outlier")
+  }
 }
