@@ -79,6 +79,42 @@ object Graphs {
     result
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round every node adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — the deterministic variant (asynchronous LPA is
+    * order-dependent and irreproducible, useless under a hash gate).
+    * Fixed `iters` so batch runs are unrollable for the oracle, exactly
+    * like [[pageRank]].
+    *
+    * Per round: one edge⋈label equi-join + one (node, label) count +
+    * one per-node argmax folded into `max(struct(count, -label))` — no
+    * window sort, all shuffles keyed by node id. Nodes are drawn from
+    * the edge list (an isolated node has no neighbor vote and keeps its
+    * own label trivially). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("src").as("id"), (-col("__m.__nl")).as("label"))
+    }
+    labels
+  }
+
   /** Triangle census over an undirected edge list via wedge-closing:
     * canonicalize every edge to (u < v), build wedges a<b<c with two
     * id-oriented passes (ab ⋈ bc on the middle node), then LEFT-join

@@ -284,11 +284,31 @@ object Lakehouse {
       .orderBy("z_bucket")
   }
 
+  /** Data-quality expectation suite over the table pack: null / range /
+    * enum-domain / uniqueness / referential-integrity checks, one
+    * report row each (operators/Expectations). */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer"); val e = t(s, dir, "events")
+    report(Seq(
+      "orders_custkey_not_null" -> notNull(o, "o_custkey"),
+      "orders_totalprice_range" -> inRange(o, "o_totalprice", 0, 1000000),
+      "orders_priority_domain" -> inSet(o, "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      "orders_custkey_fk" -> refIntegrity(o, "o_custkey", c, "c_custkey"),
+      "lineitem_orderkey_fk" -> refIntegrity(li, "l_orderkey", o, "o_orderkey"),
+      "events_event_id_unique" -> unique(e, Seq("event_id")),
+      "events_type_domain" -> inSet(e, "event_type",
+        Seq("click", "signup", "purchase", "error", "view"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
     "q_histogram" -> valueHistogram,
     "q_outliers" -> outliers,
     "q_zorder" -> zorderBuckets,
+    "q_expectations" -> expectations,
     "q_table_diff" -> tableDiff,
     "q_cdc_apply" -> cdcApply,
     "q_incr_agg" -> incrAgg,
@@ -420,6 +440,29 @@ object Lakehouse {
         |  count(*) FILTER (WHERE d.absdev > 3.0 * 1.4826 * mad.mad) AS n_outliers
         |FROM d JOIN mad USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_expectations" ->
+      """WITH checks AS (
+        |  SELECT 'events_event_id_unique' AS check_name,
+        |    (SELECT count(*) FROM (SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)) AS n_violations
+        |  UNION ALL SELECT 'events_type_domain',
+        |    (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+        |       AND event_type NOT IN ('click','signup','purchase','error','view'))
+        |  UNION ALL SELECT 'lineitem_orderkey_fk',
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'orders_custkey_fk',
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'orders_custkey_not_null',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL SELECT 'orders_priority_domain',
+        |    (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+        |       AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+        |  UNION ALL SELECT 'orders_totalprice_range',
+        |    (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |       AND (o_totalprice < 0 OR o_totalprice > 1000000)))
+        |SELECT check_name, n_violations, n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
     // the interleave is generated from the same bit-term loop the Spark
     // side uses — disjoint bit positions, so + ≡ bitwise OR
     "q_zorder" -> {

@@ -201,6 +201,16 @@ object TextVector {
       .orderBy("term")
   }
 
+  /** int8 scalar quantization of the embedding corpus: per-vector code
+    * fingerprint + the hard scale/2 reconstruction-error bound as a
+    * boolean (operators/Quantize). */
+  def quantize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.scalarQuantize(embs(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"),
+        md5(concat_ws(",", col("codes"))).as("codes_md5"),
+        col("within_bound"))
+      .orderBy("vec_id")
+
   /** Context-window chunking: 64-token windows, 8-token overlap. */
   def chunks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -311,6 +321,17 @@ object TextVector {
     graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
   }
 
+  /** Deterministic label-propagation communities over the same kNN
+    * graph (2 synchronized rounds, min-label ties), summarized per
+    * surviving label. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    graft.operators.Graphs.labelPropagation(knn, "query_id", "neighbor_id", iters = 2)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
+      .orderBy("label")
+  }
+
   /** IVF with the FITTED spherical-k-means quantizer + multi-probe
     * (nprobe=3) — the production ANN path. The Lloyd iteration isn't
     * SQL-expressible, so the detailed ranking can't be oracled; the
@@ -388,6 +409,7 @@ object TextVector {
     "q_editdist_pairs" -> editDistPairs,
     "q_winnow" -> winnowOverlap,
     "q_heavy_hitters" -> heavyHitters,
+    "q_quantize" -> quantize,
     "q_chunks" -> chunks,
     "q_simhash" -> simhash,
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDups(docs(s, d), "doc_id", "text")
@@ -401,6 +423,7 @@ object TextVector {
     "q_embed_ivf" -> embedIvf,
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
+    "q_label_prop" -> labelProp,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -779,6 +802,29 @@ object TextVector {
         |ex AS (SELECT term, count(*) AS n FROM tk GROUP BY 1)
         |SELECT term, n, TRUE AS sketch_found, TRUE AS within_err
         |FROM ex, tot WHERE n * 33 > total ORDER BY term""".stripMargin,
+    "q_quantize" -> {
+      // mirror Quantize.scalarQuantize: same grid math, generated once
+      val sc = "((CAST(arr[i].mx AS DOUBLE) - CAST(arr[i].mn AS DOUBLE)) / 255.0)"
+      val code = "CASE WHEN arr[i].mx > arr[i].mn THEN CAST(least(255.0, " +
+        s"floor((CAST(embedding[i] AS DOUBLE) - CAST(arr[i].mn AS DOUBLE)) / $sc + 0.5)) AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END"
+      val ok = "CASE WHEN arr[i].mx > arr[i].mn THEN " +
+        s"abs((CAST(arr[i].mn AS DOUBLE) + ($code) * $sc) - CAST(embedding[i] AS DOUBLE)) <= $sc * 0.5 " +
+        "ELSE CAST(embedding[i] AS DOUBLE) = CAST(arr[i].mn AS DOUBLE) END"
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings),
+         |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+         |sa AS (SELECT list(struct_pack(pos := pos, mn := mn, mx := mx) ORDER BY pos) AS arr FROM st),
+         |q AS (
+         |  SELECT vec_id,
+         |    [$code FOR i IN generate_series(1, len(embedding))] AS codes,
+         |    [$ok FOR i IN generate_series(1, len(embedding))] AS oks
+         |  FROM embeddings, sa)
+         |SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5,
+         |  list_aggregate(oks, 'bool_and') AS within_bound
+         |FROM q ORDER BY vec_id""".stripMargin
+    },
     "q_decontaminate" ->
       """WITH toksd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |sh5 AS (
@@ -862,6 +908,29 @@ object TextVector {
         |       FROM w LEFT JOIN edges e2 ON w.a = e2.u AND w.c = e2.v),
         |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
+    // 2 synchronized LPA rounds unrolled; per-node argmax = row_number
+    // (count DESC, label ASC) — same deterministic tie as the Spark
+    // max(struct(c, -label)) fold
+    "q_label_prop" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |und AS (
+        |  SELECT query_id AS src, neighbor_id AS dst FROM knn WHERE query_id <> neighbor_id
+        |  UNION
+        |  SELECT neighbor_id, query_id FROM knn WHERE query_id <> neighbor_id),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+        |v1 AS (SELECT u.src, l.label, count(*) AS c
+        |       FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT src AS id, label FROM (
+        |         SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT u.src, l.label, count(*) AS c
+        |       FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT src AS id, label FROM (
+        |         SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+        |         FROM v2) WHERE rn = 1)
+        |SELECT label, count(*) AS n_members, min(id) AS min_member
+        |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_ivf" ->
       """WITH cent AS (
         |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec

@@ -61,4 +61,26 @@ class GraphsSpec extends AnyFunSuite {
     val r = Graphs.triangleStats(messy, "s", "d").as[(Long, Long, Long, Long)].head()
     assert(r == ((3L, 3L, 1L, 1L)), s"canonicalization wrong: $r")
   }
+
+  test("labelPropagation: disjoint cliques converge to their min label, deterministically") {
+    val edges = Seq( // two disjoint triangles
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("s", "d")
+    val got = Graphs.labelPropagation(edges, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L), "every node keeps a label")
+    assert(Set(1L, 2L, 3L).forall(got(_) == 1L), s"clique A must converge to 1: $got")
+    assert(Set(10L, 11L, 12L).forall(got(_) == 10L), s"clique B must converge to 10: $got")
+    val again = Graphs.labelPropagation(edges, "s", "d", iters = 2).as[(Long, Long)].collect().toMap
+    assert(again == got, "synchronous LPA must be deterministic")
+  }
+
+  test("labelPropagation: min-label tie-break and direction-insensitivity") {
+    // path 1-2-3 given with mixed edge directions: node 2 sees labels
+    // {1, 3} (tie) -> must take 1
+    val path = Seq((2L, 1L), (3L, 2L)).toDF("s", "d")
+    val got = Graphs.labelPropagation(path, "s", "d", iters = 1).as[(Long, Long)].collect().toMap
+    assert(got(2L) == 1L, "tie must break toward the smallest label")
+    assert(got(1L) == 2L && got(3L) == 2L, "endpoints adopt their only neighbor")
+  }
 }
