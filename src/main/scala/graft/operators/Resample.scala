@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular per-key event
+  * stream onto a fixed grid and forward-fill the gaps — what every
+  * telemetry/feature pipeline does before windowed models see the data.
+  *
+  *   1. bucket events to the grid (`date_trunc`) and aggregate per
+  *      (key, bucket);
+  *   2. explode each key's [min, max] span into the dense spine
+  *      (`sequence` — rows only for the key's own active range);
+  *   3. left-join actuals onto the spine and forward-fill with
+  *      `last(value, ignoreNulls)` over an unbounded-preceding frame.
+  *
+  * Scale shape: one groupBy on (key, bucket), one per-key span
+  * aggregate, one join + one window — all partitioned by key. Spine
+  * size is Σ per-key active spans, never |keys| × global span: a key
+  * alive for a day costs a day of buckets regardless of corpus span.
+  * `is_gap` marks filled rows so downstream can weigh imputed points.
+  */
+object Resample {
+
+  def forwardFill(events: DataFrame, keyCol: String, tsCol: String, valueExpr: Column,
+                  unit: String = "hour"): DataFrame = {
+    val step = unit match {
+      case "minute" => expr("interval 1 minute")
+      case "hour" => expr("interval 1 hour")
+      case "day" => expr("interval 1 day")
+      case other => throw new IllegalArgumentException(s"unsupported grid unit: $other")
+    }
+    val actual = events
+      .withColumn("bucket", date_trunc(unit, col(tsCol)))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(valueExpr.as("v"))
+    val spine = actual
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"), step)).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(actual, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_gap", col("v").isNull)
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+  }
+}

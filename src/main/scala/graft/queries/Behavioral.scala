@@ -121,15 +121,107 @@ object Behavioral {
       .orderBy("user_id", "rn")
   }
 
+  /** Exponentially-decayed engagement score per user — the classic
+    * recency-weighted feature (EMA_t = α·x_t + (1−α)·EMA_{t−1}, seeded
+    * EMA_1 = x_1). α = 1/2 on purpose: the unrolled closed form
+    * Σ 2^{−(n−i+1)}·x_i (+ doubled first term) multiplies by exact
+    * binary powers only, so both engines scale identically and the sum
+    * is the only rounding site. Two window passes (count + rank), one
+    * aggregate — no recursion, no UDF. */
+  def emaDecay(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("weight",
+        when(col("rn") === 1, pow(lit(0.5), col("n") - 1))
+          .otherwise(pow(lit(0.5), col("n") - col("rn") + 1)))
+      .groupBy(col("user_id"))
+      .agg(rd(sum(col("value") * col("weight")), 6).as("ema_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Grouped top-k through the native bounded-heap aggregate
+    * (plans/TopKAggregate): top-3 purchases per user with map-side
+    * pruning — at most k rows ship per partition per user, where the
+    * window formulation shuffles every row to rank it. The oracle IS
+    * that window formulation, proving the two agree including ties
+    * (score DESC, id ASC). */
+  def groupTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKAggregate.heapTopKAgg
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(heapTopKAgg(col("event_id"), col("value"), 3).as("tk"))
+      .select(col("user_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("user_id"), (col("i") + 1).cast("int").as("rank"),
+        col("e.id").as("event_id"), col("e.score").as("value"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** Hourly resample + forward fill per user (operators/Resample),
+    * summarized per user: grid size, gap count, filled-series sum. */
+  def resampleFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.forwardFill(
+        t(s, dir, "events"), "user_id", "ts", rd(sum(col("value")), 2), unit = "hour")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(when(col("is_gap"), 1)).as("n_gaps"),
+        rd(sum(col("v_filled")), 2).as("filled_sum"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_topk" -> groupTopK,
+    "q_resample" -> resampleFill,
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
     "q_session_window" -> ((s, d) => sessionWindows(s, d)),
     "q_funnel" -> funnel,
     "q_retention" -> retention,
     "q_window_suite" -> windowSuite,
+    "q_ema_decay" -> emaDecay,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_group_topk" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id, value
+        |FROM p WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+    "q_resample" ->
+      """WITH a AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    floor((sum(value))*100 + 0.5)/100 AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM a GROUP BY 1)),
+        |j AS (
+        |  SELECT sp.user_id, sp.bucket, a.v, a.v IS NULL AS is_gap,
+        |    last_value(a.v IGNORE NULLS) OVER (PARTITION BY sp.user_id ORDER BY sp.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |  FROM sp LEFT JOIN a ON sp.user_id = a.user_id AND sp.bucket = a.bucket)
+        |SELECT user_id, count(*) AS n_hours,
+        |  count(*) FILTER (WHERE is_gap) AS n_gaps,
+        |  floor((sum(v_filled))*100 + 0.5)/100 AS filled_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ema_decay" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |wt AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN rn = 1 THEN pow(0.5, n - 1) ELSE pow(0.5, n - rn + 1) END AS weight
+        |  FROM r)
+        |SELECT user_id, floor((sum(value * weight))*1000000 + 0.5)/1000000 AS ema_value,
+        |  count(*) AS n_events
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

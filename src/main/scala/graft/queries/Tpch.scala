@@ -141,6 +141,23 @@ object Tpch {
       .orderBy("region", "nation")
   }
 
+  /** CUBE: all 4 grains of (event_type, source-nation region) in one
+    * Expand pass — completes the rollup/grouping-sets/cube OLAP trio. */
+  def cube(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .cube(col("o_orderpriority"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), rd(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_orders"), col("total_price"))
+      .orderBy("priority", "nation")
+  }
+
   /** GROUPING SETS with grouping() markers: three explicit aggregation
     * grains in one pass (Expand under the hood — one scan, one
     * shuffle), the generalization of [[rollup]]. */
@@ -405,6 +422,7 @@ object Tpch {
     "q_tpch_q19" -> q19,
     "q_tpch_q22" -> q22,
     "q_rollup" -> rollup,
+    "q_cube" -> cube,
     "q_grouping_sets" -> groupingSets,
     "q_unpivot" -> unpivot,
     "q_approx_stats" -> approxStats,
@@ -475,6 +493,14 @@ object Tpch {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_orders, floor((sum(o_totalprice))*100 + 0.5)/100 AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE (o_orderpriority, n_name)
+        |ORDER BY priority, nation""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n.n_name AS nation,
         | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue,
