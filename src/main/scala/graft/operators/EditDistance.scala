@@ -35,6 +35,40 @@ object EditDistance {
           substring(s, i + lit(1), length(s)))),
       s))
 
+  /** Record-linkage scoring: character-trigram cosine similarity over
+    * BLOCKED candidate pairs. Blocking (any cheap equality key — a
+    * leading prefix, a phonetic code, a sort-neighborhood bucket) keeps
+    * the pair set linear-ish; the all-pairs trigram join this avoids is
+    * the classic record-linkage scale trap. Counts and dot products are
+    * exact integer sums; cosine is the only float op (sqrt is
+    * correctly-rounded IEEE, so the score is engine-exact). */
+  def trigramCosinePairs(df: DataFrame, idCol: String, strCol: String,
+                         blockExpr: Column): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"), blockExpr.as("__blk"))
+    val grams = base.select(col("__id"),
+        explode(expr(
+          """CASE WHEN length(__s) >= 3
+            | THEN transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))
+            | ELSE array() END""".stripMargin)).as("g"))
+      .groupBy(col("__id"), col("g")).agg(count(lit(1)).as("c"))
+    val norms = grams.groupBy(col("__id")).agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = base.select(col("__blk"), col("__id").as("id_a"))
+      .join(base.select(col("__blk"), col("__id").as("id_b")), Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val dots = pairs
+      .join(grams.select(col("__id").as("id_a"), col("g"), col("c").as("__ca")), Seq("id_a"))
+      .join(grams.select(col("__id").as("id_b"), col("g"), col("c").as("__cb")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("__ca") * col("__cb")).as("dot"))
+    pairs
+      .join(dots, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("dot"))
+      .join(norms.select(col("__id").as("id_a"), col("n2").as("__na")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("n2").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", col("dot") / (sqrt(col("__na")) * sqrt(col("__nb"))))
+      .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
+  }
+
   /** Distinct id pairs (id_a < id_b) whose `strCol` values are within
     * Levenshtein distance 1, with both strings carried for downstream
     * scoring. Exact (no false negatives ≤ 1, verified filter removes

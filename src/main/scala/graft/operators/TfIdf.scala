@@ -112,6 +112,26 @@ object TfIdf {
           .as("score"))
   }
 
+  /** Inverted index build — the retrieval-side artifact [[bm25]] scores
+    * against: one posting list per term, doc-ordered, with df and total
+    * tf. One explode + two keyed aggregations (doc-term counts, then
+    * term grouping); the term shuffle IS the index partitioning a
+    * distributed search deployment wants (terms co-located, posting
+    * lists contiguous). `sort_array` on the collected structs keeps the
+    * list deterministic under any partitioning. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol).as("__doc"), explode(col("__tokens")).as("term"))
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("__tf")).as("tf_total"),
+        sort_array(collect_list(struct(col("__doc").as("doc"), col("__tf").as("tf"))))
+          .as("postings"))
+
   /** Top-k BM25 terms per document (ties broken by term). */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -173,8 +173,26 @@ object Behavioral {
         rd(sum(col("v_filled")), 2).as("filled_sum"))
       .orderBy("user_id")
 
+  /** Behavioral path mining: the most frequent 3-step event-type
+    * sequences across user streams (two leads over the per-user order,
+    * one global count) — the funnel-discovery complement to the fixed
+    * q_funnel. Top 20, count ties broken by path. */
+  def paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("e1"), col("ts"), col("event_id"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_topk" -> groupTopK,
+    "q_paths" -> paths,
     "q_resample" -> resampleFill,
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
     "q_session_window" -> ((s, d) => sessionWindows(s, d)),
@@ -192,6 +210,15 @@ object Behavioral {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id, value
         |FROM p WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+    "q_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "q_resample" ->
       """WITH a AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

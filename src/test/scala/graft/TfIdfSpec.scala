@@ -37,6 +37,18 @@ class TfIdfSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1, "bb"), (1L, 2, "cc"), (2L, 1, "aa"), (2L, 2, "zz")))
   }
 
+  test("invertedIndex: doc-ordered postings with per-doc tf, df and totals consistent") {
+    val docs = Seq(
+      (3L, "x y x"), (1L, "x z"), (2L, "y")).toDF("doc_id", "text")
+    val got = TfIdf.invertedIndex(docs, "doc_id", "text")
+      .select("term", "df", "tf_total", "postings")
+      .as[(String, Long, Long, Seq[(Long, Long)])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("x") == ((2L, 3L, Seq((1L, 1L), (3L, 2L)))), "postings must be doc-ordered")
+    assert(got("y") == ((2L, 2L, Seq((2L, 1L), (3L, 1L)))))
+    assert(got("z") == ((1L, 1L, Seq((1L, 1L)))))
+  }
+
   test("bm25 matches the closed-form score bit-for-bit") {
     val docs = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
     val m = TfIdf.bm25(docs, "doc_id", "text")
