@@ -74,9 +74,10 @@ class EditDistanceSpec extends AnyFunSuite {
     // sqrt(n)·sqrt(n) may differ from n in the last ulp (both engines
     // identically), so identical strings score 1.0 ± 1 ulp
     assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
-    // "abcdzzzz" shares exactly the trigrams abc,bcd with "abcdefgh"
-    // (6 grams each, all distinct): cos = 2/6
-    assert(math.abs(got((1L, 3L)) - 2.0 / 6.0) < 1e-12)
+    // "abcdzzzz" shares exactly abc,bcd with "abcdefgh"; its own grams
+    // are abc,bcd,cdz,dzz,zzz,zzz (zzz twice -> n2 = 4+4·1 = 8), the
+    // other side has 6 distinct grams: cos = 2 / (√6·√8)
+    assert(math.abs(got((1L, 3L)) - 2.0 / (math.sqrt(6.0) * math.sqrt(8.0))) < 1e-12)
   }
 
   test("trigramCosinePairs: zero-overlap pair in one block scores 0, not dropped") {
