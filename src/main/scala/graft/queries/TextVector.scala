@@ -186,6 +186,23 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Crawl-curation novelty curve: per ingest day (doc_id order stands
+    * in for arrival), how many content hashes are first-seen vs repeats
+    * — the dedup-rate telemetry a continuous ingestion pipeline tracks.
+    * first_seen = min(day) per hash (one shuffle), then a day rollup. */
+  def noveltyRate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("day", (col("doc_id") % 10).cast("int"))
+      .withColumn("h", md5(col("text")))
+    val firstSeen = d.groupBy(col("h")).agg(min(col("day")).as("first_day"))
+    d.join(firstSeen, "h")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("day") === col("first_day"), 1)).as("n_novel"))
+      .withColumn("novelty_rate", rd(col("n_novel").cast("double") / col("n_docs"), 4))
+      .orderBy("day")
+  }
+
   /** Winnowing (MOSS) overlap: doc pairs sharing ≥3 selected k-gram
     * fingerprints (k=3, w=4 — guarantee floor: any shared 6-token run
     * is caught). */
@@ -428,6 +445,7 @@ object TextVector {
     "q_inverted_index" -> invertedIndex,
     "q_string_sim" -> stringSim,
     "q_winnow" -> winnowOverlap,
+    "q_novelty" -> noveltyRate,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantize" -> quantize,
     "q_chunks" -> chunks,
@@ -847,6 +865,15 @@ object TextVector {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
+    "q_novelty" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id % 10 AS INTEGER) AS day, md5(text) AS h FROM documents),
+        |fs AS (SELECT h, min(day) AS first_day FROM d GROUP BY 1)
+        |SELECT day, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE day = first_day) AS n_novel,
+        |  floor((count(*) FILTER (WHERE day = first_day) * 1.0 / count(*))*10000 + 0.5)/10000 AS novelty_rate
+        |FROM d JOIN fs USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // guarantee booleans are provable invariants of the MG sketch, so
     // the oracle states them as constants over the exact heavy set
     "q_heavy_hitters" ->

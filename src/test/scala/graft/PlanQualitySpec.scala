@@ -180,4 +180,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "pool must broadcast")
     assert(!p.contains("CartesianProduct"), "anchors × pool must use the broadcast loop")
   }
+
+  test("q_string_sim/q_inverted_index/q_resample: keyed joins and aggs, never cartesian") {
+    for (q <- Seq("q_string_sim", "q_inverted_index", "q_resample")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay on keyed equi-joins")
+    }
+  }
+
+  test("q_group_topk: native heap aggregate combines map-side (partial ObjectHashAggregate)") {
+    val p = plan("q_group_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "bounded-heap top-k must prune before the shuffle")
+    assert(!p.contains("Window"), "the native agg path must not fall back to a window sort")
+  }
+
+  test("q_ema_decay/q_paths: one window partitioning, no extra shuffles") {
+    for (q <- Seq("q_ema_decay", "q_paths")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      // both window passes share the user_id partitioning: exactly one
+      // hashpartitioning exchange on user_id feeding the window stage
+      val shuffles = "hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(shuffles >= 1, s"$q lost its keyed window exchange")
+    }
+  }
 }
