@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalysis
@@ -186,6 +187,25 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Vocabulary coverage curve — the vocab-size decision metric: tokens
+    * ranked by corpus frequency (ties by token), with the cumulative
+    * fraction of all token occurrences each prefix of the vocabulary
+    * covers. Integer cumulative sums; one division at the end. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("term"))
+    val wAll = Window.partitionBy()
+    tf.withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf", sum(col("tf")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("tf")).over(wAll))
+      .select(col("rank"), col("term"), col("tf"),
+        rd(col("cum_tf").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("rank")
+  }
+
   /** Crawl-curation novelty curve: per ingest day (doc_id order stands
     * in for arrival), how many content hashes are first-seen vs repeats
     * — the dedup-rate telemetry a continuous ingestion pipeline tracks.
@@ -310,6 +330,26 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Canonical selection: per duplicate cluster, KEEP THE BEST document
+    * by quality score (ties to the smallest id) — real curation keeps
+    * the best copy, not the first-seen one. Argmax folds into one
+    * max(struct) aggregate over the CC labels ⋈ quality join. */
+  def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val d = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("score", TextAnalysis.qualityScore(size(col("toks")),
+        TextAnalysis.stopwordRatio("toks"), TextAnalysis.punctRatio("text")))
+      .select(col("doc_id"), col("score"))
+    clusters.join(d, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score").as("s"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.nd")).as("canonical_id"), rd(col("m.s"), 4).as("best_score"))
+      .orderBy("cluster_id")
+  }
+
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
@@ -354,6 +394,27 @@ object TextVector {
   def knnTriangles(s: SparkSession, dir: String): DataFrame = {
     val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
     graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
+  }
+
+  /** Hard-negative mining for contrastive training: each anchor's
+    * nearest ANN candidates (LSH top-10) that carry a DIFFERENT label,
+    * re-ranked — the negatives that actually move a contrastive loss,
+    * vs q_neg_sample's uniform pool. Pure composition: lshTopK ⋈
+    * labels ⋈ labels → filter → window re-rank. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cands = Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+    val labels = e.select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("label_q")), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("label_n")), "neighbor_id")
+      .filter(col("label_q") =!= col("label_n"))
+      .withColumn("hard_rank", row_number().over(w))
+      .filter(col("hard_rank") <= 3)
+      .select(col("query_id"), col("hard_rank"), col("neighbor_id"),
+        col("label_q"), col("label_n"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "hard_rank")
   }
 
   /** Deterministic label-propagation communities over the same kNN
@@ -437,6 +498,7 @@ object TextVector {
     "q_lsh_pairs" -> lshPairs,
     "q_ngram_jaccard" -> ngramJaccard,
     "q_dedup_clusters" -> dedupClusters,
+    "q_canonical_pick" -> canonicalPick,
     "q_decontaminate" -> decontaminate,
     "q_text_clean" -> textClean,
     "q_tfidf" -> tfidfTop,
@@ -446,6 +508,7 @@ object TextVector {
     "q_string_sim" -> stringSim,
     "q_winnow" -> winnowOverlap,
     "q_novelty" -> noveltyRate,
+    "q_vocab_coverage" -> vocabCoverage,
     "q_heavy_hitters" -> heavyHitters,
     "q_quantize" -> quantize,
     "q_chunks" -> chunks,
@@ -462,6 +525,7 @@ object TextVector {
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
     "q_label_prop" -> labelProp,
+    "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -736,6 +800,36 @@ object TextVector {
         |members AS (
         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
         |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin),
+    "q_canonical_pick" ->
+      ("WITH RECURSIVE " + lshPairsCte.replace("WITH ", "") + """,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= 0.5),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+        |dq AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |mq AS (
+        |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
+        |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
+        |  FROM dq),
+        |sq AS (
+        |  SELECT doc_id, 0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio) AS score
+        |  FROM mq),
+        |rk AS (
+        |  SELECT m.cluster_id, m.doc_id, s.score,
+        |    row_number() OVER (PARTITION BY m.cluster_id ORDER BY s.score DESC, m.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+        |  FROM members m JOIN sq s USING (doc_id))
+        |SELECT cluster_id, n_members, doc_id AS canonical_id,
+        |  floor((score)*10000 + 0.5)/10000 AS best_score
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
     "q_simhash" ->
       (s"""WITH toksm AS (
          |  SELECT doc_id, CAST('0x'||substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))),1,4) AS INT) AS h
@@ -865,6 +959,20 @@ object TextVector {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS tf FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT term, tf,
+        |    row_number() OVER (ORDER BY tf DESC, term) AS rank,
+        |    sum(tf) OVER (ORDER BY tf DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf,
+        |    sum(tf) OVER () AS total
+        |  FROM tf)
+        |SELECT CAST(rank AS INTEGER) AS rank, term, tf,
+        |  floor((cum_tf * 1.0 / total)*1000000 + 0.5)/1000000 AS coverage
+        |FROM r ORDER BY rank""".stripMargin,
     "q_novelty" ->
       """WITH d AS (
         |  SELECT CAST(doc_id % 10 AS INTEGER) AS day, md5(text) AS h FROM documents),
@@ -988,6 +1096,19 @@ object TextVector {
         |       FROM w LEFT JOIN edges e2 ON w.a = e2.u AND w.c = e2.v),
         |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH ${lshRankedCtes(queryPred = "q.vec_id < 8")},
+        |k10 AS (SELECT query_id, neighbor_id, cosine FROM r WHERE rank <= 10),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |hn AS (
+        |  SELECT k.query_id, k.neighbor_id, k.cosine, lq.label AS label_q, ln.label AS label_n,
+        |    row_number() OVER (PARTITION BY k.query_id ORDER BY k.cosine DESC, k.neighbor_id) AS hard_rank
+        |  FROM k10 k JOIN lab lq ON lq.vec_id = k.query_id
+        |             JOIN lab ln ON ln.vec_id = k.neighbor_id
+        |  WHERE lq.label <> ln.label)
+        |SELECT query_id, CAST(hard_rank AS INTEGER) AS hard_rank, neighbor_id,
+        |  label_q, label_n, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM hn WHERE hard_rank <= 3 ORDER BY query_id, hard_rank""".stripMargin,
     // 2 synchronized LPA rounds unrolled; per-node argmax = row_number
     // (count DESC, label ASC) — same deterministic tie as the Spark
     // max(struct(c, -label)) fold
