@@ -295,14 +295,16 @@ object Behavioral {
         |  floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_session_window" ->
-      // gaps-and-islands mirror of session_window: NEW session when the
-      // second-truncated gap is >= 1800 s (half-open window semantics);
-      // end = last event + gap
+      // gaps-and-islands mirror of session_window: NEW session only when
+      // the second-truncated gap EXCEEDS 1800 s. Spark merges an event
+      // landing exactly at the session end (closed boundary — verified
+      // empirically at sf0.1, where one exactly-1800 s pair exists and
+      // session_window merged it); end = last event + gap
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS tss, value FROM events),
         |m AS (
         |  SELECT user_id, tss, value,
         |    CASE WHEN lag(tss) OVER w IS NULL
-        |           OR date_diff('second', lag(tss) OVER w, tss) >= 1800
+        |           OR date_diff('second', lag(tss) OVER w, tss) > 1800
         |         THEN 1 ELSE 0 END AS ns
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
         |g AS (

@@ -452,7 +452,12 @@ object TextVector {
     val e = embs(s, dir)
     val q = e.filter(col("vec_id") < 8)
     val centroids = Similarity.kMeansFit(e, "vec_id", "embedding", stride = 100, iters = 2)
-    val ivf = Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 3, centroids, nprobe = 3)
+    // probe breadth must scale with the partition count or recall decays
+    // as the corpus (and nlist) grows — √nlist is the standard IVF
+    // default; floor of 3 keeps the small-corpus behavior. The count is
+    // a centroid-table config read (tiny frame), not a data-path collect.
+    val nprobe = math.max(3, math.ceil(math.sqrt(centroids.count().toDouble)).toInt)
+    val ivf = Similarity.ivfTopKWith(e, q, "vec_id", "embedding", k = 3, centroids, nprobe = nprobe)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
     val hits = ivf.join(exact.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")

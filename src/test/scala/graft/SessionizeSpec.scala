@@ -100,4 +100,25 @@ class SessionizeSpec extends AnyFunSuite {
         Seq((1000L, 2L), (1100L, 1L)))
     } finally q.stop()
   }
+
+  test("native session_window MERGES an event landing exactly gap after the last (closed boundary)") {
+    // sf0.1 carries a real exactly-1800s pair and session_window merged
+    // it — the q_session_window oracle mirrors with `> gap`, and this
+    // pins the engine semantics the oracle depends on
+    import org.apache.spark.sql.functions._
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, t0), (1L, plus(1800)),      // exactly gap apart -> ONE session
+      (2L, t0), (2L, plus(1801))       // one past gap      -> TWO sessions
+    ).toDF("user_id", "ts")
+    val got = ev.groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) == Seq(2L), s"exact-gap event must merge: ${got(1L)}")
+    assert(got(2L) == Seq(1L, 1L), s"past-gap event must split: ${got(2L)}")
+  }
 }
