@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.TextVector.queries ++
       graft.queries.Dashboards.queries ++
       graft.queries.Tpch.queries ++
+      graft.queries.TpchSubquery.queries ++
       graft.queries.Behavioral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.TextVector.oracles ++
       graft.queries.Dashboards.oracles ++
       graft.queries.Tpch.oracles ++
+      graft.queries.TpchSubquery.oracles ++
       graft.queries.Behavioral.oracles
 }

@@ -208,6 +208,52 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(chains <= 2, s"tokenizer appears $chains times — expression chain duplicated again")
   }
 
+  test("tpch subquery family: decorrelated to semi/anti equi-joins, never cartesian") {
+    // Q2 scalar-min, Q4 EXISTS, Q11 HAVING-scalar, Q20 nested IN,
+    // Q21 EXISTS+NOT EXISTS: every subquery must become a keyed join
+    for (q <- Seq("q_tpch_q2", "q_tpch_q4", "q_tpch_q11", "q_tpch_q16",
+        "q_tpch_q20", "q_tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q subquery fell back to all-pairs")
+    }
+    assert(plan("q_tpch_q4").contains("LeftSemi"), "q4 EXISTS lost its semi join")
+    val q20 = plan("q_tpch_q20")
+    assert("LeftSemi".r.findAllIn(q20).length >= 2, "q20 nested INs must both be semi joins")
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      "q21 EXISTS/NOT EXISTS must plan as the semi+anti pair")
+  }
+
+  test("q_tpch_q16: NOT IN plans as a NULL-AWARE anti join (typed check)") {
+    // a plain anti join would silently give the wrong answer the day
+    // the exclusion subquery produces a NULL; string plans don't show
+    // the flag, so assert on the physical operator itself
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = SparkEntry.queries("q_tpch_q16")(spark, dir).queryExecution.executedPlan
+    val phys = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    val antis = phys.collect {
+      case b: BroadcastHashJoinExec if b.joinType.toString == "LeftAnti" => b
+    }
+    assert(antis.nonEmpty, "q16 NOT IN lost its anti join")
+    assert(antis.exists(_.isNullAwareAntiJoin),
+      "q16 NOT IN must stay null-aware — a plain anti join has different NULL semantics")
+  }
+
+  test("q_tpch_q9/q_tpch_q12: dims broadcast, at most the fact-fact shuffle join") {
+    for (q <- Seq("q_tpch_q9", "q_tpch_q12")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian")
+      assert(p.contains("BroadcastHashJoin"), s"$q dims not broadcast")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1,
+        s"$q shuffles more than the single fact-fact join")
+    }
+    // Q9's LIKE filter must reach the part scan
+    assert(plan("q_tpch_q9").contains("StringContains(p_name,gear)"),
+      "q9 part LIKE filter not pushed to the scan")
+  }
+
   test("q_ema_decay/q_paths: one window partitioning, no extra shuffles") {
     for (q <- Seq("q_ema_decay", "q_paths")) {
       val p = plan(q)
