@@ -89,7 +89,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val streamBlock = streamJson.map(_ + ",").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$streamBlock"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$streamBlock"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the driver log truncates (BENCH_r04 lost
+    // 59/130 per-query numbers to the tail cut), a committed file keeps
+    // every round's record complete and diffable
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -14,7 +14,8 @@ object Explain {
       else Seq("q_revenue_by_nation", "q_rolling_30m", "q_decision_context",
         "q_lsh_pairs", "q_embed_ivf", "q_topk",
         "q_dedup_clusters", "q_health_gates", "q_merge_upsert", "q_action_queue",
-        "q_simhash64_pairs", "q_asof_join", "q_range_join", "q_tfidf", "q_scd2")
+        "q_simhash64_pairs", "q_asof_join", "q_range_join", "q_tfidf", "q_scd2",
+        "q_tpch_q2", "q_tpch_q16", "q_tpch_q21", "q_triangles_oriented")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

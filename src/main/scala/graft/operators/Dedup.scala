@@ -94,8 +94,14 @@ object Dedup {
     * collapsed; the estimate is identical in each). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
     // persisted for the two join legs; caller-scoped lifetime (see
-    // simhashNearDups note) — Verify/Bench clearCache between queries
+    // simhashNearDups note) — Verify/Bench clearCache between queries.
+    // Materialized EAGERLY: a lazy persist lets the two self-join legs
+    // race to compute the signature chain concurrently on the first
+    // action — measured 4.2 s vs 2.3 s cold at sf0.1 for the simhash
+    // twin, and at cluster scale it is 2x the signature work even when
+    // local wall-clock hides the race
     val sig = signatures.persist()
+    sig.count()
     val bands = sig
       .select(col(idCol) +: explode(array(bandStructs(k, rowsPerBand): _*)).as("band") +:
         (0 until k).map(j => col(s"mh$j")): _*)
@@ -179,14 +185,8 @@ object Dedup {
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(docs, idCol, textCol, bits = 16)
 
-  /** Truncate plan lineage between iterative rounds: reliable
-    * checkpoint when a checkpoint dir is configured (the cluster
-    * setting — survives executor loss), local checkpoint otherwise.
-    * Without this, round N's plan nests N joins and a lost cached
-    * partition replays the whole chain. */
-  private def truncateLineage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+  /** Shared with the Graphs loops — see [[graft.core.Lineage]]. */
+  private def truncateLineage(df: DataFrame): DataFrame = graft.core.Lineage.truncate(df)
 
   /** Connected components over an undirected pair list (the dedup
     * endgame: candidate pairs → duplicate CLUSTERS → one canonical doc
@@ -276,8 +276,13 @@ object Dedup {
     // persisted because both self-join legs read it; lives until the
     // caller unpersists/clearCache (same contract as lshCandidatePairs —
     // the returned plan still references the cache, so this operator
-    // cannot unpersist it itself)
+    // cannot unpersist it itself). Eager count: with a LAZY persist the
+    // two join legs race to populate the cache and compute the
+    // tokenize→md5→bit-vote chain TWICE on a cold cache (measured
+    // 4.22 s lazy vs 2.31 s eager at sf0.1, cold; identical warm) —
+    // r4's "q_simhash_pairs 2x" was this, not a plan regression
     val sig = simhash(docs, idCol, textCol, bits).persist()
+    sig.count()
     val bands = sig.select(col(idCol), col(shCol),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Lineage
 
 /** Distributed graph scoring over edge lists — the shuffle-on-edge
   * shape that scales: per-iteration state is one (node, rank) frame,
@@ -42,7 +43,14 @@ object Graphs {
       .persist() // read by the contract check, the n count, and every iteration
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     // ONE action answers both prechecks: node count + dangling count
-    // (every node needs out-degree >= 1, or rank mass silently leaks)
+    // (every node needs out-degree >= 1, or rank mass silently leaks).
+    // Evaluated: folding this into iteration 1 (raise_error on a null
+    // out_deg + carrying n as a broadcast column instead of a literal)
+    // saves one driver job but (a) re-derives deg inside the final job
+    // — one extra |E| aggregation pass at cluster scale unless deg is
+    // separately persisted, and (b) surfaces the contract violation
+    // AFTER the iteration work instead of before it. The explicit
+    // precheck reads only the already-cached e, so it stays.
     val Array(nl, dangling) = nodes.join(deg, nodes("id") === deg("src"), "left")
       .agg(count(lit(1)), count(when(col("src").isNull, 1))).head().toSeq.toArray
       .map(_.asInstanceOf[Long])
@@ -56,7 +64,7 @@ object Graphs {
     // only per-iteration shuffle is the groupBy(dst) of contributions
     val withDeg = e.join(deg, "src").persist()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
@@ -65,6 +73,11 @@ object Graphs {
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank"))
+      // bound plan depth at high iteration counts: each round nests 2
+      // joins, so without truncation iters≈20 builds a 40-join plan.
+      // Every 4th round the |V|-row rank frame checkpoints (eager, one
+      // small job); the contractual iters=2 path never pays it
+      if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
     }
     // materialize the final |V|-row result, then release the edge-sized
     // intermediates — a repeated caller otherwise accumulates ~3 pinned
@@ -91,7 +104,12 @@ object Graphs {
     * one per-node argmax folded into `max(struct(count, -label))` — no
     * window sort, all shuffles keyed by node id. Nodes are drawn from
     * the edge list (an isolated node has no neighbor vote and keeps its
-    * own label trivially). */
+    * own label trivially).
+    *
+    * Returns a PERSISTED, already-materialized |V|-row (id, label)
+    * frame — same cache contract as [[pageRank]]: the edge-scale
+    * intermediate is released before returning, the caller unpersists
+    * (or clearCache()s) the small result when done. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
@@ -103,7 +121,7 @@ object Graphs {
       .persist()
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = und
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src"), col("label"))
@@ -111,8 +129,14 @@ object Graphs {
         .groupBy(col("src"))
         .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
         .select(col("src").as("id"), (-col("__m.__nl")).as("label"))
+      // same depth bound as pageRank: 2 nested joins per round
+      if (i % 4 == 0 && i < iters) labels = Lineage.truncate(labels)
     }
-    labels
+    // materialize the |V|-row result, release the edge-scale cache
+    val result = labels.persist()
+    result.count()
+    und.unpersist()
+    result
   }
 
   /** Triangle census over an undirected edge list via wedge-closing:
@@ -127,10 +151,9 @@ object Graphs {
     * Shuffle budget: one distinct on the canonical edge, one equi-join
     * per pass — wedge volume is Σ deg², so feed SPARSE graphs (a kNN
     * graph from [[Similarity.knnGraph]] is ≤ k·|V| edges by
-    * construction). At scale the id-orientation would be replaced by
-    * degree-orientation (orient each edge toward the higher-degree
-    * endpoint) to bound the wedge count on skewed graphs — same plan
-    * shape, one extra degree join. */
+    * construction). For skewed graphs use
+    * [[triangleStatsOriented]] — identical `n_triangles`, wedge work
+    * bounded by degree orientation. */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
@@ -152,6 +175,65 @@ object Graphs {
       .persist()
     result.count()
     e.unpersist()
+    result
+  }
+
+  /** Degree-oriented triangle census — the skew-proof variant of
+    * [[triangleStats]]. Every edge is oriented toward its
+    * higher-(degree, id) endpoint, wedges form only between a node's
+    * ORIENTED out-edges, and the closing edge is probed in oriented
+    * form. `n_triangles` is identical to the id-oriented census (each
+    * triangle is counted exactly once, at its ≺-smallest corner);
+    * `n_wedges` is the oriented wedge count, which is the point: a
+    * star-graph hub with degree d contributes C(d,2) wedges under id
+    * orientation but ZERO under degree orientation (all hub edges
+    * point AT the hub), so per-node wedge work is bounded O(m^1.5)
+    * total instead of Σ deg² — the difference between a skewed social
+    * graph finishing and one straggling on its celebrity nodes.
+    *
+    * Same shuffle shape as [[triangleStats]] plus one degree
+    * aggregate + two broadcast-able degree joins. */
+  def triangleStatsOriented(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(
+        e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+          .agg(count(lit(1)).as("n_nodes")))
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient (u,v) from the ≺-smaller endpoint to the ≺-larger, where
+    // x ≺ y iff (deg(x), x) < (deg(y), y) — a total order, so the
+    // orientation is unique and acyclic
+    val uLess = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(uLess, col("u")).otherwise(col("v")).as("s"),
+        when(uLess, col("v")).otherwise(col("u")).as("d"),
+        when(uLess, col("dv")).otherwise(col("du")).as("dd"))
+      .persist()
+    // wedges pair two out-edges of the same source, ordered by the
+    // dst's (deg, id) so each unordered pair forms once; the pair
+    // (p ≺ q) closes iff oriented edge p→q exists (p ≺ q makes p→q
+    // the only possible orientation of {p, q})
+    val x = oriented.select(col("s"), col("d").as("p"), col("dd").as("dp"))
+    val y = oriented.select(col("s"), col("d").as("q"), col("dd").as("dq"))
+    val wedges = x.join(y, Seq("s"))
+      .filter(col("dp") < col("dq") || (col("dp") === col("dq") && col("p") < col("q")))
+    val closing = oriented.select(col("s").as("p"), col("d").as("q"), lit(1).as("closed"))
+    val wedgeAgg = wedges.join(closing, Seq("p", "q"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
+    val result = counts.crossJoin(wedgeAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+      .persist()
+    result.count()
+    e.unpersist()
+    oriented.unpersist()
     result
   }
 }

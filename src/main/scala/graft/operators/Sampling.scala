@@ -97,7 +97,14 @@ object Sampling {
     val h = conv(substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
-    df.withColumn("sample_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+    // A-ES is only defined for w > 0: w = 0 would give u^(1/0) = Inf
+    // exponent and w < 0 gives u^(1/w) > 1 — either silently always
+    // wins the top-k. Fail fast per-row instead (raise_error keeps the
+    // whole check inside the codegen'd projection — no extra pass).
+    val w = col(weightCol).cast("double")
+    val checked = when(w > 0, w).otherwise(raise_error(concat(
+      lit(s"weightedSample: $weightCol must be > 0 (A-ES undefined), got "), w)))
+    df.withColumn("sample_key", pow(u, lit(1.0) / checked))
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(k)
   }

@@ -396,6 +396,15 @@ object TextVector {
     graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
   }
 
+  /** The same census through [[Graphs.triangleStatsOriented]] — the
+    * degree-oriented, skew-proof variant: identical n_triangles (each
+    * triangle counted once at its ≺-smallest corner), n_wedges bounded
+    * by orientation instead of Σ deg². */
+  def trianglesOriented(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    graft.operators.Graphs.triangleStatsOriented(knn, "query_id", "neighbor_id")
+  }
+
   /** Hard-negative mining for contrastive training: each anchor's
     * nearest ANN candidates (LSH top-10) that carry a DIFFERENT label,
     * re-ranked — the negatives that actually move a contrastive loss,
@@ -529,6 +538,7 @@ object TextVector {
     "q_embed_ivf" -> embedIvf,
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
+    "q_triangles_oriented" -> trianglesOriented,
     "q_label_prop" -> labelProp,
     "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
@@ -1099,6 +1109,30 @@ object TextVector {
         |      FROM edges ab JOIN edges bc ON ab.v = bc.u),
         |cl AS (SELECT w.a, w.c, e2.u AS closed
         |       FROM w LEFT JOIN edges e2 ON w.a = e2.u AND w.c = e2.v),
+        |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
+    // degree-oriented census: orientation mirrored with row-value
+    // comparisons ((deg, id) tuples) — n_triangles must equal
+    // q_knn_triangles', n_wedges is the orientation-bounded count
+    "q_triangles_oriented" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |edges AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |nn AS (SELECT count(*) AS n_nodes FROM (SELECT u FROM edges UNION SELECT v FROM edges)),
+        |ne AS (SELECT count(*) AS n_edges FROM edges),
+        |deg AS (SELECT id, count(*) AS deg
+        |        FROM (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dd
+        |  FROM edges e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        |w AS (SELECT x.d AS p, y.d AS q FROM o x JOIN o y ON x.s = y.s
+        |      WHERE (x.dd, x.d) < (y.dd, y.d)),
+        |cl AS (SELECT w.p, w.q, o2.s AS closed
+        |       FROM w LEFT JOIN o o2 ON w.p = o2.s AND w.q = o2.d),
         |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
     "q_hard_negatives" ->

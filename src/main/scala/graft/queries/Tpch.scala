@@ -122,8 +122,11 @@ object Tpch {
   }
 
   /** ROLLUP: hierarchical totals region → nation → grand total
-    * (beyond-reference completeness; group keys coalesced to 'ALL' so
-    * both engines order identically). */
+    * (beyond-reference completeness). Subtotal rows are labeled by
+    * grouping() MARKERS, not by the coalesced value alone: a genuine
+    * NULL or literal 'ALL' in the group-key domain would conflate with
+    * the subtotal label, so the markers carry the unambiguous truth and
+    * the coalesce is display only. */
   def rollup(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = broadcast(t(s, dir, "customer"))
@@ -133,16 +136,19 @@ object Tpch {
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_orders"), rd(sum(col("o_totalprice")), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), rd(sum(col("o_totalprice")), 2).as("total_price"),
+        grouping(col("r_name")).as("g_region"), grouping(col("n_name")).as("g_nation"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("g_region").cast("int").as("g_region"), col("g_nation").cast("int").as("g_nation"),
         col("n_orders"), col("total_price"))
-      .orderBy("region", "nation")
+      .orderBy("region", "nation", "g_region", "g_nation")
   }
 
   /** CUBE: all 4 grains of (event_type, source-nation region) in one
-    * Expand pass — completes the rollup/grouping-sets/cube OLAP trio. */
+    * Expand pass — completes the rollup/grouping-sets/cube OLAP trio.
+    * Same grouping()-marker contract as [[rollup]]. */
   def cube(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = broadcast(t(s, dir, "customer"))
@@ -150,12 +156,14 @@ object Tpch {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .cube(col("o_orderpriority"), col("n_name"))
-      .agg(count(lit(1)).as("n_orders"), rd(sum(col("o_totalprice")), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), rd(sum(col("o_totalprice")), 2).as("total_price"),
+        grouping(col("o_orderpriority")).as("g_priority"), grouping(col("n_name")).as("g_nation"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("g_priority").cast("int").as("g_priority"), col("g_nation").cast("int").as("g_nation"),
         col("n_orders"), col("total_price"))
-      .orderBy("priority", "nation")
+      .orderBy("priority", "nation", "g_priority", "g_nation")
   }
 
   /** GROUPING SETS with grouping() markers: three explicit aggregation
@@ -486,21 +494,25 @@ object Tpch {
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | CAST(grouping(r_name) AS INTEGER) AS g_region,
+        | CAST(grouping(n_name) AS INTEGER) AS g_nation,
         | count(*) AS n_orders, floor((sum(o_totalprice))*100 + 0.5)/100 AS total_price
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY region, nation""".stripMargin,
+        |ORDER BY region, nation, g_region, g_nation""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority, coalesce(n_name, 'ALL') AS nation,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        | CAST(grouping(n_name) AS INTEGER) AS g_nation,
         | count(*) AS n_orders, floor((sum(o_totalprice))*100 + 0.5)/100 AS total_price
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY CUBE (o_orderpriority, n_name)
-        |ORDER BY priority, nation""".stripMargin,
+        |ORDER BY priority, nation, g_priority, g_nation""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n.n_name AS nation,
         | floor((sum(l.l_extendedprice * (1.0 - l.l_discount)))*10000 + 0.5)/10000 AS revenue,

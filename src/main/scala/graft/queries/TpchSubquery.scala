@@ -95,19 +95,27 @@ object TpchSubquery {
       |ORDER BY o.o_orderpriority""".stripMargin
 
   /** Q11: important stock — GROUP BY + HAVING over a GLOBAL scalar
-    * subquery (the whole-relation total recomputed as a 1-row
-    * broadcast threshold). */
+    * subquery (the whole-relation aggregate recomputed as a 1-row
+    * broadcast threshold). Two stress-gate hardenings: the threshold
+    * is 2× the AVERAGE part value, not a fixed fraction of the total
+    * (a fixed fraction returns 0 rows the moment the part count grows
+    * 10× — classic Q11's 0.0001/SF scale knob, made self-scaling);
+    * and l_extendedprice sums are exact scaled-integer cents, so the
+    * HAVING comparison can't flip with summation order (same boundary
+    * class the sf0.1 gate caught in Q9). */
   val q11Sql: String =
     """SELECT l.l_partkey AS ps_partkey,
-      |  floor((sum(l.l_extendedprice))*100 + 0.5)/100 AS part_value
+      |  floor((sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) / 100)*100 + 0.5)/100
+      |    AS part_value
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |WHERE r.r_name = 'EUROPE'
       |GROUP BY l.l_partkey
-      |HAVING sum(l.l_extendedprice) > (
-      |  SELECT sum(l2.l_extendedprice) * 0.001
+      |HAVING sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) > (
+      |  SELECT 2 * sum(CAST(floor(l2.l_extendedprice*100 + 0.5) AS BIGINT))
+      |         / count(DISTINCT l2.l_partkey)
       |  FROM lineitem l2
       |  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
       |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
@@ -191,14 +199,24 @@ object TpchSubquery {
     val p = broadcast(Tables(s, dir, "part").filter(col("p_name").like("%gear%")))
     val sup = broadcast(Tables(s, dir, "supplier"))
     val n = broadcast(Tables(s, dir, "nation"))
+    // the profit summand is a 4-decimal value at ~1e7 group magnitude:
+    // a raw double sum drifts with summation order and the sf0.1 stress
+    // gate caught one group landing exactly on a 2-decimal rounding
+    // boundary (…936.615) — so sum exact scaled INTEGERS instead.
+    // Per-row floor(v·10⁴+0.5) is deterministic on both engines (the
+    // per-row expression bits are identical; the value sits ≥6 orders
+    // of magnitude from the floor boundary), and a BIGINT sum is
+    // order-independent.
+    val profitCents = floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.1)) * lit(10000.0) + lit(0.5))
+      .cast("long")
     li.join(p, li("l_partkey") === p("p_partkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(n, sup("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(
-        rd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          col("p_retailprice") * col("l_quantity") * lit(0.1)), 2).as("profit"),
+        rd(sum(profitCents) / lit(10000.0), 2).as("profit"),
         count(lit(1)).as("n_items"))
       .orderBy("nation", "o_year")
   }
@@ -246,8 +264,9 @@ object TpchSubquery {
     "q_tpch_q21" -> q21Sql,
     "q_tpch_q9" ->
       """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-        |  floor((sum(l.l_extendedprice * (1.0 - l.l_discount)
-        |           - p.p_retailprice * l.l_quantity * 0.1))*100 + 0.5)/100 AS profit,
+        |  floor((sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)
+        |           - p.p_retailprice * l.l_quantity * 0.1)*10000 + 0.5) AS BIGINT))
+        |         / 10000.0)*100 + 0.5)/100 AS profit,
         |  count(*) AS n_items
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey

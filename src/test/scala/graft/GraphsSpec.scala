@@ -83,4 +83,66 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(2L) == 1L, "tie must break toward the smallest label")
     assert(got(1L) == 2L && got(3L) == 2L, "endpoints adopt their only neighbor")
   }
+
+  test("triangleStatsOriented: same triangles as id-oriented on K4, path, and random graphs") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    val rk = Graphs.triangleStatsOriented(k4, "s", "d").as[(Long, Long, Long, Long)].head()
+    // K4: every node has deg 3, so (deg, id) order == id order — the
+    // census is identical to triangleStats' (4 wedges, all closed)
+    assert(rk == ((4L, 6L, 4L, 4L)), s"K4 oriented census wrong: $rk")
+
+    // property: n_nodes/n_edges/n_triangles identical to the
+    // id-oriented census on seeded Erdős–Rényi graphs (only n_wedges
+    // may differ — that's the point of the orientation)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a < b && rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toDF("s", "d")
+      val id = Graphs.triangleStats(edges, "s", "d").as[(Long, Long, Long, Long)].head()
+      val or = Graphs.triangleStatsOriented(edges, "s", "d").as[(Long, Long, Long, Long)].head()
+      assert(id._1 == or._1 && id._2 == or._2 && id._4 == or._4,
+        s"trial $trial: id-oriented $id vs degree-oriented $or disagree on nodes/edges/triangles")
+    }
+  }
+
+  test("triangleStatsOriented: star-graph skew — hub wedges collapse to zero") {
+    // hub at the MEDIAN id (25): the id-oriented census forms a wedge
+    // for every (below, hub, above) pair = 24·25 = 600; degree
+    // orientation points every edge AT the hub (leaves have deg 1), so
+    // no node has two out-edges and the wedge count is ZERO. This is
+    // the Σ deg² → O(m^1.5) bound in miniature: per-hub work no longer
+    // scales with C(deg_hub, 2).
+    val star = ((1L to 24L) ++ (26L to 50L)).map { leaf =>
+      (math.min(leaf, 25L), math.max(leaf, 25L))
+    }.toDF("s", "d")
+    val id = Graphs.triangleStats(star, "s", "d").as[(Long, Long, Long, Long)].head()
+    assert(id == ((50L, 49L, 600L, 0L)), s"id-oriented star census wrong: $id")
+    val or = Graphs.triangleStatsOriented(star, "s", "d").as[(Long, Long, Long, Long)].head()
+    assert(or == ((50L, 49L, 0L, 0L)), s"degree-oriented star census wrong: $or")
+  }
+
+  test("graph loops bound plan depth: high-iter runs truncate lineage every 4 rounds") {
+    // without Lineage.truncate, iters=9 nests 18 joins into the final
+    // plan; with truncation the optimized plan restarts from a
+    // LogicalRDD at round 8 and carries at most 1 round of joins
+    val longPath = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels9 = Graphs.labelPropagation(longPath, "src", "dst", iters = 9)
+    val lpJoins = labels9.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+    assert(lpJoins <= 2, s"labelPropagation iters=9 plan carries $lpJoins joins — lineage not truncated")
+
+    val ranks9 = Graphs.pageRank(path, "src", "dst", iters = 9)
+    val prJoins = ranks9.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+    assert(prJoins <= 4, s"pageRank iters=9 plan carries $prJoins joins — lineage not truncated")
+    // rank mass still conserved through the checkpoint boundary
+    val mass = ranks9.as[(String, Double)].collect().map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"rank mass drifted across truncation: $mass")
+  }
 }

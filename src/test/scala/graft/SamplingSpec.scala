@@ -73,6 +73,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.count() == 5)
   }
 
+  test("weightedSample: non-positive weights fail fast (A-ES domain guard)") {
+    // w = 0 → u^(1/0) = Inf and w < 0 → key > 1: either would silently
+    // always win the top-k; the guard must throw instead
+    for (bad <- Seq(0L, -3L)) {
+      val df = (1L to 10L).map(i => (i, if (i == 5L) bad else 10L)).toDF("id", "w")
+      val e = intercept[Exception] {
+        Sampling.weightedSample(df, "id", "w", k = 5).collect()
+      }
+      assert(e.getMessage.contains("must be > 0") ||
+        Option(e.getCause).exists(_.getMessage.contains("must be > 0")),
+        s"weight=$bad must raise the domain error, got: ${e.getMessage}")
+    }
+  }
+
   test("weightedSample: equal weights approximate the uniform inclusion rate") {
     val df = (1L to 1000L).map(i => (i, 7L)).toDF("id", "w")
     val got = Sampling.weightedSample(df, "id", "w", k = 100)
