@@ -257,6 +257,100 @@ object Similarity {
                pairs: Seq[(Long, Long)] = DefaultPlanePairs, bandBits: Int = 4): DataFrame =
     lshTopK(corpus, corpus, idCol, vecCol, k, pairs, bandBits, broadcastQueries = false)
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the memory-side ANN lever: a D-dim
+  // float vector (4·D bytes) becomes m small centroid codes (m bytes
+  // at ≤256 codes), so a 100 TB embedding corpus scans as ~1.5 TB of
+  // codes. Queries score candidates via ADC (asymmetric distance
+  // computation): dot(q, x) ≈ Σ_s dot(q_s, c_{s,code_s(x)}) — a table
+  // lookup per subspace instead of a D-element dot per candidate.
+  // Composes with IVF (probe buckets first, ADC-scan inside them);
+  // here the ADC scan covers the corpus, which IS the faiss "Flat+PQ"
+  // baseline shape.
+  // ---------------------------------------------------------------
+
+  /** Per-row subspace slices: (id, subspace, subvec) with
+    * subvec = elements [s·D/m, (s+1)·D/m). D is read per row
+    * (`size(vec)`), so mixed-dim corpora fail loudly in the dot. */
+  def pqSubVectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
+    df.select(col(idCol), col(vecCol),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"))
+      .select(col(idCol), col("subspace"),
+        expr(s"slice($vecCol, subspace * (size($vecCol) div $m) + 1, size($vecCol) div $m)")
+          .as("subvec"))
+
+  /** Deterministic PQ codebooks from stride-sampled corpus vectors
+    * (the [[strideCentroids]] pattern, fixed `codes` count at every
+    * corpus size): codebook entry (subspace s, code j) is the s-th
+    * slice of the vector with id = j·donorStride. SQL-mirrorable ⇒
+    * fully ORACLE-checkable; swap in per-subspace [[kMeansFit]]
+    * sub-codebooks for production recall (the operator downstream is
+    * identical). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+                  codes: Int = 16, donorStride: Int = 32): DataFrame =
+    pqSubVectors(
+      corpus.filter(col(idCol) % donorStride === 0 &&
+        col(idCol) < donorStride.toLong * codes),
+      idCol, vecCol, m)
+      .select((col(idCol) / donorStride).cast("int").as("code"),
+        col("subspace"), col("subvec").as("cvec"))
+
+  /** Encode every vector as m centroid codes: per subspace,
+    * code = argmin‖subvec − c‖² over the broadcast codebook, computed
+    * as −2·dot(subvec,c) + dot(c,c) (the dot(subvec,subvec) term is
+    * constant per row). Ties break toward the smaller code via
+    * min(struct(dist, code)) — deterministic, SQL-mirrorable.
+    * One broadcast join + one groupBy on (id, subspace): n·m·codes
+    * scored rows map-side, n·m rows shuffled. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int): DataFrame =
+    pqSubVectors(corpus, idCol, vecCol, m)
+      .join(broadcast(codebooks), Seq("subspace"))
+      .select(col(idCol), col("subspace"), col("code"),
+        (lit(-2.0) * dotExpr("subvec", "cvec") + dotExpr("cvec", "cvec")).as("__d"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("__d"), col("code"))).as("__m"))
+      .select(col(idCol), col("subspace"), col("__m.code").as("code"))
+
+  /** PQ-ADC top-k: corpus scanned as CODES, per-query per-subspace
+    * dot tables broadcast, approximate score assembled in FIXED
+    * subspace order (p0+p1+…+p(m−1), not an order-free sum — double
+    * addition isn't associative and the oracle must reproduce the
+    * exact bits), candidates kept via the native bounded-heap
+    * aggregate (O(k) rows per partition shuffle), then the k winners
+    * re-ranked against their TRUE vectors (exact cosine emitted next
+    * to the ADC estimate — the quantization-error observability
+    * column). Self-matches excluded. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 4, codes: Int = 16, donorStride: Int = 32): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, codes, donorStride)
+    val enc = pqEncode(corpus, idCol, vecCol, cb, m)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+    val qTable = pqSubVectors(queries, idCol, vecCol, m)
+      .join(broadcast(cb), Seq("subspace"))
+      .select(col(idCol).as("query_id"), col("subspace"), col("code"),
+        dotExpr("subvec", "cvec").as("pdot"))
+    val partials = (0 until m).map(s =>
+      max(when(col("subspace") === s, col("pdot"))).as(s"p$s"))
+    val adc = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
+    val winners = enc.join(broadcast(qTable), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("query_id"), col("neighbor_id").as("id"), adc.as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate.heapTopKAgg(col("id"), col("score"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("neighbor_id"), col("s.score").as("adc"))
+    // exact re-rank columns: true cosine of each retrieved pair
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    winners.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"),
+        cosineExpr("qv", "cv").as("cosine"))
+  }
+
   /** [[ivfTopK]] against caller-supplied centroids (e.g. a
     * [[kMeansFit]] quantizer), with optional multi-probe. */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

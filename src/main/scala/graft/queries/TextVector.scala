@@ -369,6 +369,30 @@ object TextVector {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ADC top-k (Similarity.pqTopK): corpus
+    * scanned as 4 one-byte codes per vector instead of 64 floats —
+    * the memory-side ANN lever next to IVF's compute-side one. The
+    * stride codebooks keep the whole chain SQL-expressible, so
+    * encode → ADC table → fixed-order score assembly → top-k → exact
+    * re-rank is fully hash-checked against DuckDB. */
+  // PQ config shared by the query AND its generated oracle text —
+  // the constants can't drift apart. 16 subspaces × 64 codes over
+  // 64-dim vectors: 4 dims/code, 16x compression; recall@5 0.475 vs
+  // brute force on the (unclustered, PQ-hostile) synthetic embeddings
+  // (PqSpec pins ≥ 0.35). Donor ids stride-4 < 256 exist at every SF.
+  private val PqM = 16
+  private val PqCodes = 64
+  private val PqStride = 4
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        m = PqM, codes = PqCodes, donorStride = PqStride)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        rd(col("adc"), 4).as("adc"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   def embedIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, stride = 100)
@@ -536,6 +560,7 @@ object TextVector {
       .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
+    "q_embed_pq" -> pqTopK,
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
     "q_triangles_oriented" -> trianglesOriented,
@@ -1111,6 +1136,46 @@ object TextVector {
         |       FROM w LEFT JOIN edges e2 ON w.a = e2.u AND w.c = e2.v),
         |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
+    // the full PQ chain mirrored, GENERATED from the same PqM/PqCodes/
+    // PqStride constants the Spark query uses: stride codebooks →
+    // argmin encode (row_number over (dist, code) = Spark's
+    // min(struct)) → per-query dot tables → FIXED-ORDER p0+p1+…
+    // score assembly (so the double bits match Spark's non-associative
+    // addition) → top-5 → exact-cosine re-rank columns
+    "q_embed_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    v[CAST(s*(len(v)//$PqM)+1 AS BIGINT) : CAST((s+1)*(len(v)//$PqM) AS BIGINT)] AS sv
+        |  FROM e, range($PqM) t(s)),
+        |cb AS (SELECT CAST(vec_id // $PqStride AS INTEGER) AS code, s, sv AS cv
+        |       FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqCodes}),
+        |enc AS (
+        |  SELECT vec_id AS neighbor_id, s, code FROM (
+        |    SELECT x.vec_id, x.s, c.code,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY -2*list_dot_product(x.sv, c.cv) + list_dot_product(c.cv, c.cv), c.code) AS rn
+        |    FROM sub x JOIN cb c USING (s)) WHERE rn = 1),
+        |qt AS (SELECT q.vec_id AS query_id, q.s, c.code, list_dot_product(q.sv, c.cv) AS pdot
+        |       FROM sub q JOIN cb c USING (s) WHERE q.vec_id < 8),
+        |scored AS (
+        |  SELECT t.query_id, enc.neighbor_id,
+        |    ${(0 until PqM).map(s => s"max(CASE WHEN enc.s = $s THEN pdot END)").mkString("\n    + ")} AS adc
+        |  FROM enc JOIN qt t ON t.s = enc.s AND t.code = enc.code
+        |  WHERE t.query_id <> enc.neighbor_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT r.query_id, CAST(rank AS INTEGER) AS rank, r.neighbor_id,
+        |  floor(adc*10000 + 0.5)/10000 AS adc,
+        |  floor((list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))*10000 + 0.5)/10000 AS cosine
+        |FROM r
+        |JOIN e a ON a.vec_id = r.query_id
+        |JOIN e b ON b.vec_id = r.neighbor_id
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // degree-oriented census: orientation mirrored with row-value
     // comparisons ((deg, id) tuples) — n_triangles must equal
     // q_knn_triangles', n_wedges is the orientation-bounded count

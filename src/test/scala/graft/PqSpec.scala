@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Product-quantization ANN (Similarity.pq*): encode totality, the
+  * ADC ≈ reconstructed-dot identity, and recall against the exact
+  * brute-force ranking.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def embs = graft.core.Tables(spark, dir, "embeddings")
+
+  test("pqEncode: every (id, subspace) gets exactly one code in [0, codes)") {
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 4)
+    val enc = Similarity.pqEncode(embs, "vec_id", "embedding", cb, m = 4)
+    val n = embs.count()
+    assert(enc.count() == n * 4, "one code per (vector, subspace)")
+    assert(enc.groupBy("vec_id", "subspace").count().filter($"count" =!= 1).isEmpty)
+    val Array(lo, hi) = enc.agg(min($"code"), max($"code")).head().toSeq.toArray
+    assert(lo.asInstanceOf[Int] >= 0 && hi.asInstanceOf[Int] < 16,
+      s"codes out of range: [$lo, $hi]")
+  }
+
+  test("ADC score equals dot(query, reconstructed vector) up to addition order") {
+    // adc = Σ_s dot(q_s, c_s) and dot(q, concat(c_s)) accumulate the
+    // same 64 products in different grouping — equal to ~1e-9, not
+    // bitwise (double addition is not associative)
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 4)
+    val enc = Similarity.pqEncode(embs, "vec_id", "embedding", cb, m = 4)
+    val recon = enc.join(cb, Seq("subspace", "code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(subspace, cvec))), s -> s.cvec))")
+        .as("rv"))
+    val q = embs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val adc = Similarity.pqTopK(embs, embs.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = 5, m = 4)
+      .select($"query_id", $"neighbor_id", $"adc")
+    val checked = adc
+      .join(recon.select($"vec_id".as("neighbor_id"), $"rv"), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select($"adc", Similarity.dotExpr("qv", "rv").as("rdot"))
+      .as[(Double, Double)].collect()
+    assert(checked.nonEmpty)
+    checked.foreach { case (a, r) =>
+      assert(math.abs(a - r) < 1e-9, s"ADC $a vs reconstructed dot $r")
+    }
+  }
+
+  test("PQ-ADC recall@5 against exact brute force (the q_embed_pq config)") {
+    val e = embs
+    val queries = e.filter($"vec_id" < 8)
+    val truth = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // the q_embed_pq setting: 16 subspaces x 64 stride codes (4 dims
+    // per code, 16x compression). Parameter sweep on this corpus:
+    // m=4/16codes 0.15, m=8/64 0.30, m=16/64 0.475 — the synthetic
+    // embeddings are unclustered (PQ-hostile), a k-means codebook is
+    // the documented production swap
+    val got = Similarity.pqTopK(e, queries, "vec_id", "embedding", k = 5,
+        m = 16, codes = 64, donorStride = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    // pinned below measured 0.475 so a scoring bug (recall → ~k/n ≈
+    // 0.01) fails loudly while codebook-quality wiggle doesn't
+    assert(recall >= 0.35, s"PQ recall@5 degraded: $recall")
+  }
+}
