@@ -326,15 +326,59 @@ object Similarity {
     val cb = pqCodebooks(corpus, idCol, vecCol, m, codes, donorStride)
     val enc = pqEncode(corpus, idCol, vecCol, cb, m)
       .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
-    val qTable = pqSubVectors(queries, idCol, vecCol, m)
+    val qTable = pqQueryTable(queries, idCol, vecCol, cb, m)
+    val pairs = enc.join(broadcast(qTable), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    adcTopK(pairs, corpus, queries, idCol, vecCol, k, m)
+  }
+
+  /** IVF + PQ — the production composition (the faiss IVFPQ shape):
+    * coarse centroids restrict each query to its `nprobe` probed
+    * buckets, PQ codes make the within-bucket scan a table lookup.
+    * Per query the candidate set is ~nprobe·|corpus|/nlist rows of m
+    * one-byte codes — BOTH levers at once: IVF cuts the candidate
+    * count, PQ cuts the bytes and the per-candidate cost. Stride
+    * centroids + stride codebooks keep the whole chain SQL-expressible
+    * (swap in [[kMeansFit]] centroids / sub-codebooks for production
+    * recall — identical downstream plan). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, centroidStride: Int = 100, nprobe: Int = 2,
+                m: Int = 4, codes: Int = 16, donorStride: Int = 32): DataFrame = {
+    val centroids = strideCentroids(corpus, idCol, vecCol, centroidStride)
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, codes, donorStride)
+    val encB = pqEncode(corpus, idCol, vecCol, cb, m)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+      .join(ivfAssign(corpus, centroids, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("bucket")), Seq("neighbor_id"))
+    val qProbed = ivfProbe(queries, centroids, idCol, vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col("bucket"))
+    val qTable = pqQueryTable(queries, idCol, vecCol, cb, m)
+    val pairs = encB.join(broadcast(qProbed), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qTable), Seq("query_id", "subspace", "code"))
+    adcTopK(pairs, corpus, queries, idCol, vecCol, k, m)
+  }
+
+  /** Per-query ADC dot tables: (query_id, subspace, code, pdot) —
+    * q·m·codes rows, always broadcast. */
+  private def pqQueryTable(queries: DataFrame, idCol: String, vecCol: String,
+                           cb: DataFrame, m: Int): DataFrame =
+    pqSubVectors(queries, idCol, vecCol, m)
       .join(broadcast(cb), Seq("subspace"))
       .select(col(idCol).as("query_id"), col("subspace"), col("code"),
         dotExpr("subvec", "cvec").as("pdot"))
+
+  /** Shared ADC tail: fixed-subspace-order score assembly (double
+    * addition is not associative — the oracle must see the same bits),
+    * bounded-heap top-k, exact-cosine re-rank columns. `pairs` carries
+    * (query_id, neighbor_id, subspace, pdot) with exactly one row per
+    * (query, neighbor, subspace). */
+  private def adcTopK(pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, m: Int): DataFrame = {
     val partials = (0 until m).map(s =>
       max(when(col("subspace") === s, col("pdot"))).as(s"p$s"))
     val adc = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
-    val winners = enc.join(broadcast(qTable), Seq("subspace", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val winners = pairs
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(partials.head, partials.tail: _*)
       .select(col("query_id"), col("neighbor_id").as("id"), adc.as("score"))

@@ -393,6 +393,19 @@ object TextVector {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF+PQ composition (Similarity.ivfPqTopK) — the faiss-IVFPQ
+    * production shape: nprobe=2 coarse buckets cut the candidate set,
+    * PQ codes cut the per-candidate cost; same stride determinism so
+    * the full two-level chain is hash-checked. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        centroidStride = 100, nprobe = 2, m = PqM, codes = PqCodes, donorStride = PqStride)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        rd(col("adc"), 4).as("adc"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   def embedIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, stride = 100)
@@ -561,6 +574,7 @@ object TextVector {
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
     "q_embed_pq" -> pqTopK,
+    "q_embed_ivfpq" -> ivfPqTopK,
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
     "q_triangles_oriented" -> trianglesOriented,
@@ -1162,6 +1176,64 @@ object TextVector {
         |  SELECT t.query_id, enc.neighbor_id,
         |    ${(0 until PqM).map(s => s"max(CASE WHEN enc.s = $s THEN pdot END)").mkString("\n    + ")} AS adc
         |  FROM enc JOIN qt t ON t.s = enc.s AND t.code = enc.code
+        |  WHERE t.query_id <> enc.neighbor_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT r.query_id, CAST(rank AS INTEGER) AS rank, r.neighbor_id,
+        |  floor(adc*10000 + 0.5)/10000 AS adc,
+        |  floor((list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))*10000 + 0.5)/10000 AS cosine
+        |FROM r
+        |JOIN e a ON a.vec_id = r.query_id
+        |JOIN e b ON b.vec_id = r.neighbor_id
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // IVF+PQ: the q_embed_ivf coarse-assignment CTEs composed with the
+    // q_embed_pq code CTEs — candidates must be in a probed bucket AND
+    // score via the code tables; same generated constants
+    "q_embed_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, v AS cvec0
+        |         FROM e WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id AS neighbor_id, bucket FROM (
+        |    SELECT c.vec_id, ct.centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.v, ct.cvec0) /
+        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.cvec0, ct.cvec0))) DESC,
+        |        ct.centroid_id) AS rn
+        |    FROM e c CROSS JOIN cent ct) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, bucket FROM (
+        |    SELECT c.vec_id, ct.centroid_id AS bucket,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.v, ct.cvec0) /
+        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.cvec0, ct.cvec0))) DESC,
+        |        ct.centroid_id) AS rn
+        |    FROM e c CROSS JOIN cent ct WHERE c.vec_id < 8) WHERE rn <= 2),
+        |sub AS (
+        |  SELECT vec_id, s,
+        |    v[CAST(s*(len(v)//$PqM)+1 AS BIGINT) : CAST((s+1)*(len(v)//$PqM) AS BIGINT)] AS sv
+        |  FROM e, range($PqM) t(s)),
+        |cb AS (SELECT CAST(vec_id // $PqStride AS INTEGER) AS code, s, sv AS cv
+        |       FROM sub WHERE vec_id % $PqStride = 0 AND vec_id < ${PqStride * PqCodes}),
+        |enc AS (
+        |  SELECT vec_id AS neighbor_id, s, code FROM (
+        |    SELECT x.vec_id, x.s, c.code,
+        |      row_number() OVER (PARTITION BY x.vec_id, x.s
+        |        ORDER BY -2*list_dot_product(x.sv, c.cv) + list_dot_product(c.cv, c.cv), c.code) AS rn
+        |    FROM sub x JOIN cb c USING (s)) WHERE rn = 1),
+        |qt AS (SELECT q.vec_id AS query_id, q.s, c.code, list_dot_product(q.sv, c.cv) AS pdot
+        |       FROM sub q JOIN cb c USING (s) WHERE q.vec_id < 8),
+        |scored AS (
+        |  SELECT t.query_id, enc.neighbor_id,
+        |    ${(0 until PqM).map(s => s"max(CASE WHEN enc.s = $s THEN pdot END)").mkString("\n    + ")} AS adc
+        |  FROM enc
+        |  JOIN assign a ON a.neighbor_id = enc.neighbor_id
+        |  JOIN probe p ON p.bucket = a.bucket
+        |  JOIN qt t ON t.query_id = p.query_id AND t.s = enc.s AND t.code = enc.code
         |  WHERE t.query_id <> enc.neighbor_id
         |  GROUP BY 1, 2),
         |r AS (SELECT query_id, neighbor_id, adc,

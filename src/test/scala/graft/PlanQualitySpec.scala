@@ -254,14 +254,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "q9 part LIKE filter not pushed to the scan")
   }
 
-  test("q_embed_pq: code-space equi-joins + map-side heap combine, never cartesian") {
-    val p = plan("q_embed_pq")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "PQ must score via the (subspace, code) equi-join, not all-pairs")
-    // the bounded-heap top-k must combine map-side (partial + final)
-    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
-      "PQ top-k lost its map-side heap combine")
-    assert(p.contains("BroadcastExchange"), "codebook/dot-table must broadcast")
+  test("q_embed_pq/q_embed_ivfpq: code-space equi-joins + map-side heap combine") {
+    for (q <- Seq("q_embed_pq", "q_embed_ivfpq")) {
+      val p = plan(q)
+      // the centroid fan-outs (ivfAssign/ivfProbe) are deliberate tiny
+      // broadcast cross joins; the CODE-side scoring must never be
+      assert(!p.contains("CartesianProduct"), s"$q has a non-broadcast cartesian")
+      // the bounded-heap top-k must combine map-side (partial + final)
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$q top-k lost its map-side heap combine")
+      assert(p.contains("BroadcastExchange"), s"$q codebook/dot-table must broadcast")
+    }
   }
 
   test("q_ema_decay/q_paths: one window partitioning, no extra shuffles") {

@@ -52,6 +52,34 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: candidates confined to probed buckets; recall tracks the IVF ceiling") {
+    val e = embs
+    val queries = e.filter($"vec_id" < 8)
+    val got = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding", k = 5,
+        centroidStride = 100, nprobe = 2, m = 16, codes = 64, donorStride = 4)
+    // bucket confinement: every returned neighbor's coarse bucket must
+    // be one of its query's 2 probed buckets
+    val centroids = Similarity.strideCentroids(e, "vec_id", "embedding", 100)
+    val nb = Similarity.ivfAssign(e, centroids, "vec_id", "embedding")
+      .select($"vec_id".as("neighbor_id"), $"bucket".as("nbucket"))
+    val probed = Similarity.ivfProbe(queries, centroids, "vec_id", "embedding", nprobe = 2)
+      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"))
+    val escaped = got.join(nb, "neighbor_id")
+      .join(probed, Seq("query_id"), "left_semi") // sanity: queries probed
+      .join(probed.withColumnRenamed("qbucket", "nbucket"),
+        Seq("query_id", "nbucket"), "left_anti")
+    assert(escaped.isEmpty, "a neighbor came from an unprobed bucket")
+    // recall can't beat the IVF candidate ceiling (truth inside probed
+    // buckets); it must stay well above random
+    val truth = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val gotSet = got.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & gotSet).size.toDouble / truth.size
+    // measured 0.475 — same as unrestricted PQ: nprobe=2 of 5 buckets
+    // keeps the true neighbors' buckets on this corpus. Random ≈ 0.01.
+    assert(recall >= 0.35, s"IVFPQ recall collapsed: $recall")
+  }
+
   test("PQ-ADC recall@5 against exact brute force (the q_embed_pq config)") {
     val e = embs
     val queries = e.filter($"vec_id" < 8)
