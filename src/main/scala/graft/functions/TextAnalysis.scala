@@ -48,6 +48,29 @@ object TextAnalysis {
       greatest(size(col(tokensCol)), lit(1))
   }
 
+  /** Whitespace-token count: what `wc -w` reports; the crude upper
+    * anchor for token-budget estimates. Empty / all-space → 0.
+    * Patterns pass through the Column API (NOT expr()) — Spark SQL
+    * string literals unescape backslashes, which would corrupt \s. */
+  def wsTokenCount(textCol: String): Column =
+    size(filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+
+  /** GPT-2-style pre-tokenizer pattern, reduced to the Java-regex ∩
+    * RE2 common subset (no lookahead — RE2 has none; ASCII classes —
+    * identical in both engines), so a DuckDB oracle can run the
+    * VERBATIM pattern: contraction suffixes, space-prefixed letter
+    * runs, digit runs, punctuation runs. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** BPE-ish token count: |matches of [[BpeishPattern]]| — the
+    * practical LLM-token estimator for mixture/budget planning
+    * (tracks real BPE counts within ~±20% on English text; a real
+    * tokenizer model swaps in at the same column position). Pure
+    * projection, scan throughput. */
+  def bpeishTokenCount(textCol: String): Column =
+    size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+
   /** Fraction of characters that are not [a-z0-9 ] after lowercasing. */
   def punctRatio(textCol: String): Column =
     (length(col(textCol)) - length(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""))).cast("double") /

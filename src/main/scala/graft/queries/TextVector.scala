@@ -65,6 +65,20 @@ object TextVector {
         rd(avg(length(col("text"))), 4).as("avg_chars"))
       .orderBy("lang")
 
+  /** Token-budget estimation (TextAnalysis.wsTokenCount /
+    * bpeishTokenCount): whitespace tokens anchor the crude bound,
+    * the GPT-2-style BPE-ish regex tracks real LLM token counts for
+    * mixture planning — the oracle runs the VERBATIM pattern. */
+  def tokenEstimate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), length(col("text")).as("__chars"),
+        TextAnalysis.wsTokenCount("text").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount("text").as("bpeish_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"),
+        rd(col("__chars").cast("double") / greatest(col("bpeish_tokens"), lit(1)), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens("text"))
@@ -540,6 +554,7 @@ object TextVector {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats,
+    "q_token_estimate" -> tokenEstimate,
     "q_text_quality" -> textQuality,
     "q_lang_id" -> langId,
     "q_fingerprint" -> fingerprint,
@@ -783,6 +798,19 @@ object TextVector {
   }
 
   val oracles: Map[String, String] = Map(
+    // the BPE-ish pattern is the SAME constant the query compiles —
+    // RE2 ∩ Java-regex subset, so both engines execute it verbatim
+    "q_token_estimate" -> {
+      val pat = TextAnalysis.BpeishPattern.replace("'", "''")
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INTEGER)
+        |    AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS bpeish_tokens,
+        |  floor((CAST(length(text) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '$pat')), 1))*10000 + 0.5)/10000
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | floor((avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))))*10000 + 0.5)/10000 AS avg_tokens,

@@ -256,4 +256,21 @@ class TextDedupSpec extends AnyFunSuite {
     val got = df.select(TextAnalysis.qualityBand(col("s"))).as[String].collect().toSeq
     assert(got == Seq("high", "medium", "medium", "low"))
   }
+
+  test("token estimators: whitespace count and BPE-ish count on hand-verified cases") {
+    val df = Seq(
+      (1L, "Don't stop"),     // ws 2 | bpeish: "Don" "'t" " stop" = 3
+      (2L, "   "),            // ws 0 | bpeish 0
+      (3L, ""),               // ws 0 | bpeish 0
+      (4L, "a1b2"),           // ws 1 | bpeish: "a" "1" "b" "2" = 4
+      (5L, "hello, world!!"), // ws 2 | bpeish: "hello" "," " world" "!!" = 4
+      (6L, "x  y")            // ws 2 | bpeish: "x" " y" = 2 (double space: 2nd absorbs)
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.wsTokenCount("t").as("ws"),
+        TextAnalysis.bpeishTokenCount("t").as("bp"))
+      .orderBy("id").as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 2, 3), (2L, 0, 0), (3L, 0, 0), (4L, 1, 4), (5L, 2, 4), (6L, 2, 2)),
+      s"token estimator counts drifted: $got")
+  }
 }
