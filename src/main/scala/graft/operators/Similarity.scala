@@ -270,14 +270,20 @@ object Similarity {
   // ---------------------------------------------------------------
 
   /** Per-row subspace slices: (id, subspace, subvec) with
-    * subvec = elements [s·D/m, (s+1)·D/m). D is read per row
-    * (`size(vec)`), so mixed-dim corpora fail loudly in the dot. */
-  def pqSubVectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame =
-    df.select(col(idCol), col(vecCol),
+    * subvec = elements [s·D/m, (s+1)·D/m). D must be divisible by m —
+    * integer slicing would otherwise silently DROP the tail dims from
+    * every vector, so the guard fails fast per row (raise_error stays
+    * inside the codegen'd projection; no extra pass). */
+  def pqSubVectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    val checked = when(size(col(vecCol)) % m === 0, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"pq: vector dim must be divisible by m=$m, got "), size(col(vecCol)).cast("string"))))
+    df.select(col(idCol), checked.as(vecCol),
         explode(sequence(lit(0), lit(m - 1))).as("subspace"))
       .select(col(idCol), col("subspace"),
         expr(s"slice($vecCol, subspace * (size($vecCol) div $m) + 1, size($vecCol) div $m)")
           .as("subvec"))
+  }
 
   /** Deterministic PQ codebooks from stride-sampled corpus vectors
     * (the [[strideCentroids]] pattern, fixed `codes` count at every

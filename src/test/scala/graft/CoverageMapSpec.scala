@@ -40,5 +40,9 @@ class CoverageMapSpec extends AnyFunSuite {
     val missing = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     assert(missing.isEmpty,
       s"queries without an oracle (${missing.size}): ${missing.mkString(", ")}")
+    // and no orphaned oracle text surviving a query rename
+    val orphans = (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted
+    assert(orphans.isEmpty,
+      s"oracles without a query (${orphans.size}): ${orphans.mkString(", ")}")
   }
 }
