@@ -216,6 +216,12 @@ object Dedup {
       .distinct()
       .repartition(col("dst"))
       .persist()
+    // eager: round 1's job reads edges from several subtrees (the
+    // neighbor join AND the label init below) — lazily persisted, the
+    // stages race to compute the upstream candidate-pair chain (an
+    // LSH banding pass) more than once. Same rationale as
+    // Graphs.pageRank's e.count() / simhashNearDups' sig.count().
+    edges.count()
     // Fuse the first propagation round into initialization: every node
     // appears as src (edges are symmetric), so label := min(id, min
     // neighbor) is exactly what plain round 1 would compute.

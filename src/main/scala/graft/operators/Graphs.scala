@@ -119,6 +119,11 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    // eager: every iteration reads und, and they all sit in ONE final
+    // job — a lazy persist lets the stages race to compute the (often
+    // expensive — e.g. LSH kNN) edge derivation once each (same
+    // rationale as pageRank's e.count())
+    und.count()
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     for (i <- 1 to iters) {
@@ -160,6 +165,10 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist()
+    // eager: 5 subtrees (counts×2, ab, bc, closing) read e inside one
+    // job — lazily persisted, their stages race to compute the edge
+    // derivation (an LSH kNN build for q_knn_triangles) up to 5×
+    e.count()
     val counts = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(
         e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
@@ -199,6 +208,7 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist()
+    e.count() // same eager-materialization rationale as triangleStats
     val counts = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(
         e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
@@ -217,6 +227,7 @@ object Graphs {
         when(uLess, col("v")).otherwise(col("u")).as("d"),
         when(uLess, col("dv")).otherwise(col("du")).as("dd"))
       .persist()
+    oriented.count() // read by x, y, AND the closing probe — conserve the joins
     // wedges pair two out-edges of the same source, ordered by the
     // dst's (deg, id) so each unordered pair forms once; the pair
     // (p ≺ q) closes iff oriented edge p→q exists (p ≺ q makes p→q
