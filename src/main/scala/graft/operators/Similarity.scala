@@ -224,9 +224,22 @@ object Similarity {
       s"plane count ${pairs.length} must be a positive multiple of bandBits=$bandBits")
     val nBands = pairs.length / bandBits
     val planes = differencePlanes(corpus, idCol, vecCol, pairs)
-    val cb = lshBands(lshSignatures(corpus, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
+    val corpusSigs = {
+      val s = lshSignatures(corpus, idCol, vecCol, planes)
+      // kNN-graph case (queries ARE the corpus): both band legs read
+      // the same signature frame — persist + materialize it eagerly so
+      // the plane fan-out + groupBy chain computes ONCE, not once per
+      // leg (lives until the caller clearCache()s, same contract as
+      // simhashNearDups). The few-probes case keeps both legs lazy:
+      // the query side scans only the (tiny) query frame.
+      if (queries eq corpus) { val p = s.persist(); p.count(); p } else s
+    }
+    val querySigs =
+      if (queries eq corpus) corpusSigs
+      else lshSignatures(queries, idCol, vecCol, planes)
+    val cb = lshBands(corpusSigs, idCol, vecCol, bandBits, nBands)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("band_id"), col("band_key"))
-    val qb0 = lshBands(lshSignatures(queries, idCol, vecCol, planes), idCol, vecCol, bandBits, nBands)
+    val qb0 = lshBands(querySigs, idCol, vecCol, bandBits, nBands)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("band_id"), col("band_key"))
     // broadcast for the few-probes-against-big-corpus shape; turn OFF
     // when queries ARE the corpus (kNN graph) — there both sides
