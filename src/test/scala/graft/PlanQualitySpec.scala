@@ -267,6 +267,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_knn_triangles: kNN-graph reads LSH signatures from the cache barrier (chain computed once)") {
+    // queries ARE the corpus here: without the shared persisted
+    // signature frame, both band legs re-run the plane fan-out +
+    // groupBy chain over the full corpus (measured ~0.5s of pure
+    // recompute per consumer query at sf0.1)
+    val p = plan("q_knn_triangles")
+    assert(p.contains("InMemoryTableScan"),
+      "kNN-graph signature cache barrier lost — both band legs will recompute the LSH chain")
+  }
+
   test("q_ema_decay/q_paths: one window partitioning, no extra shuffles") {
     for (q <- Seq("q_ema_decay", "q_paths")) {
       val p = plan(q)
