@@ -200,6 +200,20 @@ object Behavioral {
     "q_retention" -> retention,
     "q_window_suite" -> windowSuite,
     "q_ema_decay" -> emaDecay,
+    // Skew.saltedAgg is semantics-preserving by construction — this row
+    // pins it against the plain-GROUP-BY oracle on the real event feed
+    // (count/sum/max are the algebraic trio the salt two-phase carries).
+    "q_salted_agg" -> ((s, d) => {
+      import scala.collection.immutable.ListMap
+      graft.operators.Skew.saltedAgg(t(s, d, "events"), Seq("event_type"), saltBuckets = 8,
+        aggs = ListMap(
+          "n_events" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))),
+          "value_sum" -> ((sum(col("value")), (c: org.apache.spark.sql.Column) => sum(c))),
+          "value_max" -> ((max(col("value")), (c: org.apache.spark.sql.Column) => max(c)))))
+        .select(col("event_type"), col("n_events"),
+          rd(col("value_sum"), 2).as("value_sum"), col("value_max"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +263,11 @@ object Behavioral {
         |SELECT user_id, floor((sum(value * weight))*1000000 + 0.5)/1000000 AS ema_value,
         |  count(*) AS n_events
         |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  floor((sum(value))*100 + 0.5)/100 AS value_sum,
+        |  max(value) AS value_max
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

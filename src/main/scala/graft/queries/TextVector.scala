@@ -120,6 +120,39 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** PMI collocation mining (Collocations.pmiBigrams): top-30 adjacent
+    * bigrams by the P(x,y)/(P(x)P(y)) ratio, min count 5 — the ratio
+    * (not its log2) so the oracle arithmetic is libm-free. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.pmiBigrams(docs(s, dir), "text", minCount = 5, k = 30)
+
+  /** Unigram-LM cross-entropy per doc (Collocations.unigramCrossEntropy):
+    * the CCNet-style "LM-likeness" quality signal, Laplace-smoothed,
+    * scored against the corpus itself. */
+  def lmXent(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.unigramCrossEntropy(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), rd(col("lm_xent"), 4).as("lm_xent"))
+      .orderBy("doc_id")
+
+  /** Count-min sketch (CountMin.build/estimate, depth 4 × width 512)
+    * probed with the 20 most frequent corpus terms; `overcount` =
+    * estimate − exact exposes the collision error the ε-guarantee
+    * bounds. Hash-exact vs the DuckDB mirror — no tolerance folding.
+    * The token frame feeds both the sketch and the exact counts; at
+    * corpus scale the caller persists it first (sf-size here, and the
+    * tokenizer is a codegen'd byte scan). */
+  def cmsWords(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val toks = docs(s, dir).select(explode(TextAnalysis.tokens("text")).as("term"))
+    val sketch = CountMin.build(toks, "term", depth = 4, width = 512)
+    val top = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(20)
+    CountMin.estimate(sketch, top, "term", depth = 4, width = 512)
+      .select(col("term"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
   /** Language-ID — no SQL oracle (profile tables); driver does the
     * rows-only check. Grouped so the result is small + stable. The
     * synthetic corpus carries no real language signal (see
@@ -599,6 +632,9 @@ object TextVector {
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
+    "q_pmi_bigrams" -> pmiBigrams,
+    "q_lm_xent" -> lmXent,
+    "q_cms_words" -> cmsWords,
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("redacted")).as("fingerprint"))
@@ -1484,6 +1520,51 @@ object TextVector {
         |       FROM c)
         |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, cand_id AS negative_id
         |FROM rk WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+    "q_pmi_bigrams" ->
+      """WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |un AS (SELECT term, count(*) AS n_term
+        |       FROM (SELECT unnest(w) AS term FROM tk) GROUP BY 1),
+        |bg AS (SELECT unnest([w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS g
+        |       FROM tk WHERE len(w) >= 2),
+        |bn AS (SELECT split_part(g, ' ', 1) AS x, split_part(g, ' ', 2) AS y, count(*) AS n_xy
+        |       FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT sum(n_term) FROM un) AS t1, (SELECT sum(n_xy) FROM bn) AS t2),
+        |sc AS (
+        |  SELECT b.x, b.y, b.n_xy, ux.n_term AS n_x, uy.n_term AS n_y,
+        |    CAST(b.n_xy AS DOUBLE) * CAST(t.t1 AS DOUBLE) * CAST(t.t1 AS DOUBLE) /
+        |      (CAST(t.t2 AS DOUBLE) * CAST(ux.n_term AS DOUBLE) * CAST(uy.n_term AS DOUBLE)) AS ratio
+        |  FROM bn b JOIN un ux ON ux.term = b.x JOIN un uy ON uy.term = b.y CROSS JOIN tot t
+        |  WHERE b.n_xy >= 5)
+        |SELECT x, y, n_xy, n_x, n_y,
+        |  floor((ratio)*1000000 + 0.5)/1000000 AS pmi_ratio
+        |FROM sc ORDER BY pmi_ratio DESC, x, y LIMIT 30""".stripMargin,
+    "q_lm_xent" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |            FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS term FROM tk WHERE len(w) >= 1),
+        |un AS (SELECT term, count(*) AS n_term FROM toks GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_term) FROM un) AS t1, (SELECT count(*) FROM un) AS v),
+        |sc AS (SELECT t.doc_id,
+        |         ln(CAST(u.n_term + 1 AS DOUBLE) / CAST(tt.t1 + tt.v AS DOUBLE)) AS lp
+        |       FROM toks t JOIN un u USING (term) CROSS JOIN tot tt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((-(sum(lp)) / count(*))*10000 + 0.5)/10000 AS lm_xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cms_words" ->
+      """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |            FROM documents),
+        |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |sk AS (SELECT j, CAST('0x'||substr(md5(CAST(j AS VARCHAR)||':'||term),1,15) AS BIGINT) % 512 AS bucket,
+        |         count(*) AS n
+        |       FROM tk CROSS JOIN js GROUP BY 1, 2),
+        |ex AS (SELECT term, count(*) AS exact_n FROM tk GROUP BY 1),
+        |top AS (SELECT term, exact_n FROM ex ORDER BY exact_n DESC, term LIMIT 20),
+        |pr AS (SELECT t.term, t.exact_n, j,
+        |         CAST('0x'||substr(md5(CAST(j AS VARCHAR)||':'||t.term),1,15) AS BIGINT) % 512 AS bucket
+        |       FROM top t CROSS JOIN js)
+        |SELECT p.term, p.exact_n, min(s.n) AS cms_est, min(s.n) - p.exact_n AS overcount
+        |FROM pr p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
+        |GROUP BY p.term, p.exact_n ORDER BY exact_n DESC, term""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_multimodal_features" -> multimodalFeaturesOracle,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);
