@@ -125,6 +125,25 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Bloom-pruned semi-join (operators/Bloom.semiJoinPruned): orders
+    * whose customer clears an acctbal threshold, the fact side pruned
+    * at the scan by a `bloom_might_contain` filter before the exact
+    * join clears the false-positive trickle. Result ≡ the plain
+    * semi-join (the oracle), which is the point: the bloom changes the
+    * plan, never the answer. `expectedItems` is sized for sf0.1; an
+    * undercount only raises fpp, never loses rows. Money summed as
+    * exact scaled cents (the q_tpch_q9 lesson). */
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer").filter(col("c_acctbal") > 7000.0).select("c_custkey")
+    graft.operators.Bloom.semiJoinPruned(
+        t(s, dir, "orders"), "o_custkey", dim, "c_custkey",
+        expectedItems = 8192, fpp = 0.01)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")) / lit(100)).as("total_value"))
+      .orderBy("o_orderpriority")
+  }
+
   /** J7: scalar-subquery battery — one row of independent counts
     * (reference grain-acceptance query rt_video_metrics_serving.sql:191-196).
     * Built as broadcast cross-joins of 1-row aggregates. */
@@ -348,6 +367,7 @@ object Relational {
     "q_range_join" -> rangeJoin,
     "q_hll_sketch" -> hllSketch,
     "q_semi_join" -> semiJoin,
+    "q_bloom_prune" -> bloomPrune,
     "q_scalar_subqueries" -> scalarSubqueries,
     "q_latest_per_key" -> latestPerKey,
     "q_dup_grains" -> dupGrains,
@@ -451,6 +471,13 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100 AS total_value
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 7000.0)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_scalar_subqueries" ->
       """SELECT
         | (SELECT count(*) FROM lineitem) AS n_lineitem,
