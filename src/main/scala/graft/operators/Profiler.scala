@@ -123,4 +123,24 @@ object Profiler {
       .withColumn("is_outlier", col("__absdev") > lit(k) * lit(1.4826) * col("mad"))
       .drop("__absdev")
   }
+
+  /** Key-distribution diagnostic — the question every skew remedy
+    * (Skew.saltedAgg/saltedJoin, AQE skew splits) starts from: how hot
+    * is the hottest key? Emits the top-N keys with their share plus
+    * the corpus-wide skew factor max/avg (1.0 = perfectly uniform);
+    * a factor ≫ partition-count means one reducer owns the stage.
+    * One groupBy + a 1-row broadcast of the totals — safe to point at
+    * a 100 TB fact column as-is. */
+  def keyDistribution(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        (col("max_n").cast("double") * col("n_keys").cast("double") / col("total").cast("double"))
+          .as("skew_factor"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
 }

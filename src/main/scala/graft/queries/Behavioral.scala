@@ -190,6 +190,26 @@ object Behavioral {
       .limit(20)
   }
 
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent preceding non-purchase event (the classic marketing
+    * attribution window). `last(..., ignoreNulls)` over ROWS UNBOUNDED
+    * PRECEDING..1 PRECEDING — one shuffle on user_id, shared with any
+    * other per-user window in the same stage. Purchases with no prior
+    * touch credit "none". */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), rd(sum(col("value")), 2).as("value_sum"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
@@ -214,6 +234,7 @@ object Behavioral {
           rd(col("value_sum"), 2).as("value_sum"), col("value_max"))
         .orderBy("event_type")
     }),
+    "q_attribution" -> attribution,
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +289,18 @@ object Behavioral {
         |  floor((sum(value))*100 + 0.5)/100 AS value_sum,
         |  max(value) AS value_max
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_attribution" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |SELECT coalesce(last_touch, 'none') AS channel,
+        |  count(*) AS n_purchases,
+        |  floor((sum(value))*100 + 0.5)/100 AS value_sum
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -169,6 +169,17 @@ object Lakehouse {
       .orderBy("event_type")
   }
 
+  /** Key-distribution diagnostic (Profiler.keyDistribution) on the
+    * event feed's user key: the top-10 hot keys, their share, and the
+    * corpus skew factor — the number a salting/AQE-skew decision reads.
+    * `share`/`skew_factor` are exact integer ratios in doubles (one
+    * division each), so rd(6) is engine-stable. */
+  def keySkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.keyDistribution(t(s, dir, "events"), "user_id", topN = 10)
+      .select(col("user_id"), col("n"),
+        rd(col("share"), 6).as("share"), rd(col("skew_factor"), 6).as("skew_factor"))
+      .orderBy(col("n").desc, col("user_id"))
+
   /** Columns profiled by q_profile — one of each type family (int,
     * string, double, timestamp) so every render path is oracled. */
   private val profileCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -305,6 +316,7 @@ object Lakehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
+    "q_key_skew" -> keySkew,
     "q_histogram" -> valueHistogram,
     "q_outliers" -> outliers,
     "q_zorder" -> zorderBuckets,
@@ -393,6 +405,13 @@ object Lakehouse {
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> profileOracle,
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys, max(n) AS max_n FROM c)
+        |SELECT user_id, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))*1000000 + 0.5)/1000000 AS share,
+        |  floor((CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE))*1000000 + 0.5)/1000000 AS skew_factor
+        |FROM c CROSS JOIN st ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q_table_diff" ->
       """WITH after AS (
         |  SELECT c_custkey, c_name, c_nationkey,

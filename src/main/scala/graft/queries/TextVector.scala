@@ -153,6 +153,34 @@ object TextVector {
       .orderBy(col("exact_n").desc, col("term"))
   }
 
+  /** ROUGE-2 overlap scoring between a reference slice (doc_id < 5)
+    * and a candidate slice (5 ≤ doc_id < 30): distinct-bigram recall /
+    * precision / F1 per pair — the n-gram eval metric as a gram
+    * equi-join (never a doc×doc cross join; pairs sharing no gram
+    * simply don't appear). F1 computed from counts as 2c/(n_ref+n_cand)
+    * (the harmonic identity), one division — engine-stable. */
+  def rouge2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("grams", TextAnalysis.shingles("toks", 2))
+    val refs = d.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("ref_id"), explode(col("grams")).as("g"))
+    val cands = d.filter(col("doc_id") >= 5 && col("doc_id") < 30)
+      .select(col("doc_id").as("cand_id"), explode(col("grams")).as("g"))
+    val refSizes = refs.groupBy("ref_id").agg(count(lit(1)).as("n_ref"))
+    val candSizes = cands.groupBy("cand_id").agg(count(lit(1)).as("n_cand"))
+    refs.join(cands, "g")
+      .groupBy("ref_id", "cand_id").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(refSizes), "ref_id")
+      .join(broadcast(candSizes), "cand_id")
+      .select(col("ref_id"), col("cand_id"), col("n_common"),
+        rd(col("n_common").cast("double") / col("n_ref").cast("double"), 6).as("rouge2_recall"),
+        rd(col("n_common").cast("double") / col("n_cand").cast("double"), 6).as("rouge2_precision"),
+        rd(lit(2) * col("n_common").cast("double") / (col("n_ref") + col("n_cand")).cast("double"), 6)
+          .as("rouge2_f1"))
+      .orderBy("ref_id", "cand_id")
+  }
+
   /** Language-ID — no SQL oracle (profile tables); driver does the
     * rows-only check. Grouped so the result is small + stable. The
     * synthetic corpus carries no real language signal (see
@@ -635,6 +663,7 @@ object TextVector {
     "q_pmi_bigrams" -> pmiBigrams,
     "q_lm_xent" -> lmXent,
     "q_cms_words" -> cmsWords,
+    "q_rouge2" -> rouge2,
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("redacted")).as("fingerprint"))
@@ -1565,6 +1594,24 @@ object TextVector {
         |SELECT p.term, p.exact_n, min(s.n) AS cms_est, min(s.n) - p.exact_n AS overcount
         |FROM pr p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
         |GROUP BY p.term, p.exact_n ORDER BY exact_n DESC, term""".stripMargin,
+    "q_rouge2" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 2
+        |        THEN list_distinct([w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)])
+        |        ELSE [] END AS gs
+        |      FROM tk),
+        |r AS (SELECT doc_id AS ref_id, unnest(gs) AS gr FROM g WHERE doc_id < 5),
+        |cd AS (SELECT doc_id AS cand_id, unnest(gs) AS gr FROM g WHERE doc_id >= 5 AND doc_id < 30),
+        |rs AS (SELECT ref_id, count(*) AS n_ref FROM r GROUP BY 1),
+        |cs AS (SELECT cand_id, count(*) AS n_cand FROM cd GROUP BY 1),
+        |cm AS (SELECT ref_id, cand_id, count(*) AS n_common
+        |       FROM r JOIN cd USING (gr) GROUP BY 1, 2)
+        |SELECT m.ref_id, m.cand_id, m.n_common,
+        |  floor((CAST(m.n_common AS DOUBLE) / CAST(rs.n_ref AS DOUBLE))*1000000 + 0.5)/1000000 AS rouge2_recall,
+        |  floor((CAST(m.n_common AS DOUBLE) / CAST(cs.n_cand AS DOUBLE))*1000000 + 0.5)/1000000 AS rouge2_precision,
+        |  floor((2 * CAST(m.n_common AS DOUBLE) / CAST(rs.n_ref + cs.n_cand AS DOUBLE))*1000000 + 0.5)/1000000 AS rouge2_f1
+        |FROM cm m JOIN rs USING (ref_id) JOIN cs USING (cand_id)
+        |ORDER BY ref_id, cand_id""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_multimodal_features" -> multimodalFeaturesOracle,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);

@@ -57,4 +57,16 @@ class ProfilerSpec extends AnyFunSuite {
       .filter($"is_outlier").select("v").as[Double].collect().toSeq
     assert(flagged == Seq(5.1), "any deviation from a zero-MAD group is an outlier")
   }
+
+  test("keyDistribution: hot key ranks first, share and skew factor exact") {
+    // 10 "hot" + 2+2+1 others: total 15, 4 keys, max 10
+    // skew = max/avg = 10/(15/4) = 8/3
+    val df = (Seq.fill(10)("hot") ++ Seq("a", "a", "b", "b", "c")).toDF("k")
+    val rows = graft.operators.Profiler.keyDistribution(df, "k", topN = 2)
+      .select("k", "n", "share", "skew_factor")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows.head == (("hot", 10L, 10.0 / 15, 10.0 * 4 / 15)))
+    assert(rows(1)._1 == "a" && rows(1)._2 == 2L, "count-desc then key tiebreak")
+  }
 }
