@@ -73,6 +73,54 @@ object Collocations {
       .limit(k)
   }
 
+  /** Bigram-LM cross-entropy with stupid backoff (Brants et al. 2007 —
+    * the standard web-scale choice precisely because it needs no
+    * normalization pass), scored against a separate TRAIN corpus:
+    *   score(w | prev) = n(prev,w)/n(prev)            bigram seen in train
+    *                     0.4 · (n(w)+1)/(T1+V)        otherwise (Laplace
+    *                                                  floor covers terms
+    *                                                  train never saw)
+    *   H(doc) = -(Σ_{i≥2} ln score) / (n_tokens − 1)
+    * n(prev) is the train unigram count (the usual large-scale variant;
+    * stupid backoff is unnormalized by design so Σp<1 is fine). Docs
+    * with < 2 tokens are dropped (no bigram events to score).
+    *
+    * Same distributed shape as the unigram scorer: corpus tables built
+    * by explode+groupBy, scoring is a lag window per doc (one doc-key
+    * shuffle) + term equi-joins. The unseen-bigram branch is a LEFT
+    * join null, not a lookup miss in a driver map. */
+  def bigramBackoffXent(train: DataFrame, score: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    def prevPairs(df: DataFrame) = {
+      val pos = df
+        .select(col(idCol), TextAnalysis.tokens(textCol).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "w")))
+      pos.withColumn("prev", lag(col("w"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+        .filter(col("prev").isNotNull)
+    }
+    val trainTokens = train
+      .select(explode(TextAnalysis.tokens(textCol)).as("w"))
+    val uni = trainTokens.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = prevPairs(train).groupBy(col("prev"), col("w")).agg(count(lit(1)).as("n_xy"))
+    val prevCounts = uni.select(col("w").as("prev"), col("n_w").as("n_prev"))
+    val totals = broadcast(uni.agg(sum(col("n_w")).as("t1"), count(lit(1)).as("v")))
+    prevPairs(score)
+      .join(bi, Seq("prev", "w"), "left")
+      .join(prevCounts, Seq("prev"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(totals)
+      .withColumn("lp",
+        when(col("n_xy").isNotNull,
+          log(col("n_xy").cast("double") / col("n_prev").cast("double")))
+          .otherwise(log(lit(0.4) * (coalesce(col("n_w"), lit(0L)) + lit(1)).cast("double") /
+            (col("t1") + col("v")).cast("double"))))
+      .groupBy(col(idCol))
+      .agg((count(lit(1)) + lit(1)).as("n_tokens"),
+        (negate(sum(col("lp"))) / count(lit(1))).as("lm2_xent"))
+  }
+
   /** Unigram-LM cross-entropy per document (Laplace-smoothed):
     *   H(doc) = -(Σ_tok ln p(tok)) / n_tokens,
     *   p(w) = (n_w + 1) / (T1 + V).

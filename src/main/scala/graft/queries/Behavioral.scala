@@ -210,6 +210,23 @@ object Behavioral {
       .orderBy("channel")
   }
 
+  /** Per-user ordered event sequences — the behavior-sequence training
+    * example builder (sequence models consume exactly this shape).
+    * collect_list + sort_array on (ts, event_id, type) structs: one
+    * shuffle on user_id, order made deterministic inside the array
+    * rather than relying on any shuffle order. Compared cross-engine
+    * via the full-sequence md5 and a head-5 preview string (arrays
+    * stay out of the hash contract). */
+  def userSequences(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+        .as("seq"))
+      .select(col("user_id"), size(col("seq")).as("n_events"),
+        md5(concat_ws(">", expr("transform(seq, x -> x.event_type)"))).as("seq_md5"),
+        concat_ws(">", expr("transform(slice(seq, 1, 5), x -> x.event_type)")).as("head5"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
@@ -235,6 +252,7 @@ object Behavioral {
         .orderBy("event_type")
     }),
     "q_attribution" -> attribution,
+    "q_user_sequences" -> userSequences,
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,6 +319,14 @@ object Behavioral {
         |  floor((sum(value))*100 + 0.5)/100 AS value_sum
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_user_sequences" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(len(seq) AS INTEGER) AS n_events,
+        |  md5(array_to_string(seq, '>')) AS seq_md5,
+        |  array_to_string(seq[1:5], '>') AS head5
+        |FROM s ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

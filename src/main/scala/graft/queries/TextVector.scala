@@ -134,6 +134,18 @@ object TextVector {
       .select(col("doc_id"), col("n_tokens"), rd(col("lm_xent"), 4).as("lm_xent"))
       .orderBy("doc_id")
 
+  /** Bigram stupid-backoff LM scoring (Collocations.bigramBackoffXent):
+    * eval slice (doc_id < 25) scored against the train slice
+    * (doc_id ≥ 25) — the decontaminate split, so unseen bigrams/terms
+    * genuinely occur and the backoff branch is exercised on real data. */
+  def lmBigram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Collocations.bigramBackoffXent(
+        d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), rd(col("lm2_xent"), 4).as("lm2_xent"))
+      .orderBy("doc_id")
+  }
+
   /** Count-min sketch (CountMin.build/estimate, depth 4 × width 512)
     * probed with the 20 most frequent corpus terms; `overcount` =
     * estimate − exact exposes the collision error the ε-guarantee
@@ -662,6 +674,7 @@ object TextVector {
     "q_repetition" -> repetition,
     "q_pmi_bigrams" -> pmiBigrams,
     "q_lm_xent" -> lmXent,
+    "q_lm_bigram" -> lmBigram,
     "q_cms_words" -> cmsWords,
     "q_rouge2" -> rouge2,
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
@@ -1579,6 +1592,35 @@ object TextVector {
         |SELECT doc_id, count(*) AS n_tokens,
         |  floor((-(sum(lp)) / count(*))*10000 + 0.5)/10000 AS lm_xent
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH tr AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |            FROM documents WHERE doc_id >= 25),
+        |un AS (SELECT term, count(*) AS n_w
+        |       FROM (SELECT unnest(w) AS term FROM tr) GROUP BY 1),
+        |trb AS (SELECT unnest([w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS g
+        |        FROM tr WHERE len(w) >= 2),
+        |bi AS (SELECT split_part(g, ' ', 1) AS prev, split_part(g, ' ', 2) AS wt, count(*) AS n_xy
+        |       FROM trb GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM un) AS t1,
+        |               (SELECT count(*) FROM un) AS v),
+        |sc0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |        FROM documents WHERE doc_id < 25),
+        |scp AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS g
+        |        FROM sc0 WHERE len(w) >= 2),
+        |scx AS (SELECT doc_id, split_part(g, ' ', 1) AS prev, split_part(g, ' ', 2) AS wt FROM scp),
+        |lp AS (SELECT s.doc_id,
+        |         CASE WHEN b.n_xy IS NOT NULL
+        |           THEN ln(CAST(b.n_xy AS DOUBLE) / CAST(up.n_w AS DOUBLE))
+        |           ELSE ln(CAST(0.4 AS DOUBLE) * CAST(coalesce(uw.n_w, 0) + 1 AS DOUBLE)
+        |                   / CAST(t.t1 + t.v AS DOUBLE)) END AS lp
+        |       FROM scx s
+        |       LEFT JOIN bi b ON b.prev = s.prev AND b.wt = s.wt
+        |       LEFT JOIN un up ON up.term = s.prev
+        |       LEFT JOIN un uw ON uw.term = s.wt
+        |       CROSS JOIN tot t)
+        |SELECT doc_id, count(*) + 1 AS n_tokens,
+        |  floor((-(sum(lp)) / count(*))*10000 + 0.5)/10000 AS lm2_xent
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_cms_words" ->
       """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
         |            FROM documents),

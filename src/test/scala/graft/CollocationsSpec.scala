@@ -54,6 +54,26 @@ class CollocationsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramBackoffXent: seen bigrams score from the conditional, unseen fall to the Laplace floor") {
+    // train "a b a b": uni a:2 b:2 (T1=4, V=2); bigrams (a,b):2 (b,a):1
+    // score "a b c": (a,b) seen → ln(2/2)=0; (b,c) unseen, c unseen
+    // unigram → ln(0.4·(0+1)/(4+2)); H = -(0 + ln(0.4/6))/2
+    val train = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Collocations.bigramBackoffXent(train, score, "doc_id", "text")
+      .select("doc_id", "n_tokens", "lm2_xent")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (_, n, h) = out.head
+    assert(n == 3)
+    val expected = -(math.log(2.0 / 2.0) + math.log(0.4 * 1.0 / 6.0)) / 2
+    assert(math.abs(h - expected) < 1e-12, s"H=$h, want $expected")
+    // sub-2-token docs are dropped, not scored
+    val short = Collocations.bigramBackoffXent(train,
+      Seq((2L, "solo")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(short.isEmpty)
+  }
+
   test("unigramCrossEntropy: a rare-token doc scores strictly worse than a common-token doc") {
     val docs = (1L to 9L).map(i => (i, "common common common")) :+ (10L, "zzz zzz zzz")
     val out = Collocations.unigramCrossEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
