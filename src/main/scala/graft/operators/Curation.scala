@@ -58,4 +58,46 @@ object Curation {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** End-to-end curation pipeline — the four standard pretraining-data
+    * gates composed in their canonical order, one call:
+    *   1. exact dedup        keep the lowest id per content hash
+    *   2. quality gate       composite score ≥ minScore
+    *   3. LM gate            unigram cross-entropy ≤ maxXent (scored
+    *                         against the FULL input corpus, so the LM
+    *                         isn't biased by which duplicate survived)
+    *   4. per-source cap     best `perSourceCap` docs per source, by
+    *                         quality then id
+    * Gates compare ROUNDED (4-dp) scores so the kept set is stable
+    * across engines and summation orders. Output carries the per-doc
+    * evidence (n_tokens, score, lm_xent) — the audit trail a data card
+    * wants next to the kept set.
+    *
+    * Shape: dedup is one content-hash window, features are scan-level
+    * expressions, the LM is two explode+groupBy passes + a term
+    * equi-join (Collocations.unigramCrossEntropy), the cap is one
+    * source-key window — every stage is a keyed shuffle or cheaper;
+    * nothing materializes on the driver. */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+                       minScore: Double, maxXent: Double, perSourceCap: Int): DataFrame = {
+    import graft.functions.TextAnalysis
+    def r4(c: Column): Column = graft.queries.rd(c, 4)
+    val xent = graft.operators.Collocations
+      .unigramCrossEntropy(docs, idCol, textCol)
+      .select(col(idCol), r4(col("lm_xent")).as("lm_xent"))
+    val deduped = docs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val scored = deduped
+      .withColumn("toks", TextAnalysis.tokens(textCol))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("score", r4(TextAnalysis.qualityScore(
+        col("n_tokens"), TextAnalysis.stopwordRatio("toks"), TextAnalysis.punctRatio(textCol))))
+      .filter(col("score") >= minScore)
+      .join(xent, idCol)
+      .filter(col("lm_xent") <= maxXent)
+    capPerKey(scored, sourceCol, col("score").desc, col(idCol), perSourceCap)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("score"), col("lm_xent"))
+  }
 }

@@ -193,6 +193,16 @@ object TextVector {
       .orderBy("ref_id", "cand_id")
   }
 
+  /** Full curation pipeline (Curation.curationPipeline): exact-dedup →
+    * quality ≥ 0.7 → LM xent ≤ 3.41 → cap 20/source, with the per-doc
+    * evidence columns. Thresholds sit inside the corpus's real score
+    * ranges (median quality ≈ 0.76, xent p90 ≈ 3.41 at sf0.01) so every
+    * gate removes rows. */
+  def curation(s: SparkSession, dir: String): DataFrame =
+    Curation.curationPipeline(docs(s, dir), "doc_id", "text", "source",
+        minScore = 0.7, maxXent = 3.41, perSourceCap = 20)
+      .orderBy("doc_id")
+
   /** Language-ID — no SQL oracle (profile tables); driver does the
     * rows-only check. Grouped so the result is small + stable. The
     * synthetic corpus carries no real language signal (see
@@ -677,6 +687,7 @@ object TextVector {
     "q_lm_bigram" -> lmBigram,
     "q_cms_words" -> cmsWords,
     "q_rouge2" -> rouge2,
+    "q_curation" -> curation,
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("redacted")).as("fingerprint"))
@@ -1636,6 +1647,39 @@ object TextVector {
         |SELECT p.term, p.exact_n, min(s.n) AS cms_est, min(s.n) - p.exact_n AS overcount
         |FROM pr p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
         |GROUP BY p.term, p.exact_n ORDER BY exact_n DESC, term""".stripMargin,
+    "q_curation" ->
+      """WITH dd AS (
+        |  SELECT * FROM (SELECT doc_id, text, source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+        |  WHERE rn = 1),
+        |xt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS term FROM xt WHERE len(w) >= 1),
+        |un AS (SELECT term, count(*) AS n_term FROM toks GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_term) FROM un) AS t1, (SELECT count(*) FROM un) AS v),
+        |lm AS (SELECT doc_id,
+        |         floor((-(sum(lp)) / count(*))*10000 + 0.5)/10000 AS lm_xent
+        |       FROM (SELECT t.doc_id,
+        |               ln(CAST(u.n_term + 1 AS DOUBLE) / CAST(tt.t1 + tt.v AS DOUBLE)) AS lp
+        |             FROM toks t JOIN un u USING (term) CROSS JOIN tot tt)
+        |       GROUP BY doc_id),
+        |m AS (
+        |  SELECT d.doc_id, d.source, regexp_extract_all(lower(d.text), '[a-z0-9]+') AS w, d.text
+        |  FROM dd d),
+        |sc AS (
+        |  SELECT doc_id, source, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    floor((0.5 * least(len(w) / 100.0, 1.0)
+        |         + 0.3 * (1.0 - 1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1))
+        |         + 0.2 * (1.0 - 1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1)))*10000 + 0.5)/10000 AS score
+        |  FROM m),
+        |kept AS (
+        |  SELECT s.doc_id, s.source, s.n_tokens, s.score, l.lm_xent
+        |  FROM sc s JOIN lm l USING (doc_id)
+        |  WHERE s.score >= 0.7 AND l.lm_xent <= 3.41),
+        |capped AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+        |  FROM kept)
+        |SELECT doc_id, source, n_tokens, score, lm_xent
+        |FROM capped WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "q_rouge2" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(w) >= 2

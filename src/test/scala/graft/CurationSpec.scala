@@ -77,4 +77,33 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("curationPipeline: each gate removes exactly its target row") {
+    // long common-vocab filler pushes quality up and xent down; every
+    // doc shares it so the LM gate only reacts to the rare-token doc
+    val filler = Seq.fill(40)("the quick brown fox jumps over a lazy dog").mkString(" ")
+    val docs = Seq(
+      (1L, filler, "s1"),                                 // keeper
+      (2L, filler, "s1"),                                 // exact dup of 1 → dedup drops (higher id)
+      (3L, "tiny!!!", "s1"),                              // low quality → score gate drops
+      (4L, filler + " zzqx wwvv qqrr kkjj xxyy zzaa", "s1"), // rare tail → worst xent
+      (5L, filler + " extra tail of plain words", "s2")   // keeper, other source
+    ).toDF("doc_id", "text", "source")
+    // threshold chosen between doc-4's xent and the keepers' (doc 4 is
+    // strictly worse than 1/5 by construction)
+    val xents = graft.operators.Collocations
+      .unigramCrossEntropy(docs, "doc_id", "text")
+      .select("doc_id", "lm_xent").as[(Long, Double)].collect().toMap
+    assert(xents(4L) > xents(1L) && xents(4L) > xents(5L))
+    val cut = (xents(4L) + math.max(xents(1L), xents(5L))) / 2
+    val kept = Curation.curationPipeline(docs, "doc_id", "text", "source",
+        minScore = 0.7, maxXent = cut, perSourceCap = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L), s"got $kept")
+    // relaxing the cap to 2 must not resurrect gate-dropped rows
+    val kept2 = Curation.curationPipeline(docs, "doc_id", "text", "source",
+        minScore = 0.7, maxXent = cut, perSourceCap = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(1L, 5L), s"got $kept2")
+  }
 }
