@@ -124,6 +124,26 @@ object Profiler {
       .drop("__absdev")
   }
 
+  /** Per-key winsorization: clip a value column to its group's
+    * [pLo, pHi] exact-percentile fences. Same rounded-boundary trick
+    * as [[madOutliers]] (a row exactly ON a fence must not flip with
+    * the engines' interpolation ulps). Fences come back as a tiny
+    * per-key frame and broadcast onto the data — two passes, no sort
+    * of the full table. The exact `percentile` swaps for
+    * `approx_percentile` at 100 TB (same plan shape); exact is kept
+    * here because the oracle compares values. */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                boundaryDecimals: Int = 6): DataFrame = {
+    val scale = math.pow(10, boundaryDecimals).toLong
+    def roundedP(p: Double) =
+      expr(s"CAST(FLOOR(percentile($valueCol, CAST($p AS DOUBLE)) * $scale.0 + 0.5) AS DOUBLE) / $scale.0")
+    val fences = df.groupBy(col(keyCol))
+      .agg(roundedP(pLo).as("lo"), roundedP(pHi).as("hi"))
+    df.join(broadcast(fences), keyCol)
+      .withColumn("clipped", least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
   /** Key-distribution diagnostic — the question every skew remedy
     * (Skew.saltedAgg/saltedJoin, AQE skew splits) starts from: how hot
     * is the hottest key? Emits the top-N keys with their share plus

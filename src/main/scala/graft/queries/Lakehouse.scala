@@ -180,6 +180,21 @@ object Lakehouse {
         rd(col("share"), 6).as("share"), rd(col("skew_factor"), 6).as("skew_factor"))
       .orderBy(col("n").desc, col("user_id"))
 
+  /** Winsorization summary (Profiler.winsorize): per-event-type
+    * [p05, p95] fences, clip counts each side, and the clipped mean —
+    * the outlier-robust normalization a feature pipeline applies
+    * before scaling. Fences rounded at 6dp (madOutliers pattern) so a
+    * row exactly on a fence can't flip engines. */
+  def winsorizeSummary(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.winsorize(t(s, dir, "events"), "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("lo")).as("p05"), min(col("hi")).as("p95"),
+        count(when(col("value") < col("lo"), 1)).as("n_below"),
+        count(when(col("value") > col("hi"), 1)).as("n_above"),
+        rd(avg(col("clipped")), 4).as("clipped_avg"))
+      .orderBy("event_type")
+
   /** Columns profiled by q_profile — one of each type family (int,
     * string, double, timestamp) so every render path is oracled. */
   private val profileCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -317,6 +332,7 @@ object Lakehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profileOrders,
     "q_key_skew" -> keySkew,
+    "q_winsorize" -> winsorizeSummary,
     "q_histogram" -> valueHistogram,
     "q_outliers" -> outliers,
     "q_zorder" -> zorderBuckets,
@@ -412,6 +428,18 @@ object Lakehouse {
         |  floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE))*1000000 + 0.5)/1000000 AS share,
         |  floor((CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE))*1000000 + 0.5)/1000000 AS skew_factor
         |FROM c CROSS JOIN st ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "q_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    floor((percentile_cont(0.05) WITHIN GROUP (ORDER BY value))*1000000 + 0.5)/1000000 AS lo,
+        |    floor((percentile_cont(0.95) WITHIN GROUP (ORDER BY value))*1000000 + 0.5)/1000000 AS hi
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT e.event_type, e.value, f.lo, f.hi FROM events e JOIN f USING (event_type))
+        |SELECT event_type, lo AS p05, hi AS p95,
+        |  count(*) FILTER (WHERE value < lo) AS n_below,
+        |  count(*) FILTER (WHERE value > hi) AS n_above,
+        |  floor((avg(least(greatest(value, lo), hi)))*10000 + 0.5)/10000 AS clipped_avg
+        |FROM j GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
     "q_table_diff" ->
       """WITH after AS (
         |  SELECT c_custkey, c_name, c_nationkey,

@@ -144,6 +144,18 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Pearson correlation / covariance battery over the lineitem
+    * measures — the feature-selection screen. Single scan, co-moment
+    * aggregates (partial+final like any algebraic agg); rounded where
+    * the engines' summation orders can drift. */
+  def corrBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      rd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      rd(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+      rd(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+      rd(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+      rd(stddev_samp(col("l_quantity")), 6).as("std_qty"))
+
   /** J7: scalar-subquery battery — one row of independent counts
     * (reference grain-acceptance query rt_video_metrics_serving.sql:191-196).
     * Built as broadcast cross-joins of 1-row aggregates. */
@@ -368,6 +380,7 @@ object Relational {
     "q_hll_sketch" -> hllSketch,
     "q_semi_join" -> semiJoin,
     "q_bloom_prune" -> bloomPrune,
+    "q_corr" -> corrBattery,
     "q_scalar_subqueries" -> scalarSubqueries,
     "q_latest_per_key" -> latestPerKey,
     "q_dup_grains" -> dupGrains,
@@ -478,6 +491,14 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 7000.0)
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_corr" ->
+      """SELECT
+        |  floor((corr(l_quantity, l_extendedprice))*1000000 + 0.5)/1000000 AS corr_qty_price,
+        |  floor((corr(l_quantity, l_discount))*1000000 + 0.5)/1000000 AS corr_qty_disc,
+        |  floor((corr(l_extendedprice, l_discount))*1000000 + 0.5)/1000000 AS corr_price_disc,
+        |  floor((covar_samp(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS covar_qty_price,
+        |  floor((stddev_samp(l_quantity))*1000000 + 0.5)/1000000 AS std_qty
+        |FROM lineitem""".stripMargin,
     "q_scalar_subqueries" ->
       """SELECT
         | (SELECT count(*) FROM lineitem) AS n_lineitem,

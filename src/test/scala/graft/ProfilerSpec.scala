@@ -58,6 +58,16 @@ class ProfilerSpec extends AnyFunSuite {
     assert(flagged == Seq(5.1), "any deviation from a zero-MAD group is an outlier")
   }
 
+  test("winsorize: values clip to the group fences, interior rows untouched") {
+    // k=a: values 0..100 → p05=5, p95=95 exactly (101 evenly spaced pts)
+    val df = (0 to 100).map(v => ("a", v.toDouble)).toDF("k", "v")
+    val out = graft.operators.Profiler.winsorize(df, "k", "v")
+      .select("v", "clipped").as[(Double, Double)].collect().toMap
+    assert(out(0.0) == 5.0 && out(3.0) == 5.0, "below-fence rows clip up")
+    assert(out(100.0) == 95.0 && out(97.0) == 95.0, "above-fence rows clip down")
+    assert(out(50.0) == 50.0 && out(5.0) == 5.0, "interior and fence rows pass through")
+  }
+
   test("keyDistribution: hot key ranks first, share and skew factor exact") {
     // 10 "hot" + 2+2+1 others: total 15, 4 keys, max 10
     // skew = max/avg = 10/(15/4) = 8/3
