@@ -227,6 +227,24 @@ object Behavioral {
         concat_ws(">", expr("transform(slice(seq, 1, 5), x -> x.event_type)")).as("head5"))
       .orderBy("user_id")
 
+  /** Per-user Shannon entropy of the event-type mix — the behavioral
+    * diversity diagnostic (a user doing only one thing has H=0; five
+    * uniform types → H=ln 5). Two keyed aggregations, no joins beyond
+    * the per-user totals; exact rational p=n_t/n feeds ln so rounding
+    * at 4dp absorbs libm ulps. */
+  def typeEntropy(s: SparkSession, dir: String): DataFrame = {
+    val byType = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val p = col("n_t").cast("double") / col("n_u").cast("double")
+    byType
+      .withColumn("n_u", sum(col("n_t")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_t")).as("n_events"),
+        rd(negate(sum(p * log(p))), 4).as("type_entropy"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
@@ -253,6 +271,7 @@ object Behavioral {
     }),
     "q_attribution" -> attribution,
     "q_user_sequences" -> userSequences,
+    "q_type_entropy" -> typeEntropy,
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +346,16 @@ object Behavioral {
         |  md5(array_to_string(seq, '>')) AS seq_md5,
         |  array_to_string(seq[1:5], '>') AS head5
         |FROM s ORDER BY user_id""".stripMargin,
+    "q_type_entropy" ->
+      """WITH bt AS (
+        |  SELECT user_id, event_type, count(*) AS n_t
+        |  FROM events GROUP BY 1, 2),
+        |wt AS (SELECT user_id, n_t,
+        |         CAST(sum(n_t) OVER (PARTITION BY user_id) AS BIGINT) AS n_u
+        |       FROM bt)
+        |SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n_events,
+        |  floor((-(sum((CAST(n_t AS DOUBLE) / CAST(n_u AS DOUBLE)) * ln(CAST(n_t AS DOUBLE) / CAST(n_u AS DOUBLE)))))*10000 + 0.5)/10000 AS type_entropy
+        |FROM wt GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -203,6 +203,19 @@ object TextVector {
         minScore = 0.7, maxXent = 3.41, perSourceCap = 20)
       .orderBy("doc_id")
 
+  /** Mean-pooled embeddings per label (the chunk→document pooling step
+    * every embedding pipeline runs): element-wise average via
+    * posexplode + (key, pos) groupBy — the vector never passes through
+    * the driver and the shape is identical at any dimension/corpus
+    * size. Oracled on the first 4 dims (pos pruned BEFORE the shuffle). */
+  def embedPool(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 4)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), rd(avg(col("v").cast("double")), 6).as("pooled"))
+      .orderBy("label", "pos")
+
   /** Language-ID — no SQL oracle (profile tables); driver does the
     * rows-only check. Grouped so the result is small + stable. The
     * synthetic corpus carries no real language signal (see
@@ -688,6 +701,7 @@ object TextVector {
     "q_cms_words" -> cmsWords,
     "q_rouge2" -> rouge2,
     "q_curation" -> curation,
+    "q_embed_pool" -> embedPool,
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("redacted")).as("fingerprint"))
@@ -1647,6 +1661,11 @@ object TextVector {
         |SELECT p.term, p.exact_n, min(s.n) AS cms_est, min(s.n) - p.exact_n AS overcount
         |FROM pr p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
         |GROUP BY p.term, p.exact_n ORDER BY exact_n DESC, term""".stripMargin,
+    "q_embed_pool" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vecs,
+        |  floor((avg(CAST(embedding[i] AS DOUBLE)))*1000000 + 0.5)/1000000 AS pooled
+        |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q_curation" ->
       """WITH dd AS (
         |  SELECT * FROM (SELECT doc_id, text, source,
