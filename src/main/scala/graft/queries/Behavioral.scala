@@ -245,6 +245,26 @@ object Behavioral {
       .orderBy("user_id")
   }
 
+  /** Churn-label generation — the supervised-training label builder:
+    * per-user activity span, active-day count, recency vs the corpus
+    * end, and the 7-day churn flag. Distinct (user, day) first so the
+    * label never depends on intra-day volume; corpus end rides in as
+    * a 1-row broadcast. */
+  def churnLabels(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val anchor = broadcast(days.agg(max(col("day")).as("corpus_end")))
+    days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        count(lit(1)).as("n_active_days"))
+      .crossJoin(anchor)
+      .select(col("user_id"), col("first_day"), col("last_day"), col("n_active_days"),
+        datediff(col("corpus_end"), col("last_day")).as("days_since_last"),
+        (datediff(col("corpus_end"), col("last_day")) > 7).as("churned_7d"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
@@ -272,6 +292,7 @@ object Behavioral {
     "q_attribution" -> attribution,
     "q_user_sequences" -> userSequences,
     "q_type_entropy" -> typeEntropy,
+    "q_churn_labels" -> churnLabels,
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +377,17 @@ object Behavioral {
         |SELECT user_id, CAST(sum(n_t) AS BIGINT) AS n_events,
         |  floor((-(sum((CAST(n_t AS DOUBLE) / CAST(n_u AS DOUBLE)) * ln(CAST(n_t AS DOUBLE) / CAST(n_u AS DOUBLE)))))*10000 + 0.5)/10000 AS type_entropy
         |FROM wt GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_churn_labels" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |an AS (SELECT max(day) AS corpus_end FROM d),
+        |u AS (SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+        |        count(*) AS n_active_days
+        |      FROM d GROUP BY 1)
+        |SELECT user_id, first_day, last_day, n_active_days,
+        |  CAST(date_diff('day', last_day, corpus_end) AS INTEGER) AS days_since_last,
+        |  date_diff('day', last_day, corpus_end) > 7 AS churned_7d
+        |FROM u CROSS JOIN an ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -216,6 +216,32 @@ object TextVector {
       .agg(count(lit(1)).as("n_vecs"), rd(avg(col("v").cast("double")), 6).as("pooled"))
       .orderBy("label", "pos")
 
+  /** Source-pair overlap audit: distinct 3-gram shingle containment and
+    * Jaccard between every source pair that shares at least one
+    * shingle — the cross-source contamination report a corpus data
+    * card publishes. Shingle equi-join over (source, shingle) distinct
+    * pairs: each shingle contributes at most (sources choose 2) pair
+    * rows, so the join output is bounded by source-count², not corpus
+    * size. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(col("source"), explode(TextAnalysis.shingles("toks", 3)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"), col("n_b"),
+        rd(col("n_common").cast("double") / col("n_a").cast("double"), 6).as("contain_a"),
+        rd(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Language-ID — no SQL oracle (profile tables); driver does the
     * rows-only check. Grouped so the result is small + stable. The
     * synthetic corpus carries no real language signal (see
@@ -702,6 +728,7 @@ object TextVector {
     "q_rouge2" -> rouge2,
     "q_curation" -> curation,
     "q_embed_pool" -> embedPool,
+    "q_source_overlap" -> sourceOverlap,
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(docs(s, d), "text")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("redacted")).as("fingerprint"))
@@ -1661,6 +1688,24 @@ object TextVector {
         |SELECT p.term, p.exact_n, min(s.n) AS cms_est, min(s.n) - p.exact_n AS overcount
         |FROM pr p JOIN sk s ON s.j = p.j AND s.bucket = p.bucket
         |GROUP BY p.term, p.exact_n ORDER BY exact_n DESC, term""".stripMargin,
+    "q_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)])
+        |    ELSE [] END) AS g
+        |  FROM tk),
+        |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        |cm AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT c.source_a, c.source_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  floor((CAST(c.n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE))*1000000 + 0.5)/1000000 AS contain_a,
+        |  floor((CAST(c.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE))*1000000 + 0.5)/1000000 AS jaccard
+        |FROM cm c
+        |JOIN sz sa ON sa.source = c.source_a
+        |JOIN sz sb ON sb.source = c.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_embed_pool" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vecs,
         |  floor((avg(CAST(embedding[i] AS DOUBLE)))*1000000 + 0.5)/1000000 AS pooled
