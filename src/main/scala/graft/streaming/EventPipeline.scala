@@ -131,4 +131,15 @@ object EventPipeline {
         col("signups"), col("errors"), col("watch_time_sum_ms"),
         current_timestamp().as("processed_at"))
   }
+
+  /** Stream→static dim enrichment — the reference's own join shape
+    * (its realtime aggregator joins the event stream to a static
+    * video-dim snapshot). The dim side is `broadcast()`-pinned: a
+    * stream-static join must not shuffle the stream, and the static
+    * side re-broadcasts per micro-batch, which is exactly how a
+    * slowly-refreshed dim snapshot stays current. LEFT join so events
+    * with no dim row pass through with nulls (enrichment never drops
+    * data — the miss is observable downstream instead). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 }

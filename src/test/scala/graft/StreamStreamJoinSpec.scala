@@ -81,4 +81,28 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(late.contains(("u2", None)), s"unmatched impression never emitted: $late")
     assert(!late.contains(("u1", None)), "matched impression must not also emit a null row")
   }
+
+  test("stream-static enrichment: broadcast dim join, misses pass through with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(String, Long)]
+    val dim = Seq(("u1", "premium"), ("u2", "free")).toDF("user", "segment")
+    val enriched = graft.streaming.EventPipeline.enrich(
+      events.toDF().toDF("user", "amount"), dim, "user")
+
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    events.addData(("u1", 10L), ("u3", 7L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .select("user", "amount", "segment").as[(String, Long, Option[String])]
+      .collect().toSet
+    assert(got == Set(("u1", 10L, Some("premium")), ("u3", 7L, None)),
+      s"got $got")
+    // the stream side must not shuffle: the broadcast hint must survive
+    // analysis so every micro-batch plans the dim as a broadcast join
+    val analyzed = enriched.queryExecution.analyzed.toString
+    assert(analyzed.contains("strategy=broadcast"), s"broadcast hint lost:\n$analyzed")
+  }
 }
