@@ -52,6 +52,23 @@ class PlanQualitySpec extends AnyFunSuite {
       }
   }
 
+  test("round-5 corpus-stats queries: term equi-joins only, no cartesian blowup") {
+    // each carries a 1-row broadcast totals frame (plans as
+    // BroadcastNestedLoopJoin over one row — constant cost); what must
+    // never appear is a CartesianProduct between data-scale frames
+    Seq("q_pmi_bigrams", "q_lm_xent", "q_lm_bigram", "q_rouge2",
+        "q_source_overlap", "q_cms_words", "q_curation")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+  }
+
+  test("q_curation: the source cap still plans as WindowGroupLimit") {
+    assert(plan("q_curation").contains("WindowGroupLimit"),
+      "curation cap stage lost the rank pushdown")
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = plan("q_conditional_agg")
     // two HashAggregate stages around the exchange
