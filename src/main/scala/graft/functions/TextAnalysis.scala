@@ -41,6 +41,18 @@ object TextAnalysis {
          | ELSE array() END""".stripMargin)
   }
 
+  /** [[shingles]] WITH multiplicity (no array_distinct) — for count
+    * vectors where a repeated shingle carries weight (e.g. sparse
+    * cosine over shingle counts). Same short-doc guard. */
+  def shinglesMulti(tokensCol: String, n: Int = 3): Column = {
+    val joined = (0 until n).map(o => s"element_at($tokensCol, i + $o)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    expr(
+      s"""CASE WHEN size($tokensCol) >= $n
+         | THEN transform(sequence(1, size($tokensCol) - ${n - 1}), i -> $joined)
+         | ELSE array() END""".stripMargin)
+  }
+
   /** Stopword ratio over tokens (quality signal). */
   def stopwordRatio(tokensCol: String, stopwords: Seq[String] = Seq("the", "a")): Column = {
     val set = stopwords.map(s => s"'$s'").mkString(", ")

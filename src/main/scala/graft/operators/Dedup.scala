@@ -461,4 +461,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-prune,
+    * SemDeDup: Abbas et al., arXiv:2303.09540): assign every vector to
+    * its argmax-cosine coarse centroid (broadcast — Similarity
+    * .ivfAssign), then within each cluster drop every vector whose
+    * cosine to some LOWER-ID cluster member reaches `tau`; the lowest
+    * id of each near-dup relation survives as the canonical. Returns
+    * one row per DROPPED vector: (id, bucket, dup_of = its
+    * most-similar lower-id member, cosine), ties on cosine broken by
+    * smaller `dup_of`.
+    *
+    * Complementary to [[embeddingNearDups]]: the WTA hash buckets only
+    * catch high-similarity collisions, while a semantic (centroid)
+    * partition makes a corpus-wide similarity threshold meaningful —
+    * the SemDeDup finding is that pruning at tau far below exact-dup
+    * levels improves LLM training efficiency.
+    *
+    * Scale shape: pair generation is an equi-join on the cluster id, so
+    * the quadratic term is bounded per cluster — size nlist so the mean
+    * cluster fits a partition (corpus/nlist² pairs per cluster); no
+    * all-pairs path. Runs unchanged with a Lloyd-fitted quantizer
+    * (Similarity.kMeansFit) when cluster balance matters; the stride
+    * quantizer keeps the whole output SQL-oracle-expressible. */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(embeddings, centroids, idCol, vecCol)
+    val a = assigned.select(col("bucket"), col(idCol).as("dup_of"), col(vecCol).as("va"))
+    val b = assigned.select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cosine").desc, col("dup_of"))
+    a.join(b, Seq("bucket"))
+      .filter(col("dup_of") < col("id"))
+      .withColumn("cosine", Similarity.cosineExpr("va", "vb"))
+      .filter(col("cosine") >= tau)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("bucket"), col("dup_of"), col("cosine"))
+  }
 }

@@ -132,6 +132,52 @@ object TfIdf {
         sort_array(collect_list(struct(col("__doc").as("doc"), col("__tf").as("tf"))))
           .as("postings"))
 
+  /** All-pairs document cosine similarity over shingle-count vectors in
+    * a df-pruned vocabulary — the inverted-index (term-partitioned)
+    * sparse dot product: (doc, shingle, count) rows, drop shingles with
+    * df > maxDf (high-df features carry no discriminative signal and
+    * cost quadratic join fanout — the standard all-pairs-similarity
+    * pruning lever), self-join on shingle, INTEGER dot per pair, one
+    * float division at the end. Integer dots are exact under any
+    * summation order, so the cross-engine hash gate holds bit-for-bit
+    * (same pattern as EditDistance.trigramCosinePairs); cosine is exact
+    * in the pruned vector space.
+    *
+    * 100 TB shape: the only joins are equi-joins on the shingle key
+    * with per-key fanout ≤ maxDf (≤ maxDf² pairs per shingle); norms
+    * are one groupBy(doc). No all-pairs path, no float-sum shuffle.
+    * The candidate-count/recall trade is maxDf (raise to catch pairs
+    * that only share common shingles). */
+  def shingleCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                         maxDf: Int = 10, minCosine: Double = 0.3,
+                         shingleN: Int = 3): DataFrame = {
+    // persisted: vocabulary pass + dot pass both read it (lives until
+    // caller clearCache — same contract as tfidf's token cache)
+    val counts = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol), explode(TextAnalysis.shinglesMulti("__tokens", shingleN)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val vocab = counts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    val kept = counts.join(vocab, "g")
+    val norms = kept.groupBy(col(idCol)).agg(sum(col("c") * col("c")).as("n2"))
+    val a = kept.select(col("g"), col(idCol).as("id_a"), col("c").as("ca"))
+    val b = kept.select(col("g"), col(idCol).as("id_b"), col("c").as("cb"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.select(col(idCol).as("id_a"), col("n2").as("__na2")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("n2").as("__nb2")), "id_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
+  }
+
   /** Top-k BM25 terms per document (ties broken by term). */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -52,6 +52,23 @@ object TextVector {
       |       (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
       |    OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)))""".stripMargin
 
+  /** Shared DuckDB CTE: stride-100 coarse centroids + argmax-cosine
+    * cluster assignment — mirrors Similarity.strideCentroids +
+    * ivfAssign including the centroid-id tie-break. */
+  private val ivfAssignCte =
+    """cent AS (
+      |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, v, centroid_id AS bucket FROM (
+      |    SELECT c.vec_id, c.v, ct.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.v, ct.centroid_vec) /
+      |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.centroid_vec, ct.centroid_vec))) DESC,
+      |        ct.centroid_id) AS rn
+      |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1)""".stripMargin
+
   // ---- text analysis -------------------------------------------------------
 
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -651,6 +668,29 @@ object TextVector {
       .orderBy("query_id")
   }
 
+  /** Sparse document cosine over df-pruned shingle-count vectors — the
+    * inverted-index all-pairs similarity (integer dots, one division;
+    * see TfIdf.shingleCosinePairs for the pruning-lever scale note). */
+  def shingleCosine(s: SparkSession, dir: String): DataFrame =
+    TfIdf.shingleCosinePairs(docs(s, dir), "doc_id", "text", maxDf = 10, minCosine = 0.3)
+      .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  /** SemDeDup semantic dedup over the stride-quantized embedding
+    * space: the dropped-row ledger at tau=0.3 (the permissive
+    * semantic-level threshold — far below exact-dup cosine, which is
+    * the SemDeDup operating point). Stride quantizer keeps the whole
+    * output oracle-expressible; production swaps in kMeansFit
+    * centroids on the same operator. */
+  def semanticDedupDrops(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = Similarity.strideCentroids(e, "vec_id", "embedding", stride = 100)
+    Dedup.semanticDedup(e, "vec_id", "embedding", centroids, tau = 0.3)
+      .select(col("id").as("vec_id"), col("bucket"), col("dup_of"),
+        rd(col("cosine"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   def multimodalAssets(s: SparkSession, dir: String): DataFrame =
@@ -718,6 +758,8 @@ object TextVector {
     "q_label_prop" -> labelProp,
     "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
+    "q_semantic_dedup" -> semanticDedupDrops,
+    "q_shingle_cosine" -> shingleCosine,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
@@ -1467,18 +1509,7 @@ object TextVector {
         |SELECT label, count(*) AS n_members, min(id) AS min_member
         |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_ivf" ->
-      """WITH cent AS (
-        |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid_vec
-        |  FROM embeddings WHERE vec_id % 100 = 0),
-        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |assign AS (
-        |  SELECT vec_id, v, centroid_id AS bucket FROM (
-        |    SELECT c.vec_id, c.v, ct.centroid_id,
-        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_dot_product(c.v, ct.centroid_vec) /
-        |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.centroid_vec, ct.centroid_vec))) DESC,
-        |        ct.centroid_id) AS rn
-        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+      ("WITH " + ivfAssignCte + """,
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM assign WHERE vec_id < 8),
         |scored AS (
         |  SELECT q.query_id, q.bucket, a.vec_id AS neighbor_id,
@@ -1488,7 +1519,33 @@ object TextVector {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_shingle_cosine" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |shm AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |          THEN [w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]
+        |          ELSE [] END) AS g FROM toks),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM shm GROUP BY 1, 2),
+        |v AS (SELECT g FROM c GROUP BY g HAVING count(*) <= 10),
+        |k AS (SELECT c.* FROM c JOIN v USING (g)),
+        |n AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2 FROM k GROUP BY 1),
+        |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.c*b.c) AS BIGINT) AS dot
+        |      FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |s AS (SELECT d.id_a, d.id_b, d.dot, d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+        |      FROM d JOIN n na ON na.doc_id = d.id_a JOIN n nb ON nb.doc_id = d.id_b)
+        |SELECT id_a, id_b, dot, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM s WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q_semantic_dedup" ->
+      ("WITH " + ivfAssignCte + """,
+        |p AS (
+        |  SELECT b.vec_id AS id, b.bucket, a.vec_id AS dup_of,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cosine DESC, dup_of) AS rn
+        |      FROM p WHERE cosine >= 0.3)
+        |SELECT id AS vec_id, bucket, dup_of, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     "q_multimodal_assets" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

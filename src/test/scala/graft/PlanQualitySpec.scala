@@ -69,6 +69,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "curation cap stage lost the rank pushdown")
   }
 
+  test("q_semantic_dedup: cluster equi-join pairs, centroid broadcast only") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "semantic dedup has a data-scale cartesian")
+    // within-cluster pair generation must be the bucket equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "bucket equi-join missing")
+  }
+
+  test("q_shingle_cosine: term-partitioned equi-joins only, no cartesian") {
+    val p = plan("q_shingle_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sparse cosine must stay on shingle-key equi-joins")
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = plan("q_conditional_agg")
     // two HashAggregate stages around the exchange

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TfIdf}
 
 class TextDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -272,5 +272,47 @@ class TextDedupSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Int, Int)].collect().toSeq
     assert(got == Seq((1L, 2, 3), (2L, 0, 0), (3L, 0, 0), (4L, 1, 4), (5L, 2, 4), (6L, 2, 2)),
       s"token estimator counts drifted: $got")
+  }
+
+  test("semanticDedup: lowest id per near-dup relation survives; cross-cluster pairs never compared") {
+    // centroids at (1,0) and (0,1); ids 0,1,2 cluster to (1,0) — 0 and 1
+    // are near-dups (keep 0, drop 1), 2 is distinct within the cluster;
+    // id 3 aligns to (0,1): similar to 1 in ABSOLUTE cosine but in the
+    // other cluster, so it must NOT be dropped.
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.05f)), (1L, Seq(0.99f, 0.06f)), (2L, Seq(0.6f, 0.52f)),
+      (3L, Seq(0.05f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("centroid_id", "centroid_vec")
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, tau = 0.99)
+      .select("id", "bucket", "dup_of").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 0L)), s"expected only id 1 dropped (dup of 0): $got")
+  }
+
+  test("semanticDedup: dup_of is the most-similar lower-id member, not just any") {
+    // 2's nearest lower-id member is 1 (not 0) — the ledger must say so
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.3f)), (1L, Seq(1.0f, 0.01f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f, 0.0f))).toDF("centroid_id", "centroid_vec")
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, tau = 0.9)
+      .select("id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(got(2L) == 1L, s"id 2 should ledger dup_of=1 (cos≈1) not 0: $got")
+  }
+
+  test("shingleCosinePairs: identical docs cosine 1; df cutoff removes corpus-wide shingles") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val pairs = TfIdf.shingleCosinePairs(docs, "doc_id", "text", maxDf = 10, minCosine = 0.1)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    // sqrt(n)*sqrt(n) is one ulp off n in IEEE — cosine of identical
+    // vectors lands within 1e-12 of 1, identically on both engines
+    assert(pairs.keySet == Set((1L, 2L)) && math.abs(pairs((1L, 2L)) - 1.0) < 1e-12,
+      s"only the identical pair, at cosine ~1: $pairs")
+    // with maxDf = 1 every shared shingle (df=2) is pruned -> no pairs
+    val pruned = TfIdf.shingleCosinePairs(docs, "doc_id", "text", maxDf = 1, minCosine = 0.0)
+    assert(pruned.isEmpty, "df cutoff must remove all candidate keys")
   }
 }
