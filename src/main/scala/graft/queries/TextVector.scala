@@ -691,6 +691,40 @@ object TextVector {
       .orderBy("vec_id")
   }
 
+  /** Feature frame for the linear language classifier: integer-ratio
+    * features (exact IEEE divisions of exact integer counts — bit-
+    * identical on any engine), label = is-English. */
+  private def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("__toks", TextAnalysis.tokens("text"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        (size(col("__toks")).cast("double") / lit(100)).as("x_ntok"),
+        (expr("size(filter(__toks, t -> t IN ('the', 'a')))").cast("double") /
+          greatest(size(col("__toks")), lit(1)).cast("double")).as("x_stop"),
+        ((length(col("text")) - length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+          .cast("double") / greatest(length(col("text")), lit(1)).cast("double")).as("x_punct"))
+
+  private val LogregFeatures = Seq("x_ntok", "x_stop", "x_punct")
+
+  /** Distributed classifier fit (LogReg.fit: 2 GD rounds, broadcast-ML
+    * loop) + full-corpus train metrics, as one 1-row result the oracle
+    * unrolls iteration by iteration. */
+  def logregFit(s: SparkSession, dir: String): DataFrame = {
+    val f = logregFeatures(s, dir)
+    val w = graft.operators.LogReg.fit(f, LogregFeatures, "y", lr = 1.0, iters = 2)
+    val m = graft.operators.LogReg.score(f, LogregFeatures, w)
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("pred") === col("y")).cast("long")).as("n_correct"))
+    m.crossJoin(broadcast(w)).select(
+      col("n_docs"), col("n_correct"),
+      rd(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"),
+      rd(col("w_bias"), 10).as("w_bias"),
+      rd(col("w_x_ntok"), 10).as("w_ntok"),
+      rd(col("w_x_stop"), 10).as("w_stop"),
+      rd(col("w_x_punct"), 10).as("w_punct"))
+  }
+
   // ---- multimodal ----------------------------------------------------------
 
   def multimodalAssets(s: SparkSession, dir: String): DataFrame =
@@ -760,6 +794,7 @@ object TextVector {
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
     "q_shingle_cosine" -> shingleCosine,
+    "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
@@ -1535,6 +1570,72 @@ object TextVector {
         |      FROM d JOIN n na ON na.doc_id = d.id_a JOIN n nb ON nb.doc_id = d.id_b)
         |SELECT id_a, id_b, dot, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM s WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // LogReg.fit unrolled: iteration 1 has w=0 so p is exactly 0.5
+    // (algebraic sigmoid of 0 — exact in IEEE, no libm); iteration 2
+    // replays the margin fold with the same explicit association as
+    // LogReg.margin. Gradient sums are fixed-point BIGINTs — exact
+    // under any row order — and every feature is a ratio of integer
+    // counts, so the whole fit hash-gates bit-for-bit.
+    "q_logreg" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100 AS x_ntok,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ('the', 'a'))) AS DOUBLE)
+        |      / CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE) AS x_stop,
+        |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS x_punct
+        |  FROM documents),
+        |g1 AS (
+        |  SELECT
+        |    CAST(sum(CAST(floor((y - 0.5) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_bias,
+        |    CAST(sum(CAST(floor(((y - 0.5) * x_ntok) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_ntok,
+        |    CAST(sum(CAST(floor(((y - 0.5) * x_stop) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_stop,
+        |    CAST(sum(CAST(floor(((y - 0.5) * x_punct) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_punct,
+        |    count(*) AS n
+        |  FROM f),
+        |w1 AS (
+        |  SELECT (CAST(g_bias AS DOUBLE) / 1e12) / n AS w_bias,
+        |         (CAST(g_ntok AS DOUBLE) / 1e12) / n AS w_ntok,
+        |         (CAST(g_stop AS DOUBLE) / 1e12) / n AS w_stop,
+        |         (CAST(g_punct AS DOUBLE) / 1e12) / n AS w_punct
+        |  FROM g1),
+        |e2 AS (
+        |  SELECT y, x_ntok, x_stop, x_punct,
+        |    y - (0.5 + 0.5 * (m / (1 + abs(m)))) AS err
+        |  FROM (
+        |    SELECT f.*, ((w.w_bias + w.w_ntok * f.x_ntok) + w.w_stop * f.x_stop) + w.w_punct * f.x_punct AS m
+        |    FROM f CROSS JOIN w1 w)),
+        |g2 AS (
+        |  SELECT
+        |    CAST(sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_bias,
+        |    CAST(sum(CAST(floor((err * x_ntok) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_ntok,
+        |    CAST(sum(CAST(floor((err * x_stop) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_stop,
+        |    CAST(sum(CAST(floor((err * x_punct) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_punct,
+        |    count(*) AS n
+        |  FROM e2),
+        |w2 AS (
+        |  SELECT w1.w_bias + (CAST(g2.g_bias AS DOUBLE) / 1e12) / g2.n AS w_bias,
+        |         w1.w_ntok + (CAST(g2.g_ntok AS DOUBLE) / 1e12) / g2.n AS w_ntok,
+        |         w1.w_stop + (CAST(g2.g_stop AS DOUBLE) / 1e12) / g2.n AS w_stop,
+        |         w1.w_punct + (CAST(g2.g_punct AS DOUBLE) / 1e12) / g2.n AS w_punct
+        |  FROM w1 CROSS JOIN g2),
+        |sc AS (
+        |  SELECT f.y,
+        |    ((w.w_bias + w.w_ntok * f.x_ntok) + w.w_stop * f.x_stop) + w.w_punct * f.x_punct AS m
+        |  FROM f CROSS JOIN w2 w),
+        |mt AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(count(*) FILTER (WHERE CAST(CASE WHEN m >= 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) = y) AS BIGINT)
+        |      AS n_correct
+        |  FROM sc)
+        |SELECT n_docs, n_correct,
+        |  floor((CAST(n_correct AS DOUBLE) / n_docs)*1000000 + 0.5)/1000000 AS accuracy,
+        |  floor((w_bias)*10000000000 + 0.5)/10000000000 AS w_bias,
+        |  floor((w_ntok)*10000000000 + 0.5)/10000000000 AS w_ntok,
+        |  floor((w_stop)*10000000000 + 0.5)/10000000000 AS w_stop,
+        |  floor((w_punct)*10000000000 + 0.5)/10000000000 AS w_punct
+        |FROM mt CROSS JOIN w2""".stripMargin,
     "q_semantic_dedup" ->
       ("WITH " + ivfAssignCte + """,
         |p AS (
