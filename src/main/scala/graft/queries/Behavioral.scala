@@ -265,7 +265,18 @@ object Behavioral {
       .orderBy("user_id")
   }
 
+  /** Seasonal anomaly sweep: hour-of-day × event-type baseline, |z| ≥ 3
+    * flags (Anomaly.seasonalZ — exact fixed-point baseline, so the flag
+    * set hash-gates with no tolerance). */
+  def anomalies(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.seasonalZ(t(s, dir, "events"),
+        Seq("event_type"), hour(col("ts")), "value", sigma = 3.0)
+      .select(col("event_id"), col("event_type"), col("season").as("hr"),
+        col("value"), rd(col("z"), 4).as("z"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly" -> anomalies,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -296,6 +307,27 @@ object Behavioral {
   )
 
   val oracles: Map[String, String] = Map(
+    // baseline sums on exact cents (row-order-proof), z re-derived with
+    // the identical fixed-order expression — mirrors Anomaly.seasonalZ
+    "q_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, hour(ts) AS hr,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT) * CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, hr, n,
+        |    (CAST(s1 AS DOUBLE) / 100) / n AS mean,
+        |    sqrt(((CAST(s2 AS DOUBLE) / 10000) / n) - ((CAST(s1 AS DOUBLE) / 100) / n) * ((CAST(s1 AS DOUBLE) / 100) / n)) AS sd
+        |  FROM b),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INT) AS hr, e.value,
+        |    (e.value - st.mean) / st.sd AS z
+        |  FROM events e JOIN st ON st.event_type = e.event_type AND st.hr = hour(e.ts)
+        |  WHERE st.sd > 0)
+        |SELECT event_id, event_type, hr, value, floor((z)*10000 + 0.5)/10000 AS z
+        |FROM z WHERE abs(z) >= 3 ORDER BY event_id""".stripMargin,
     "q_group_topk" ->
       """WITH p AS (
         |  SELECT user_id, event_id, value,

@@ -368,8 +368,73 @@ object Relational {
           greatest(col("exact_users") * lit(0.02), lit(2.0))).as("within_tol"))
       .orderBy("event_type")
 
+  /** Higher-moment distribution battery over integer-valued l_quantity:
+    * skewness / excess kurtosis derived from exact BIGINT power sums
+    * (quantity ≤ 50, so s4 ≤ 50⁴·N — no 64-bit overflow through SF
+    * 1000), exact interpolated median, discrete p90, and a
+    * DETERMINISTIC mode (max count, ties to the smaller value — the
+    * built-in mode() leaves ties unspecified, so it can't hash-gate).
+    * No libm in the moment math: sqrt-products instead of pow. One
+    * grouped scan for the sums + one (key, value) count for the mode. */
+  def moments(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val sums = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s1"),
+      sum(col("q") * col("q")).as("s2"),
+      sum(col("q") * col("q") * col("q")).as("s3"),
+      sum(col("q") * col("q") * col("q") * col("q")).as("s4"),
+      expr("percentile(q, 0.5)").as("median_qty"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY q)").cast("long").as("p90_disc"))
+    val wm = Window.partitionBy(col("l_returnflag")).orderBy(col("c").desc, col("q"))
+    val modeDf = li.groupBy(col("l_returnflag"), col("q")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("mode_q"))
+    sums.join(modeDf, "l_returnflag")
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("ex2", col("s2").cast("double") / col("n"))
+      .withColumn("ex3", col("s3").cast("double") / col("n"))
+      .withColumn("ex4", col("s4").cast("double") / col("n"))
+      .withColumn("varp", col("ex2") - col("mean") * col("mean"))
+      .withColumn("m3", (col("ex3") - lit(3.0) * col("mean") * col("ex2"))
+        + lit(2.0) * ((col("mean") * col("mean")) * col("mean")))
+      .withColumn("m4", ((col("ex4") - lit(4.0) * col("mean") * col("ex3"))
+        + lit(6.0) * ((col("mean") * col("mean")) * col("ex2")))
+        - lit(3.0) * (((col("mean") * col("mean")) * col("mean")) * col("mean")))
+      .select(col("l_returnflag"), col("n"),
+        rd(col("mean"), 6).as("mean_qty"),
+        rd(sqrt(col("varp")), 6).as("std_pop"),
+        rd(col("m3") / (sqrt(col("varp")) * col("varp")), 6).as("skewness"),
+        rd(col("m4") / (col("varp") * col("varp")) - lit(3.0), 6).as("kurtosis_excess"),
+        col("median_qty"), col("p90_disc"), col("mode_q"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Skew.saltedJoin pinned against the plain-join oracle: lineitem ⋈
+    * part through the salt-replicated key space, re-aggregated per
+    * brand — semantics identical to the unsalted join by construction;
+    * exact cent sums let the hash gate prove it. At scale this is the
+    * hot-partkey escape hatch when the build side is too big to
+    * broadcast and AQE's skew split can't help (it only splits sort-
+    * merge partitions, not a hot build bucket). */
+  def saltedJoinBrand(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+    graft.operators.Skew.saltedJoin(li, t(s, dir, "part"), "p_partkey", saltBuckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")).as("__cents"))
+      .select(col("p_brand"), col("n_lines"), col("sum_qty"),
+        (col("__cents").cast("double") / lit(100)).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_conditional_agg" -> conditionalAgg,
+    "q_moments" -> moments,
+    "q_salted_join" -> saltedJoinBrand,
     "q_rolling_30m" -> rolling30m,
     "q_dim_join" -> dimJoin,
     "q_revenue_by_nation" -> revenueByNation,
@@ -393,6 +458,44 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_moments" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |    CAST(sum(q*q*q) AS BIGINT) AS s3, CAST(sum(q*q*q*q) AS BIGINT) AS s4,
+        |    quantile_cont(q, 0.5) AS median_qty,
+        |    CAST(quantile_disc(q, 0.9) AS BIGINT) AS p90_disc
+        |  FROM li GROUP BY 1),
+        |md AS (
+        |  SELECT l_returnflag, q AS mode_q FROM (
+        |    SELECT l_returnflag, q,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, q) AS rn
+        |    FROM li GROUP BY l_returnflag, q) WHERE rn = 1),
+        |d AS (
+        |  SELECT s.l_returnflag, s.n, s.median_qty, s.p90_disc, md.mode_q,
+        |    CAST(s1 AS DOUBLE)/n AS mean, CAST(s2 AS DOUBLE)/n AS ex2,
+        |    CAST(s3 AS DOUBLE)/n AS ex3, CAST(s4 AS DOUBLE)/n AS ex4
+        |  FROM s JOIN md USING (l_returnflag)),
+        |e AS (
+        |  SELECT *, ex2 - mean*mean AS varp,
+        |    (ex3 - 3.0*mean*ex2) + 2.0*((mean*mean)*mean) AS m3,
+        |    ((ex4 - 4.0*mean*ex3) + 6.0*((mean*mean)*ex2)) - 3.0*(((mean*mean)*mean)*mean) AS m4
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  floor((mean)*1000000 + 0.5)/1000000 AS mean_qty,
+        |  floor((sqrt(varp))*1000000 + 0.5)/1000000 AS std_pop,
+        |  floor((m3/(sqrt(varp)*varp))*1000000 + 0.5)/1000000 AS skewness,
+        |  floor((m4/(varp*varp) - 3.0)*1000000 + 0.5)/1000000 AS kurtosis_excess,
+        |  median_qty, p90_disc, mode_q
+        |FROM e ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p.p_brand,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100 AS sum_price
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value, date_trunc('second', ts) AS ts_sec
