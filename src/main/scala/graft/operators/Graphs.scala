@@ -247,4 +247,58 @@ object Graphs {
     oriented.unpersist()
     result
   }
+
+  /** k-core peeling, `rounds` synchronized rounds: each round keeps the
+    * nodes whose CURRENT degree is ≥ k, then drops every edge touching
+    * a peeled node — the parallel ("peel all at once") form of the
+    * classic sequential min-degree peel; after enough rounds the
+    * surviving subgraph IS the k-core (every node has degree ≥ k
+    * within it). Rounds are fixed, not data-dependent, so the whole
+    * trajectory is oracle-unrollable; the returned LEDGER — one row
+    * per round with the active-node and surviving-edge counts — is the
+    * convergence diagnostic (n_active stops moving ⇒ fixpoint
+    * reached). Row `round = 0` is the input graph.
+    *
+    * Shuffle budget per round: one degree aggregation + two semi-joins
+    * on the endpoint keys; per-round state is the (shrinking) edge
+    * frame, persisted and released round-over-round like the pageRank
+    * loop. At any scale nothing but per-round 1-row summaries leaves
+    * the executors. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var cur = canon.select(col("u").as("src"), col("v").as("dst"))
+      .union(canon.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    cur.count() // eager: degree agg + both semi-joins read it per round
+    def summary(round: Int, active: DataFrame, edgeFrame: DataFrame): DataFrame =
+      active.agg(count(lit(1)).as("n_active"))
+        .crossJoin(edgeFrame.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
+        .select(lit(round).as("round"), col("n_active"), col("n_edges"))
+    val allNodes = cur.select(col("src").as("id")).distinct()
+    var ledger = Seq(summary(0, allNodes, cur).persist())
+    ledger.head.count()
+    for (r <- 1 to rounds) {
+      val active = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      val next = cur
+        .join(active.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .persist()
+      val row = summary(r, active, next).persist()
+      row.count() // materializes next's cache too (summary scans it)
+      ledger = ledger :+ row
+      cur.unpersist()
+      cur = next
+    }
+    val result = ledger.reduce(_ union _).persist()
+    result.count()
+    cur.unpersist()
+    ledger.foreach(_.unpersist())
+    result
+  }
 }

@@ -595,6 +595,15 @@ object TextVector {
     graft.operators.Graphs.triangleStatsOriented(knn, "query_id", "neighbor_id")
   }
 
+  /** k-core peel ledger of the LSH 3-NN graph (k=4, 3 synchronized
+    * rounds): the density-structure probe — how fast the graph sheds
+    * its low-degree fringe. Same edge derivation as q_knn_triangles. */
+  def kcorePeel(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    graft.operators.Graphs.kCorePeel(knn, "query_id", "neighbor_id", k = 4, rounds = 3)
+      .orderBy("round")
+  }
+
   /** Hard-negative mining for contrastive training: each anchor's
     * nearest ANN candidates (LSH top-10) that carry a DIFFERENT label,
     * re-ranked — the negatives that actually move a contrastive loss,
@@ -788,6 +797,7 @@ object TextVector {
     "q_embed_ivfpq" -> ivfPqTopK,
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
+    "q_kcore" -> kcorePeel,
     "q_triangles_oriented" -> trianglesOriented,
     "q_label_prop" -> labelProp,
     "q_hard_negatives" -> hardNegatives,
@@ -1371,6 +1381,34 @@ object TextVector {
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // kNN graph (all-corpus LSH, k=3) → canonical undirected edges →
     // wedge-closing triangle census; CTE chain shared with q_embed_lsh
+    // kCorePeel unrolled: per round, survivors = deg >= k on the
+    // CURRENT edge frame, then both-endpoint semi-join — the same
+    // parallel-peel semantics, round for round
+    "q_kcore" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |edges AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v AS src, u AS dst FROM edges),
+        |d1 AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+        |a1 AS (SELECT src AS id FROM d1 WHERE deg >= 4),
+        |e1 AS (SELECT src, dst FROM und
+        |       WHERE src IN (SELECT id FROM a1) AND dst IN (SELECT id FROM a1)),
+        |d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY 1),
+        |a2 AS (SELECT src AS id FROM d2 WHERE deg >= 4),
+        |e2 AS (SELECT src, dst FROM e1
+        |       WHERE src IN (SELECT id FROM a2) AND dst IN (SELECT id FROM a2)),
+        |d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+        |a3 AS (SELECT src AS id FROM d3 WHERE deg >= 4),
+        |e3 AS (SELECT src, dst FROM e2
+        |       WHERE src IN (SELECT id FROM a3) AND dst IN (SELECT id FROM a3))
+        |SELECT 0 AS round, (SELECT count(DISTINCT src) FROM und) AS n_active,
+        |       (SELECT CAST(count(*)/2 AS BIGINT) FROM und) AS n_edges
+        |UNION ALL SELECT 1, (SELECT count(*) FROM a1), (SELECT CAST(count(*)/2 AS BIGINT) FROM e1)
+        |UNION ALL SELECT 2, (SELECT count(*) FROM a2), (SELECT CAST(count(*)/2 AS BIGINT) FROM e2)
+        |UNION ALL SELECT 3, (SELECT count(*) FROM a3), (SELECT CAST(count(*)/2 AS BIGINT) FROM e3)
+        |ORDER BY round""".stripMargin,
     "q_knn_triangles" ->
       s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
         |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),

@@ -145,4 +145,22 @@ class GraphsSpec extends AnyFunSuite {
     val mass = ranks9.as[(String, Double)].collect().map(_._2).sum
     assert(math.abs(mass - 1.0) < 1e-9, s"rank mass drifted across truncation: $mass")
   }
+
+  test("kCorePeel: triangle with a tail peels the tail, keeps the triangle (fixpoint)") {
+    // 1-2-3 triangle + 3-4-5 path; k=2: round 1 drops 5 (deg 1), round
+    // 2 drops 4, then the triangle is stable — the 2-core
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = graft.operators.Graphs.kCorePeel(edges, "s", "d", k = 2, rounds = 3)
+      .orderBy("round").as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 5L, 5L), (1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)),
+      s"peel trajectory drifted: $got")
+  }
+
+  test("kCorePeel: canonicalization — self-loops and reversed duplicates don't inflate degree") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = graft.operators.Graphs.kCorePeel(edges, "s", "d", k = 2, rounds = 1)
+      .orderBy("round").as[(Int, Long, Long)].collect().toSeq
+    // clean graph is the 1-2-3 triangle: everyone has deg 2, nothing peels
+    assert(got == Seq((0, 3L, 3L), (1, 3L, 3L)), s"got $got")
+  }
 }
