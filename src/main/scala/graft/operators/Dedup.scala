@@ -462,6 +462,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Near-subset detection via shingle CONTAINMENT — the directional
+    * overlap Jaccard misses when document sizes differ: a quote or a
+    * sub-document dup has |A∩B|/|A| ≈ 1 while its Jaccard can be
+    * arbitrarily small. Candidates are generated by a shared RARE
+    * shingle (df ≤ maxDf — the same pruning lever as
+    * TfIdf.shingleCosinePairs, bounding per-key join fanout);
+    * containment is then exact over the FULL distinct-shingle sets of
+    * each candidate pair. All counts are integers (exact under any
+    * partitioning); the two ratios are single IEEE divisions, so the
+    * flag threshold hash-gates with no tolerance.
+    *
+    * Returns (id_a, id_b, n_inter, n_a, n_b, cont_a = |A∩B|/|A|,
+    * cont_b = |A∩B|/|B|) for pairs with max(cont_a, cont_b) ≥
+    * `minContainment`. Docs under 3 tokens have no shingles and are
+    * excluded (degenerate for containment).
+    *
+    * 100 TB shape: equi-joins on the shingle key only; the
+    * intersection count runs pair-scoped (candidate pairs ⋈ exploded
+    * shingles), never all-pairs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDf: Int = 10, minContainment: Double = 0.8): DataFrame = {
+    // persisted: sizes, df, candidate legs, and both intersection legs
+    // read the exploded shingles (caller/clearCache releases — the
+    // tfidf cache contract)
+    val ex = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .select(col(idCol), explode(TextAnalysis.shingles("__tokens", 3)).as("g"))
+      .persist()
+    val sz = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val rare = ex.join(
+      ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("g")), "g")
+    val cand = rare.select(col("g"), col(idCol).as("id_a"))
+      .join(rare.select(col("g"), col(idCol).as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(ex.select(col(idCol).as("id_a"), col("g")), Seq("id_a"))
+      .join(ex.select(col(idCol).as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sz.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        col("cont_a"), col("cont_b"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-prune,
     * SemDeDup: Abbas et al., arXiv:2303.09540): assign every vector to
     * its argmax-cosine coarse centroid (broadcast — Similarity

@@ -685,6 +685,14 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Near-subset pairs by shingle containment (Dedup.containmentPairs:
+    * rare-shingle blocking, exact integer intersection counts). */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text", maxDf = 10, minContainment = 0.8)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        rd(col("cont_a"), 4).as("cont_a"), rd(col("cont_b"), 4).as("cont_b"))
+      .orderBy("id_a", "id_b")
+
   /** SemDeDup semantic dedup over the stride-quantized embedding
     * space: the dropped-row ledger at tau=0.3 (the permissive
     * semantic-level threshold — far below exact-dup cosine, which is
@@ -804,6 +812,7 @@ object TextVector {
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
     "q_shingle_cosine" -> shingleCosine,
+    "q_containment" -> containment,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1593,6 +1602,29 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_containment" ->
+      ("WITH " + shingleCte + """,
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |df AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+        |rare AS (SELECT doc_id, g FROM ex JOIN df USING (g) WHERE df <= 10),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+        |              JOIN ex eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+        |    CAST(i.n_inter AS DOUBLE) / sa.n AS cont_a,
+        |    CAST(i.n_inter AS DOUBLE) / sb.n AS cont_b
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b),
+        |flt AS (SELECT * FROM sc WHERE greatest(cont_a, cont_b) >= 0.8)
+        |SELECT id_a, id_b, n_inter, n_a, n_b,
+        |  floor((cont_a)*10000 + 0.5)/10000 AS cont_a,
+        |  floor((cont_b)*10000 + 0.5)/10000 AS cont_b
+        |FROM flt ORDER BY id_a, id_b""".stripMargin),
     "q_shingle_cosine" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
         |shm AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3

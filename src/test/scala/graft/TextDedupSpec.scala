@@ -300,6 +300,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) == 1L, s"id 2 should ledger dup_of=1 (cos≈1) not 0: $got")
   }
 
+  test("containmentPairs: planted sub-document has containment 1 in its superset, not vice versa") {
+    val sub = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, sub),
+      (2L, sub + " zeta eta theta iota kappa lambda"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", maxDf = 10, minContainment = 0.9)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"only the planted pair: $pairs")
+    val (_, _, ca, cb) = pairs.head
+    assert(ca == 1.0, s"all of doc 1's shingles are in doc 2: $ca")
+    assert(cb < 1.0, s"doc 2 has shingles outside doc 1: $cb")
+  }
+
   test("shingleCosinePairs: identical docs cosine 1; df cutoff removes corpus-wide shingles") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
