@@ -178,6 +178,37 @@ object TfIdf {
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF): combine N
+    * independent rankings of the same key space into one score,
+    * rrf(d) = Σ_r 1/(kRrf + rank_r(d)) — the standard hybrid-retrieval
+    * merge (BM25 + dense ANN in a RAG stack) that needs no score
+    * calibration between rankers. Keys missing from a ranker simply
+    * contribute 0 for it.
+    *
+    * Built as a fold of full-outer joins (not union+groupBy-sum): the
+    * additions happen in DECLARED ranker order as one fixed expression
+    * chain, so the double result is bit-stable — a grouped float sum
+    * would be partitioning-order-dependent and break cross-engine hash
+    * gates. N is the ranker count (small); each join is an equi-join on
+    * the key.
+    *
+    * @param rankers (name, frame) pairs; each frame carries `keys` +
+    *                `rankCol` (1-based, dense or row_number ranks).
+    *                Output keeps each ranker's rank as `rank_<name>`.
+    */
+  def rrfFuse(rankers: Seq[(String, DataFrame)], keys: Seq[String],
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    require(rankers.nonEmpty, "need at least one ranker")
+    val named = rankers.map { case (nm, df) =>
+      df.select((keys.map(col) :+ col(rankCol).as(s"rank_$nm")): _*)
+    }
+    val joined = named.reduce((a, b) => a.join(b, keys, "full_outer"))
+    val score = rankers
+      .map { case (nm, _) => coalesce(lit(1.0) / (lit(kRrf) + col(s"rank_$nm")), lit(0.0)) }
+      .reduce(_ + _)
+    joined.withColumn("rrf", score)
+  }
+
   /** Top-k BM25 terms per document (ties broken by term). */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -685,6 +685,43 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Hybrid retrieval via reciprocal-rank fusion: a fixed 3-term query
+    * ranked by (a) multi-term BM25 and (b) raw term-count dot product,
+    * fused with TfIdf.rrfFuse — the RAG-stack merge where lexical and
+    * second-signal rankings combine without score calibration. Both
+    * per-ranker scores assemble as FIXED-ORDER coalesce sums (pivoted
+    * per-term columns, never a grouped float sum), so the whole ranking
+    * chain hash-gates. */
+  def rrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("query", "join", "filter")
+    val d = docs(s, dir)
+    def pivotSum(valueCol: String,
+                 zero: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      terms.map(t => coalesce(max(when(col("term") === t, col(valueCol))), zero))
+        .reduce(_ + _)
+    val bmScore = TfIdf.bm25(d, "doc_id", "text")
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(pivotSum("score", lit(0.0)).as("score_a"))
+    val wA = Window.orderBy(col("score_a").desc, col("doc_id"))
+    val rankA = bmScore.withColumn("rank", row_number().over(wA)).select("doc_id", "rank")
+    val cnt = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens("text")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(pivotSum("f", lit(0L)).as("dotc"))
+    val wB = Window.orderBy(col("dotc").desc, col("doc_id"))
+    val rankB = cnt.withColumn("rank", row_number().over(wB)).select("doc_id", "rank")
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    TfIdf.rrfFuse(Seq("bm25" -> rankA, "count" -> rankB), Seq("doc_id"))
+      .withColumn("rank_fused", row_number().over(wF))
+      .filter(col("rank_fused") <= 20)
+      .select(col("rank_fused"), col("doc_id"), col("rank_bm25"), col("rank_count"),
+        rd(col("rrf"), 6).as("rrf"))
+      .orderBy("rank_fused")
+  }
+
   /** Near-subset pairs by shingle containment (Dedup.containmentPairs:
     * rare-shingle blocking, exact integer intersection counts). */
   def containment(s: SparkSession, dir: String): DataFrame =
@@ -813,6 +850,7 @@ object TextVector {
     "q_semantic_dedup" -> semanticDedupDrops,
     "q_shingle_cosine" -> shingleCosine,
     "q_containment" -> containment,
+    "q_rrf" -> rrfHybrid,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1602,6 +1640,51 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    // rrfFuse mirrored: the same BM25 CTE family as q_bm25, per-term
+    // pivot + FIXED-ORDER coalesce additions (query, join, filter), the
+    // two row_number rankings, the full-outer fuse with 1/(60+rank)
+    // contributions — integer-division doubles, so bit-stable
+    "q_rrf" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM tk),
+        |dfx AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM tk) GROUP BY 1),
+        |fx AS (
+        |  SELECT doc_id, dl, term, count(*) AS f
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tk)
+        |  GROUP BY doc_id, dl, term),
+        |sc AS (
+        |  SELECT x.doc_id, x.term,
+        |    ((SELECT n_docs FROM st) / d.df) *
+        |    ((CAST(x.f AS DOUBLE) * 2.2) /
+        |     (CAST(x.f AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(x.dl AS DOUBLE) / (SELECT avgdl FROM st))))) AS score
+        |  FROM fx x JOIN dfx d USING (term)
+        |  WHERE x.term IN ('query', 'join', 'filter')),
+        |bmp AS (
+        |  SELECT doc_id,
+        |    (coalesce(max(CASE WHEN term = 'query' THEN score END), 0.0)
+        |     + coalesce(max(CASE WHEN term = 'join' THEN score END), 0.0))
+        |     + coalesce(max(CASE WHEN term = 'filter' THEN score END), 0.0) AS score_a
+        |  FROM sc GROUP BY 1),
+        |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_a DESC, doc_id) AS INTEGER) AS rank_bm25 FROM bmp),
+        |cp AS (
+        |  SELECT doc_id,
+        |    (coalesce(max(CASE WHEN term = 'query' THEN f END), 0)
+        |     + coalesce(max(CASE WHEN term = 'join' THEN f END), 0))
+        |     + coalesce(max(CASE WHEN term = 'filter' THEN f END), 0) AS dotc
+        |  FROM fx WHERE term IN ('query', 'join', 'filter') GROUP BY 1),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dotc DESC, doc_id) AS INTEGER) AS rank_count FROM cp),
+        |fu AS (
+        |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_bm25, rb.rank_count,
+        |    coalesce(1/(60 + ra.rank_bm25), 0.0) + coalesce(1/(60 + rb.rank_count), 0.0) AS rrf_raw
+        |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+        |rf AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS INTEGER) AS rank_fused
+        |       FROM fu)
+        |SELECT rank_fused, doc_id, rank_bm25, rank_count,
+        |  floor((rrf_raw)*1000000 + 0.5)/1000000 AS rrf
+        |FROM rf WHERE rank_fused <= 20 ORDER BY rank_fused""".stripMargin,
     "q_containment" ->
       ("WITH " + shingleCte + """,
         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),

@@ -95,4 +95,16 @@ class TfIdfSpec extends AnyFunSuite {
                        else Seq((2L, 1, "aa"), (2L, 2, "zz"))
     assert(got == Seq((1L, 1, "bb"), (1L, 2, "cc")) ++ expectedDoc2)
   }
+
+  test("rrfFuse: hand-computed fusion, missing keys contribute zero") {
+    val a = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val got = TfIdf.rrfFuse(Seq("a" -> a, "b" -> b), Seq("id"))
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(got(10L) == 1.0 / 61)
+    assert(got(20L) == 1.0 / 62 + 1.0 / 61, "rank 2 in a, rank 1 in b")
+    assert(got(30L) == 1.0 / 62)
+    // agreement on the top item beats a solo #1: 20 outranks both
+    assert(got(20L) > got(10L) && got(20L) > got(30L))
+  }
 }
