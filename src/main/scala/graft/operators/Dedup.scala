@@ -483,13 +483,15 @@ object Dedup {
     * shingles), never all-pairs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        maxDf: Int = 10, minContainment: Double = 0.8): DataFrame = {
-    // persisted: sizes, df, candidate legs, and both intersection legs
-    // read the exploded shingles (caller/clearCache releases — the
-    // tfidf cache contract)
+    // eager-materialized: sizes, df, candidate legs, and both
+    // intersection legs read the exploded shingles inside one final job
+    // — lazy persist would race (triangleStats lesson). Lives until
+    // caller clearCache, the tfidf cache contract.
     val ex = docs
       .withColumn("__tokens", TextAnalysis.tokens(textCol))
       .select(col(idCol), explode(TextAnalysis.shingles("__tokens", 3)).as("g"))
       .persist()
+    ex.count()
     val sz = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val rare = ex.join(
       ex.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -151,18 +151,24 @@ object TfIdf {
   def shingleCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                          maxDf: Int = 10, minCosine: Double = 0.3,
                          shingleN: Int = 3): DataFrame = {
-    // persisted: vocabulary pass + dot pass both read it (lives until
-    // caller clearCache — same contract as tfidf's token cache)
+    // eager-materialized: the norm aggregate and both dot legs read
+    // `kept` inside ONE final job — a lazy persist would let their
+    // stages race to compute the tokenize+count chain (the
+    // triangleStats lesson). Lives until caller clearCache, same
+    // contract as tfidf's token cache.
     val counts = docs
       .withColumn("__tokens", TextAnalysis.tokens(textCol))
       .select(col(idCol), explode(TextAnalysis.shinglesMulti("__tokens", shingleN)).as("g"))
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("c"))
       .persist()
+    counts.count()
     val vocab = counts.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("g"))
-    val kept = counts.join(vocab, "g")
+    val kept = counts.join(vocab, "g").persist()
+    kept.count()
+    counts.unpersist()
     val norms = kept.groupBy(col(idCol)).agg(sum(col("c") * col("c")).as("n2"))
     val a = kept.select(col("g"), col(idCol).as("id_a"), col("c").as("ca"))
     val b = kept.select(col("g"), col(idCol).as("id_b"), col("c").as("cb"))
