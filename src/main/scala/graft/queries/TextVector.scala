@@ -685,6 +685,21 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Leave-one-out target encoding of `source` against the is-English
+    * label (Encoding.targetEncodeLoo, alpha=10) — the self-leakage-free
+    * category feature. Exact BIGINT sums under the hood, so every
+    * encoded value hash-gates. */
+  def targetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Encoding.targetEncodeLoo(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+        "source", "y", alpha = 10.0)
+      .select(col("doc_id"), col("source"), col("y"),
+        rd(col("te_loo"), 6).as("te_loo"),
+        rd(col("te_smooth"), 6).as("te_smooth"),
+        rd(col("freq"), 6).as("freq"))
+      .orderBy("doc_id")
+
   /** Hybrid retrieval via reciprocal-rank fusion: a fixed 3-term query
     * ranked by (a) multi-term BM25 and (b) raw term-count dot product,
     * fused with TfIdf.rrfFuse — the RAG-stack merge where lexical and
@@ -851,6 +866,7 @@ object TextVector {
     "q_shingle_cosine" -> shingleCosine,
     "q_containment" -> containment,
     "q_rrf" -> rrfHybrid,
+    "q_target_encode" -> targetEncode,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1640,6 +1656,23 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_target_encode" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+        |  FROM documents),
+        |pc AS (SELECT source, CAST(sum(y) AS BIGINT) AS s, count(*) AS n FROM f GROUP BY 1),
+        |g AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior, count(*) AS total FROM f),
+        |e AS (
+        |  SELECT f.doc_id, f.source, f.y,
+        |    CASE WHEN pc.n > 1 THEN CAST(pc.s - f.y AS DOUBLE) / (pc.n - 1) END AS te_loo,
+        |    (CAST(pc.s - f.y AS DOUBLE) + 10.0 * g.prior) / (CAST(pc.n - 1 AS DOUBLE) + 10.0) AS te_smooth,
+        |    CAST(pc.n AS DOUBLE) / g.total AS freq
+        |  FROM f JOIN pc USING (source) CROSS JOIN g)
+        |SELECT doc_id, source, y,
+        |  floor((te_loo)*1000000 + 0.5)/1000000 AS te_loo,
+        |  floor((te_smooth)*1000000 + 0.5)/1000000 AS te_smooth,
+        |  floor((freq)*1000000 + 0.5)/1000000 AS freq
+        |FROM e ORDER BY doc_id""".stripMargin,
     // rrfFuse mirrored: the same BM25 CTE family as q_bm25, per-term
     // pivot + FIXED-ORDER coalesce additions (query, join, filter), the
     // two row_number rankings, the full-outer fuse with 1/(60+rank)
