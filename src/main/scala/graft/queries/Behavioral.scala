@@ -275,8 +275,17 @@ object Behavioral {
         col("value"), rd(col("z"), 4).as("z"))
       .orderBy("event_id")
 
+  /** Two-sample KS drift gate between purchase and view value
+    * distributions (Drift.ksTwoSample — two-level distributed prefix
+    * sum, log-free exact statistic). */
+  def ksDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ksTwoSample(t(s, dir, "events"), "value", "event_type",
+        a = "purchase", b = "view")
+      .select(col("n_a"), col("n_b"), rd(col("ks_stat"), 6).as("ks_stat"), col("ks_at"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anomaly" -> anomalies,
+    "q_ks_drift" -> ksDrift,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -307,6 +316,30 @@ object Behavioral {
   )
 
   val oracles: Map[String, String] = Map(
+    // global-window ECDF mirror of the two-level prefix sum (exact
+    // integers, so the bucketed and global forms are identical)
+    "q_ks_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |pv AS (SELECT c, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        |       FROM t GROUP BY 1),
+        |n AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b FROM t),
+        |e AS (SELECT c,
+        |        CAST(sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |      FROM pv),
+        |g AS (SELECT e.c, abs(CAST(cuma AS DOUBLE)/n.n_a - CAST(cumb AS DOUBLE)/n.n_b) AS gap,
+        |             n.n_a, n.n_b
+        |      FROM e CROSS JOIN n),
+        |m AS (SELECT n_a, n_b, max(gap) AS mx FROM g GROUP BY 1, 2)
+        |SELECT m.n_a, m.n_b,
+        |  floor((m.mx)*1000000 + 0.5)/1000000 AS ks_stat,
+        |  CAST(min(g.c) AS DOUBLE)/100 AS ks_at
+        |FROM m JOIN g ON g.gap = m.mx AND g.n_a = m.n_a AND g.n_b = m.n_b
+        |GROUP BY 1, 2, 3""".stripMargin,
     // baseline sums on exact cents (row-order-proof), z re-derived with
     // the identical fixed-order expression — mirrors Anomaly.seasonalZ
     "q_anomaly" ->
