@@ -685,6 +685,36 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Per-dimension embedding diagnostics — the matrix-health check an
+    * embedding pipeline runs before training on a corpus: mean/σ per
+    * coordinate (DEAD dimensions have σ ≈ 0 and carry no signal —
+    * they waste model capacity and break whitening), plus exact
+    * min/max. Scale shape: one posexplode + one groupBy(dim) — dim
+    * count rows out. Moments run on 1e-7 fixed-point integers (exact
+    * under any row order; coordinate magnitudes ≤ ~1e2 and corpus
+    * ≤ ~1e9 rows keep the scaled squares inside int64). */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame = {
+    val fp = floor(col("x") * lit(1e7) + lit(0.5)).cast("long")
+    embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("pos"), col("x"), fp.as("f"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("f")).as("s1"),
+        sum(col("f") * col("f")).as("s2"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .withColumn("mean", (col("s1").cast("double") / lit(1e7)) / col("n"))
+      .withColumn("varp", ((col("s2").cast("double") / lit(1e14)) / col("n"))
+        - col("mean") * col("mean"))
+      .select(col("pos"), col("n"),
+        rd(col("mean"), 6).as("mean"),
+        rd(sqrt(col("varp")), 6).as("std"),
+        rd(col("vmin"), 6).as("vmin"),
+        rd(col("vmax"), 6).as("vmax"),
+        (col("varp") < 1e-6).as("is_dead"))
+      .orderBy("pos")
+  }
+
   /** Leave-one-out target encoding of `source` against the is-English
     * label (Encoding.targetEncodeLoo, alpha=10) — the self-leakage-free
     * category feature. Exact BIGINT sums under the hood, so every
@@ -867,6 +897,7 @@ object TextVector {
     "q_containment" -> containment,
     "q_rrf" -> rrfHybrid,
     "q_target_encode" -> targetEncode,
+    "q_embed_dims" -> embedDimStats,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1656,6 +1687,29 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_embed_dims" ->
+      """WITH x AS (
+        |  SELECT pos - 1 AS pos, x, CAST(floor(x * 1e7 + 0.5) AS BIGINT) AS f
+        |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |a AS (
+        |  SELECT pos, count(*) AS n,
+        |    CAST(sum(f) AS BIGINT) AS s1, CAST(sum(f*f) AS BIGINT) AS s2,
+        |    min(x) AS vmin, max(x) AS vmax
+        |  FROM x GROUP BY 1),
+        |d AS (
+        |  SELECT pos, n, vmin, vmax,
+        |    (CAST(s1 AS DOUBLE) / 1e7) / n AS mean,
+        |    ((CAST(s2 AS DOUBLE) / 1e14) / n) - ((CAST(s1 AS DOUBLE) / 1e7) / n) * ((CAST(s1 AS DOUBLE) / 1e7) / n) AS varp
+        |  FROM a)
+        |SELECT CAST(pos AS INT) AS pos, n,
+        |  floor((mean)*1000000 + 0.5)/1000000 AS mean,
+        |  floor((sqrt(varp))*1000000 + 0.5)/1000000 AS std,
+        |  floor((vmin)*1000000 + 0.5)/1000000 AS vmin,
+        |  floor((vmax)*1000000 + 0.5)/1000000 AS vmax,
+        |  varp < 0.000001 AS is_dead
+        |FROM d ORDER BY pos""".stripMargin,
     "q_target_encode" ->
       """WITH f AS (
         |  SELECT doc_id, source, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
