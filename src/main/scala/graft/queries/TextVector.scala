@@ -685,6 +685,28 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** ANN retrieval-quality gate: MRR@3 and recall@3 of the LSH index
+    * against brute-force ground truth, per query — the eval any ANN
+    * deployment runs before trusting the index. rr = 1/first relevant
+    * rank (0 if none); all metrics are ratios of small exact integers,
+    * so the gate hash-checks with no tolerance. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val cand = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 3)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    cand.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(lit(1) / min(when(col("hit"), col("rank"))), lit(0.0)).as("rr"),
+        (count(when(col("hit"), 1)) / lit(3)).as("recall_3"),
+        count(lit(1)).as("n_returned"))
+      .select(col("query_id"), rd(col("rr"), 6).as("rr"),
+        rd(col("recall_3"), 6).as("recall_3"), col("n_returned"))
+      .orderBy("query_id")
+  }
+
   /** Per-dimension embedding diagnostics — the matrix-health check an
     * embedding pipeline runs before training on a corpus: mean/σ per
     * coordinate (DEAD dimensions have σ ≈ 0 and carry no signal —
@@ -898,6 +920,7 @@ object TextVector {
     "q_rrf" -> rrfHybrid,
     "q_target_encode" -> targetEncode,
     "q_embed_dims" -> embedDimStats,
+    "q_retrieval_eval" -> retrievalEval,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1473,6 +1496,28 @@ object TextVector {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |  floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // LSH candidates (same CTE chain) left-joined to brute-force truth;
+    // rr = 1/min relevant rank, integer-ratio metrics throughout
+    "q_retrieval_eval" ->
+      s"""WITH ${lshRankedCtes(queryPred = "q.vec_id < 8")},
+        |cnd AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |      list_dot_product(qq.v, cc.v) /
+        |        (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(cc.v, cc.v))) DESC,
+        |      cc.vec_id) AS xrank
+        |  FROM e qq JOIN e cc ON qq.vec_id < 8 AND cc.vec_id <> qq.vec_id) WHERE xrank <= 3),
+        |j AS (SELECT c.query_id, c.rank, ex.neighbor_id IS NOT NULL AS hit
+        |      FROM cnd c LEFT JOIN ex ON ex.query_id = c.query_id AND ex.neighbor_id = c.neighbor_id),
+        |pq AS (SELECT query_id,
+        |         coalesce(1 / min(CASE WHEN hit THEN rank END), 0.0) AS rr,
+        |         count(*) FILTER (WHERE hit) / 3 AS recall_3,
+        |         count(*) AS n_returned
+        |       FROM j GROUP BY 1)
+        |SELECT query_id, floor((rr)*1000000 + 0.5)/1000000 AS rr,
+        |  floor((recall_3)*1000000 + 0.5)/1000000 AS recall_3, n_returned
+        |FROM pq ORDER BY query_id""".stripMargin,
     // kNN graph (all-corpus LSH, k=3) → canonical undirected edges →
     // wedge-closing triangle census; CTE chain shared with q_embed_lsh
     // kCorePeel unrolled: per round, survivors = deg >= k on the
