@@ -68,4 +68,40 @@ object Drift {
       .agg((min(col("c")).cast("double") / 100).as("ks_at"))
       .select(col("n_a"), col("n_b"), col("mx").as("ks_stat"), col("ks_at"))
   }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the "did the label mix shift across sources?" gate. Returns one
+    * row: n, r_levels, c_levels, dof, chi2. The p-value needs the
+    * incomplete gamma function (libm, not cross-engine exact) — look
+    * it up downstream against dof; chi2 itself is reported exactly.
+    *
+    * Textbook-correct on the FULL r×c grid: absent (zero-observed)
+    * cells still contribute their expected mass, so the grid is the
+    * cross join of the level frames (tiny: r·c rows) left-joined to
+    * observed counts. Per-cell terms are rounded to 1e-9 fixed point
+    * and summed as BIGINTs — exact under any partitioning, which is
+    * what makes a float test statistic hash-gateable at all. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val grid = rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("obs", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("ra") * col("cb")).cast("double") / col("n"))
+      .withColumn("term",
+        ((col("obs").cast("double") - col("e")) * (col("obs").cast("double") - col("e"))) / col("e"))
+      .withColumn("fx", floor(col("term") * lit(1e9) + lit(0.5)).cast("long"))
+    grid.groupBy(col("n"))
+      .agg(
+        countDistinct(col("a")).as("r_levels"),
+        countDistinct(col("b")).as("c_levels"),
+        sum(col("fx")).as("__s"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        (col("__s").cast("double") / lit(1e9)).as("chi2"))
+  }
 }

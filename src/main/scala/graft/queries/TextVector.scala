@@ -685,6 +685,14 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Chi-square independence gate for lang × source — "is the language
+    * mix uniform across crawl sources?" (Drift.chiSquareIndependence:
+    * full-grid expected mass, 1e-9 fixed-point term sums). */
+  def chiSquare(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.chiSquareIndependence(docs(s, dir), "lang", "source")
+      .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
+        rd(col("chi2"), 6).as("chi2"))
+
   /** ANN retrieval-quality gate: MRR@3 and recall@3 of the LSH index
     * against brute-force ground truth, per query — the eval any ANN
     * deployment runs before trusting the index. rr = 1/first relevant
@@ -921,6 +929,7 @@ object TextVector {
     "q_target_encode" -> targetEncode,
     "q_embed_dims" -> embedDimStats,
     "q_retrieval_eval" -> retrievalEval,
+    "q_chi2" -> chiSquare,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1732,6 +1741,30 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT rt.a, ct.b, rt.ra, ct.cb, coalesce(cells.o, 0) AS obs, tt.n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+        |  CROSS JOIN tt),
+        |tm AS (
+        |  SELECT n, a, b,
+        |    CAST(floor((((CAST(obs AS DOUBLE) - CAST(ra * cb AS DOUBLE) / n)
+        |      * (CAST(obs AS DOUBLE) - CAST(ra * cb AS DOUBLE) / n))
+        |      / (CAST(ra * cb AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT) AS fx
+        |  FROM grid),
+        |ag AS (
+        |  SELECT n, count(DISTINCT a) AS r_levels, count(DISTINCT b) AS c_levels,
+        |    CAST(sum(fx) AS BIGINT) AS s
+        |  FROM tm GROUP BY 1)
+        |SELECT n, r_levels, c_levels,
+        |  (r_levels - 1) * (c_levels - 1) AS dof,
+        |  floor((CAST(s AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS chi2
+        |FROM ag""".stripMargin,
     "q_embed_dims" ->
       """WITH x AS (
         |  SELECT pos - 1 AS pos, x, CAST(floor(x * 1e7 + 0.5) AS BIGINT) AS f

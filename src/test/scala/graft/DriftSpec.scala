@@ -29,6 +29,20 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
   }
 
+  test("chiSquareIndependence: independent 2x2 gives chi2 = 0; hand-computed dependent table") {
+    // perfectly proportional table -> expected == observed -> chi2 0
+    val indep = (Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    val r0 = graft.operators.Drift.chiSquareIndependence(indep, "a", "b").head
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    assert(r0.getAs[Long]("dof") == 1)
+    // diagonal 2x2: o=[[10,0],[0,10]], e=5 everywhere -> chi2 = 4*25/5 = 20
+    val dep = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    val r1 = graft.operators.Drift.chiSquareIndependence(dep, "a", "b").head
+    assert(r1.getAs[Double]("chi2") == 20.0, s"got ${r1.getAs[Double]("chi2")}")
+    assert(r1.getAs[Long]("n") == 20)
+  }
+
   test("bucket width does not change the statistic (two-level prefix sum is exact)") {
     val df = (1 to 300).map(i => (if (i % 3 == 0) "a" else "b", (i % 41) + i / 100.0))
       .toDF("g", "value")
