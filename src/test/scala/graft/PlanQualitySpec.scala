@@ -83,6 +83,31 @@ class PlanQualitySpec extends AnyFunSuite {
       "sparse cosine must stay on shingle-key equi-joins")
   }
 
+  test("round-5b additions: no data-scale cartesian anywhere") {
+    // 1-row broadcast anchors (totals/weights frames) plan as
+    // BroadcastNestedLoopJoin over one row — constant; what must never
+    // appear is CartesianProduct between data-scale frames
+    Seq("q_anomaly", "q_ks_drift", "q_moments", "q_salted_join", "q_containment",
+        "q_logreg", "q_rrf", "q_target_encode", "q_chi2", "q_retrieval_eval",
+        "q_kcore", "q_embed_dims")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+  }
+
+  test("q_target_encode: category frame joins as broadcast") {
+    assert(plan("q_target_encode").contains("BroadcastHashJoin"),
+      "per-category frame must broadcast, not shuffle the feed")
+  }
+
+  test("q_ks_drift: local prefix windows are partitioned by bucket (parallel, not one reducer)") {
+    val p = plan("q_ks_drift")
+    val bucketPartitioned = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(bkt"))
+    assert(bucketPartitioned,
+      "two-level prefix sum lost its bucket partitioning (ECDF cumsum fell back to one reducer)")
+  }
+
   test("aggregations are partial+final (map-side combine present)") {
     val p = plan("q_conditional_agg")
     // two HashAggregate stages around the exchange
