@@ -685,6 +685,51 @@ object TextVector {
       .select(col("id_a"), col("id_b"), col("dot"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Quantile (rank) normalization per embedding dimension — the
+    * distribution-free feature transform: x → (rank(x)−1)/(n−1) within
+    * its coordinate, ties sharing a rank. One explode + one window
+    * PARTITIONED BY dim (parallel across dims at any scale — never a
+    * global sort). Ranks are integers, the division is exact, so the
+    * transform hash-gates. Emitted for a sample (vec_id < 4, dims
+    * 0–7); the transform itself runs corpus-wide. */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("pos")).orderBy(col("x"))
+    val wn = Window.partitionBy(col("pos"))
+    embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("rk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("vec_id") < 4 && col("pos") < 8)
+      .select(col("vec_id"), col("pos"),
+        rd(col("x"), 6).as("x"),
+        rd((col("rk") - 1).cast("double") / (col("n") - 1), 6).as("qnorm"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** Length-sorted batch packing efficiency — the dynamic-batching
+    * planner's metric: sort docs by token length, cut into fixed-size
+    * batches, and report each batch's padded-token waste (every row
+    * pads to its batch max). Length-sorting is what makes the waste
+    * small; the same query over an UNSORTED order is the baseline a
+    * batching deployment compares against. Integer token counts
+    * throughout. */
+  def paddingWaste(s: SparkSession, dir: String): DataFrame = {
+    val batchSize = 8
+    val wLen = Window.orderBy(col("n_tokens").desc, col("doc_id"))
+    docs(s, dir)
+      .withColumn("n_tokens", size(TextAnalysis.tokens("text")))
+      .withColumn("batch", floor((row_number().over(wLen) - 1) / batchSize).cast("long"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .withColumn("padded", col("max_len") * col("n_docs"))
+      .select(col("batch"), col("n_docs"), col("max_len"), col("sum_len"),
+        (col("padded") - col("sum_len")).as("waste_tokens"),
+        rd((col("padded") - col("sum_len")).cast("double") / col("padded"), 6).as("waste_frac"))
+      .orderBy("batch")
+  }
+
   /** Chi-square independence gate for lang × source — "is the language
     * mix uniform across crawl sources?" (Drift.chiSquareIndependence:
     * full-grid expected mass, 1e-9 fixed-point term sums). */
@@ -930,6 +975,8 @@ object TextVector {
     "q_embed_dims" -> embedDimStats,
     "q_retrieval_eval" -> retrievalEval,
     "q_chi2" -> chiSquare,
+    "q_quantile_norm" -> quantileNorm,
+    "q_padding_waste" -> paddingWaste,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1741,6 +1788,37 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_quantile_norm" ->
+      """WITH x AS (
+        |  SELECT vec_id, pos - 1 AS pos, x
+        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |               generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |r AS (
+        |  SELECT vec_id, pos, x,
+        |    rank() OVER (PARTITION BY pos ORDER BY x) AS rk,
+        |    count(*) OVER (PARTITION BY pos) AS n
+        |  FROM x)
+        |SELECT vec_id, CAST(pos AS INT) AS pos,
+        |  floor((x)*1000000 + 0.5)/1000000 AS x,
+        |  floor((CAST(rk - 1 AS DOUBLE) / (n - 1))*1000000 + 0.5)/1000000 AS qnorm
+        |FROM r WHERE vec_id < 4 AND pos < 8 ORDER BY vec_id, pos""".stripMargin,
+    "q_padding_waste" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) / 8) AS BIGINT) AS batch
+        |  FROM d),
+        |a AS (
+        |  SELECT batch, count(*) AS n_docs, max(n_tokens) AS max_len,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_len
+        |  FROM b GROUP BY 1)
+        |SELECT batch, n_docs, max_len, sum_len,
+        |  CAST(max_len * n_docs - sum_len AS BIGINT) AS waste_tokens,
+        |  floor((CAST(max_len * n_docs - sum_len AS DOUBLE) / (max_len * n_docs))*1000000 + 0.5)/1000000 AS waste_frac
+        |FROM a ORDER BY batch""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
