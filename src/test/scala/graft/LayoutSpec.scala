@@ -117,6 +117,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(read.count() > 0)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact date partitions at runtime") {
+    // the 100 TB read-path contract for writeDatePartitioned: a fact
+    // joined to a dim filtered on a NON-key column has no static date
+    // predicate to push down — only Catalyst's dynamic partition
+    // pruning (broadcast the filtered dim's join keys as a runtime IN
+    // filter on the partition column) keeps the scan from reading every
+    // date. Pin that the DPP filter actually lands on the fact scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    Layout.writeDatePartitioned(e, "ts", s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a STORAGE relation: for an in-memory Seq dim,
+    // ConvertToLocalRelation folds the filter into the LocalRelation
+    // before the PartitionPruning rule looks for a selective predicate,
+    // and DPP silently never fires (pinned by this test's history)
+    Seq(
+      (java.sql.Date.valueOf("2024-01-01"), "keep"),
+      (java.sql.Date.valueOf("2030-01-01"), "drop")).toDF("d", "tag")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = fact.join(dim.filter($"tag" === "keep"), fact("__date") === $"d")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan; plan:\n${plan.take(2000)}")
+    val expected = fact.filter($"__date" === "2024-01-01").count()
+    assert(expected > 0, "fixture date must exist in events")
+    assert(q.count() == expected, "DPP must not change the join result")
+  }
+
   test("bucketed catalog table joins without a shuffle") {
     // a fresh JVM's in-memory catalog forgets the table but the managed
     // LOCATION survives on disk — drop both or CTAS fails with
