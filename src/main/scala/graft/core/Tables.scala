@@ -28,6 +28,14 @@ object Tables {
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        // µs-precision parquet without UTC adjustment surfaces as
+        // TIMESTAMP_NTZ; normalize to TimestampType (session tz is
+        // pinned UTC, so the instant is unchanged) so downstream
+        // epoch-seconds math (`cast(ts as long)`) stays legal — Spark
+        // forbids NTZ→BIGINT casts.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
