@@ -577,4 +577,69 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col("id"), col("bucket"), col("dup_of"), col("cosine"))
   }
+
+  /** Blocking-quality audit for the MinHash+LSH candidate generator —
+    * the record-linkage eval triple (pair completeness, precision,
+    * reduction ratio) that answers "is the banding scheme losing real
+    * duplicates, and how much work is it saving?". Ground truth is the
+    * EXACT shingle-Jaccard ≥ `trueJaccard` pair set, discovered via a
+    * shared-shingle equi-join (complete: J > 0 ⟺ the pair shares a
+    * shingle — never all-pairs) with the intersection counted over
+    * xxhash64'd shingle arrays (the containmentPairs trick).
+    *
+    * Returns ONE row: n_docs (docs with ≥1 shingle), n_pairs_total =
+    * C(n_docs, 2), n_truth, n_cand, n_hit, pair_completeness =
+    * hit/truth, precision = hit/cand, reduction_ratio = 1 −
+    * cand/total. Counts are exact integers; the three ratios are
+    * single IEEE divisions rounded to 4 decimals — hash-gateable.
+    *
+    * Scale note: truth discovery shares every shingle, so a
+    * stop-shingle-heavy corpus concentrates join fanout on the common
+    * buckets; run the audit on a hash-ordered SAMPLE at corpus scale
+    * (the metrics are ratios — they estimate) or cap df like
+    * containmentPairs when the audit must stream the full corpus. */
+  def blockingQuality(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, rowsPerBand: Int = 2,
+                      trueJaccard: Double = 0.5): DataFrame = {
+    // one tokenize pass feeds truth discovery AND the exact verify;
+    // eager persist — multi-consumer cache contract (containmentPairs)
+    val sh = docs
+      .withColumn("__tokens", graft.functions.TextAnalysis.tokens(textCol))
+      .select(col(idCol), graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    sh.count()
+    val ex = sh.select(col(idCol), explode(col("sh")).as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__gh"))
+    val sharing = ex.select(col("__gh"), col(idCol).as("id_a"))
+      .join(ex.select(col("__gh"), col(idCol).as("id_b")), "__gh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val hashed = sh.select(col(idCol),
+      expr("transform(sh, s -> xxhash64(s))").as("hs"), size(col("sh")).as("n"))
+    val truth = sharing
+      .join(hashed.select(col(idCol).as("id_a"), col("hs").as("__sa"), col("n").as("__na")), "id_a")
+      .join(hashed.select(col(idCol).as("id_b"), col("hs").as("__sb"), col("n").as("__nb")), "id_b")
+      .withColumn("__ni", size(array_intersect(col("__sa"), col("__sb"))))
+      .filter(col("__ni").cast("double") /
+        (col("__na") + col("__nb") - col("__ni")) >= trueJaccard)
+      .select("id_a", "id_b")
+    val cand = lshCandidatePairs(
+      minhashSignatures(docs, idCol, textCol, k), idCol, k, rowsPerBand)
+      .select("id_a", "id_b")
+    val hit = truth.join(cand, Seq("id_a", "id_b"))
+    val ratio4 = (num: Column, den: Column) =>
+      when(den > 0, graft.queries.rd(num.cast("double") / den, 4))
+    sh.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .withColumn("n_pairs_total",
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+      .select(col("n_docs"), col("n_pairs_total"), col("n_truth"), col("n_cand"), col("n_hit"),
+        ratio4(col("n_hit"), col("n_truth")).as("pair_completeness"),
+        ratio4(col("n_hit"), col("n_cand")).as("precision"),
+        graft.queries.rd(lit(1.0) - col("n_cand").cast("double") / col("n_pairs_total"), 4)
+          .as("reduction_ratio"))
+  }
 }

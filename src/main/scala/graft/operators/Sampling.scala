@@ -151,4 +151,57 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .drop("__rn", "__n")
   }
+
+  /** Water-filling domain caps — the data-mixing dual of
+    * [[mixByTokenBudget]]: instead of PRESCRIBING per-domain shares,
+    * solve for the single cap `c` such that Σ_d min(tokens_d, c) =
+    * `budget` and allocate min(tokens_d, c) to every domain. Small
+    * domains keep everything; big domains are clipped at one common
+    * water level — the standard head-domain de-biasing step when
+    * building a pretraining mix from raw crawl counts.
+    *
+    * Closed form on domains sorted by token count ascending: with
+    * prefix sums S_i, domain i is fully satisfiable iff
+    * S_i + (n−i)·t_i ≤ budget; for k such domains the cap is
+    * (budget − S_k)/(n−k) (or t_max when k = n, i.e. the budget covers
+    * the corpus). All decisions compare exact integers scaled by
+    * (n−k), so fully/clipped labeling is engine-exact; only the cap
+    * itself is one IEEE division.
+    *
+    * Scale shape: one keyed aggregation to |domains| rows, then
+    * windows over that domain-level frame. The global sort window runs
+    * on |domains| rows, NOT corpus rows — fine to thousands of
+    * domains; for per-URL-host caps (millions of keys) swap the
+    * window for the two-level prefix sum in Drift.ksTwoSample, same
+    * algebra.
+    *
+    * Returns one row per domain: (strataCol, tokens_avail,
+    * tokens_alloc, clipped) with tokens_alloc rounded to 4 decimals. */
+  def waterFillCaps(df: DataFrame, strataCol: String, tokenCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val dom = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol)).cast("long").as("tokens_avail"))
+    val wAsc = Window.orderBy(col("tokens_avail"), col(strataCol))
+    val wAll = Window.partitionBy()
+    val ranked = dom
+      .withColumn("__s", sum(col("tokens_avail")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__i", row_number().over(wAsc))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // integer feasibility test: domain i keeps everything iff the
+      // water level at its height fits the budget
+      .withColumn("__full",
+        col("__s") + (col("__n") - col("__i")) * col("tokens_avail") <= lit(budget))
+      .withColumn("__k", sum(when(col("__full"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("__sk", max(when(col("__full"), col("__s")).otherwise(lit(0L))).over(wAll))
+    ranked
+      .withColumn("__cap",
+        when(col("__k") === col("__n"), col("tokens_avail").cast("double"))
+          .otherwise((lit(budget) - col("__sk")).cast("double") / (col("__n") - col("__k"))))
+      .withColumn("clipped", !col("__full"))
+      .withColumn("tokens_alloc", graft.queries.rd(
+        when(col("__full"), col("tokens_avail").cast("double")).otherwise(col("__cap")), 4))
+      .select(col(strataCol), col("tokens_avail"), col("tokens_alloc"), col("clipped"))
+  }
 }

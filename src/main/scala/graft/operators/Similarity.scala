@@ -432,4 +432,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Embedding-space decontamination — the semantic complement of
+    * Dedup.decontaminate (which catches only verbatim n-gram overlap):
+    * flag every training vector whose cosine to SOME eval-set vector
+    * reaches `tau`, reporting the best-matching eval row. A paraphrased
+    * benchmark item shares no 5-gram but sits next to its source in
+    * embedding space; this is the gate that catches it.
+    *
+    * Returns (train_id, eval_id, cosine) — one row per CONTAMINATED
+    * training vector, eval_id = the argmax-cosine eval match (ties →
+    * smaller eval_id).
+    *
+    * Scale shape: the eval set is benchmark-sized (10³–10⁵ rows) —
+    * broadcast it; the train corpus streams partition-local through
+    * one codegen'd cross-score + per-train-row argmax, so the shuffle
+    * carries only the ≥-tau survivors. For an eval set too big to
+    * broadcast, route through ivfTopKWith buckets instead — same
+    * output contract. */
+  def crossCorpusLeakage(train: DataFrame, evalSet: DataFrame, idCol: String,
+                         vecCol: String, tau: Double): DataFrame = {
+    val e = broadcast(evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev")))
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"))
+    val w = Window.partitionBy(col("train_id")).orderBy(col("cosine").desc, col("eval_id"))
+    t.crossJoin(e)
+      .withColumn("cosine", cosineExpr("tv", "ev"))
+      .filter(col("cosine") >= tau)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("cosine"))
+  }
 }

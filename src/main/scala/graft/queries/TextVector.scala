@@ -922,7 +922,49 @@ object TextVector {
       .orderBy("asset_id")
   }
 
+  // ---- selection / mixing / audit -----------------------------------------
+
+  /** DSIR importance weights (Dsir.importanceWeights): every document
+    * scored for English-target selection against the whole corpus as
+    * the raw distribution. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dsir.importanceWeights(
+        d, d.filter(col("lang") === "en"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Water-filling per-source token caps (Sampling.waterFillCaps):
+    * solve the common cap c with Σ min(tokens_src, c) = budget. */
+  def waterFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.waterFillCaps(
+        docs(s, dir).withColumn("n_toks", size(TextAnalysis.tokens("text"))),
+        "source", "n_toks", budget = 12000L)
+      .orderBy("source")
+
+  /** LSH blocking-quality audit (Dedup.blockingQuality): pair
+    * completeness / precision / reduction ratio of the banded MinHash
+    * candidate generator against exact Jaccard ≥ 0.5 ground truth. */
+  def blockingEval(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockingQuality(docs(s, dir), "doc_id", "text")
+
+  /** Embedding-space decontamination (Similarity.crossCorpusLeakage):
+    * training vectors (vec_id ≥ 25) sitting within cosine 0.2 of any
+    * held-out eval vector (vec_id < 25), best eval match reported. */
+  def embedDecon(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.crossCorpusLeakage(
+        e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+        "vec_id", "embedding", tau = 0.2)
+      .select(col("train_id"), col("eval_id"), rd(col("cosine"), 4).as("cosine"))
+      .orderBy("train_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> dsirWeights,
+    "q_water_fill" -> waterFill,
+    "q_blocking_eval" -> blockingEval,
+    "q_embed_decon" -> embedDecon,
     "q_text_stats" -> textStats,
     "q_token_estimate" -> tokenEstimate,
     "q_text_quality" -> textQuality,
@@ -1188,6 +1230,95 @@ object TextVector {
   }
 
   val oracles: Map[String, String] = Map(
+    // DSIR: hashed unigram+bigram buckets (md5-prefix % 64 — the
+    // minhash base-hash construction), Laplace-smoothed target (lang
+    // = 'en') vs raw (all docs) bucket frequencies, per-doc sum of
+    // log-ratios
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(w || CASE WHEN len(w) >= 2
+        |      THEN [w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)] ELSE [] END) AS f
+        |  FROM toks WHERE len(w) > 0),
+        |fb AS (SELECT doc_id, lang, CAST('0x'||substr(md5(f),1,15) AS BIGINT) % 64 AS b FROM feats),
+        |rawc AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+        |tgtc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM fb) AS nr, (SELECT count(*) FROM fb WHERE lang = 'en') AS nt),
+        |lam AS (
+        |  SELECT rawc.b,
+        |    ln((coalesce(ct, 0) + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS lam
+        |  FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  floor((sum(lam))*10000 + 0.5)/10000 AS log_weight
+        |FROM fb JOIN lam USING (b) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // water-filling: domain i fully satisfiable iff S_i + (n-i)*t_i
+    // fits the budget (exact integers); cap = (budget - S_k)/(n-k)
+    "q_water_fill" ->
+      """WITH toks AS (
+        |  SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt FROM documents),
+        |dom AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tokens_avail FROM toks GROUP BY 1),
+        |r AS (
+        |  SELECT source, tokens_avail,
+        |    sum(tokens_avail) OVER (ORDER BY tokens_avail, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    row_number() OVER (ORDER BY tokens_avail, source) AS i,
+        |    count(*) OVER () AS n
+        |  FROM dom),
+        |f AS (SELECT *, s + (n - i) * tokens_avail <= 12000 AS is_full FROM r),
+        |k AS (
+        |  SELECT count(*) FILTER (WHERE is_full) AS kk,
+        |    coalesce(max(s) FILTER (WHERE is_full), 0) AS sk, max(n) AS nn
+        |  FROM f)
+        |SELECT source, tokens_avail,
+        |  floor((CASE WHEN is_full THEN CAST(tokens_avail AS DOUBLE)
+        |    ELSE CAST(12000 - sk AS DOUBLE) / (nn - kk) END)*10000 + 0.5)/10000 AS tokens_alloc,
+        |  NOT is_full AS clipped
+        |FROM f CROSS JOIN k ORDER BY source""".stripMargin,
+    // blocking audit: exact-Jaccard truth brute-forced (oracle side
+    // only), candidates = the lshPairsCte banding, metrics as integer
+    // counts + three rounded single divisions
+    "q_blocking_eval" ->
+      (s"""WITH $lshPairsCte,
+        |d AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+        |tr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |truth AS (
+        |  SELECT id_a, id_b FROM tr
+        |  WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5),
+        |c AS (SELECT id_a, id_b FROM pairs),
+        |h AS (SELECT count(*) AS n_hit FROM truth JOIN c USING (id_a, id_b)),
+        |m AS (
+        |  SELECT (SELECT count(*) FROM d) AS n_docs,
+        |    (SELECT count(*) FROM truth) AS n_truth,
+        |    (SELECT count(*) FROM c) AS n_cand, (SELECT n_hit FROM h) AS n_hit)
+        |SELECT n_docs, CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_pairs_total,
+        |  n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth > 0
+        |    THEN floor((CAST(n_hit AS DOUBLE) / n_truth)*10000 + 0.5)/10000 END AS pair_completeness,
+        |  CASE WHEN n_cand > 0
+        |    THEN floor((CAST(n_hit AS DOUBLE) / n_cand)*10000 + 0.5)/10000 END AS precision,
+        |  floor((1.0 - CAST(n_cand AS DOUBLE) / (n_docs * (n_docs - 1) / 2))*10000 + 0.5)/10000
+        |    AS reduction_ratio
+        |FROM m""".stripMargin),
+    // semantic decon: brute-force best eval match per train vector
+    // (oracle side; the engine broadcasts the eval set)
+    "q_embed_decon" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+        |    list_dot_product(t.v, q.v) /
+        |      (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(q.v, q.v))) AS cosine
+        |  FROM e t CROSS JOIN e q WHERE t.vec_id >= 25 AND q.vec_id < 25),
+        |r AS (
+        |  SELECT train_id, eval_id, cosine,
+        |    row_number() OVER (PARTITION BY train_id ORDER BY cosine DESC, eval_id) AS rn
+        |  FROM p WHERE cosine >= 0.2)
+        |SELECT train_id, eval_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
+        |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin,
     // the BPE-ish pattern is the SAME constant the query compiles —
     // RE2 ∩ Java-regex subset, so both engines execute it verbatim
     "q_token_estimate" -> {

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Dsir, Sampling, Similarity}
+
+/** Data-selection / mixing / audit operators: DSIR importance weights,
+  * water-filling domain caps, LSH blocking-quality audit, embedding
+  * decontamination. */
+class SelectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // -- DSIR -----------------------------------------------------------------
+
+  private lazy val dsirDocs = Seq(
+    (0L, "alpha beta gamma alpha beta", "t"),
+    (1L, "alpha beta alpha beta gamma", "t"),
+    (2L, "delta epsilon zeta delta epsilon", "r"),
+    (3L, "delta zeta epsilon zeta delta", "r"),
+    (4L, "alpha beta gamma beta alpha", "r")
+  ).toDF("doc_id", "text", "grp")
+
+  test("dsir: target-like raw docs outscore off-target docs") {
+    val w = Dsir.importanceWeights(
+        dsirDocs, dsirDocs.filter($"grp" === "t"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // doc 4 shares the target's vocabulary; docs 2 and 3 share none
+    assert(w(4L) > w(2L) && w(4L) > w(3L),
+      s"target-like doc must carry the higher importance weight: $w")
+    assert(w(2L) < 0 && w(3L) < 0, s"off-target docs must score negative: $w")
+  }
+
+  test("dsir: n_feats counts unigrams + bigrams with multiplicity") {
+    val nf = Dsir.importanceWeights(dsirDocs, dsirDocs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // 5 tokens -> 5 unigrams + 4 bigrams
+    assert(nf.values.forall(_ == 9L), s"expected 9 features per 5-token doc: $nf")
+  }
+
+  test("dsir: rejects non-positive smoothing") {
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(dsirDocs, dsirDocs, "doc_id", "text", alpha = 0.0)
+    }
+  }
+
+  // -- water-filling --------------------------------------------------------
+
+  private lazy val domains = Seq(
+    ("a", 10L), ("b", 100L), ("c", 1000L), ("d", 10000L)
+  ).flatMap { case (s, t) => Seq((s, t / 2), (s, t - t / 2)) } // 2 rows per domain
+    .toDF("source", "n_toks")
+
+  test("waterFillCaps: allocations sum to the budget when clipping occurs") {
+    val out = Sampling.waterFillCaps(domains, "source", "n_toks", budget = 1500L)
+      .as[(String, Long, Double, Boolean)].collect().sortBy(_._1)
+    val byDom = out.map(r => r._1 -> r).toMap
+    // a (10) and b (100) fit whole; c and d split the remaining 1390/2 = 695
+    assert(!byDom("a")._4 && !byDom("b")._4 && byDom("c")._4 && byDom("d")._4)
+    assert(byDom("a")._3 == 10.0 && byDom("b")._3 == 100.0)
+    assert(byDom("c")._3 == 695.0 && byDom("d")._3 == 695.0)
+    assert(math.abs(out.map(_._3).sum - 1500.0) < 1e-6)
+  }
+
+  test("waterFillCaps: budget covering the corpus clips nothing") {
+    val out = Sampling.waterFillCaps(domains, "source", "n_toks", budget = 1000000L)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(out.forall(r => !r._4 && r._3 == r._2.toDouble),
+      s"no domain may be clipped under a covering budget: ${out.mkString(",")}")
+  }
+
+  test("waterFillCaps: tiny budget gives every domain budget/n") {
+    val out = Sampling.waterFillCaps(domains, "source", "n_toks", budget = 4L)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(out.forall(r => r._4 && r._3 == 1.0), s"cap must be 4/4 = 1: ${out.mkString(",")}")
+  }
+
+  // -- blocking audit -------------------------------------------------------
+
+  test("blockingQuality: exact dup pair is found by both truth and blocking") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with no overlap whatsoever here at all"),
+      (3L, "yet another unrelated document that shares nothing with the rest ok")
+    ).toDF("doc_id", "text")
+    val m = Dedup.blockingQuality(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().head
+    val (nDocs, nTotal, nTruth, nCand, nHit) = (m._1, m._2, m._3, m._4, m._5)
+    assert(nDocs == 4 && nTotal == 6)
+    assert(nTruth == 1, s"exactly the 0-1 dup pair is true: $m")
+    assert(nHit == 1, "identical docs share every band — blocking must find them")
+    assert(m._6.contains(1.0), s"pair completeness must be 1: $m")
+    assert(nCand >= nHit && m._8 >= 0.0 && m._8 <= 1.0)
+    docs.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  // -- embedding decontamination -------------------------------------------
+
+  test("crossCorpusLeakage: a vector present in both corpora is flagged at cosine 1") {
+    val ev = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val tr = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // verbatim leak of eval 0
+      (11L, Array(0.9f, 0.1f, 0.0f)),   // near leak of eval 0
+      (12L, Array(0.0f, 0.0f, 1.0f))    // orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.crossCorpusLeakage(tr, ev, "vec_id", "embedding", tau = 0.9)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L), s"only the two leaks flag: ${out.mkString(",")}")
+    assert(out.head._2 == 0L && math.abs(out.head._3 - 1.0) < 1e-12)
+    assert(out(1)._2 == 0L, "best match must be the nearest eval row")
+  }
+}
