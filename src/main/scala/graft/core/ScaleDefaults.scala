@@ -28,6 +28,13 @@ object ScaleDefaults {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // parallelismFirst stays at its default (true): the tuning-guide
+    // suggestion of false (coalesce to the advisory byte size) was
+    // MEASURED here and rejected — byte-sized coalescing collapses
+    // compute-dense stages whose rows are small but expensive (the
+    // per-pair array-intersection stage of containmentPairs doubled,
+    // 7.2 s → 14.2 s at sf0.1; label propagation and k-core regressed
+    // ~20%). Bytes are the wrong proxy for CPU-bound shuffle stages.
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> "256m",
     "spark.sql.session.timeZone" -> "UTC")

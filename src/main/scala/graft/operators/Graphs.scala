@@ -209,12 +209,14 @@ object Graphs {
       .distinct()
       .persist()
     e.count() // same eager-materialization rationale as triangleStats
-    val counts = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(
-        e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
-          .agg(count(lit(1)).as("n_nodes")))
+    // deg doubles as the node list — n_nodes counts it, both
+    // orientation joins probe it (one |V|-row frame, one shuffle,
+    // instead of a separate union+distinct chain just for the count)
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .persist()
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
     // orient (u,v) from the ≺-smaller endpoint to the ≺-larger, where
     // x ≺ y iff (deg(x), x) < (deg(y), y) — a total order, so the
     // orientation is unique and acyclic
@@ -244,6 +246,7 @@ object Graphs {
       .persist()
     result.count()
     e.unpersist()
+    deg.unpersist()
     oriented.unpersist()
     result
   }

@@ -189,11 +189,16 @@ object Similarity {
     * deterministic). */
   def lshSignatures(df: DataFrame, idCol: String, vecCol: String,
                     planes: DataFrame): DataFrame =
-    df.select(col(idCol), col(vecCol))
+    df.select(col(idCol), col(vecCol), normExpr(vecCol).as("nrm"))
       .crossJoin(broadcast(planes))
       .withColumn("__bit", dotExpr(vecCol, "va") - dotExpr(vecCol, "vb") >= 0)
       .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol),
+      // the vector norm rides along from here: the band join scores
+      // every candidate COLLISION (a pair colliding in b bands scores b
+      // times), so hoisting the two sqrt(self-dot)s out of the pair
+      // loop cuts the hot-path flops 3x. sqrt(dot(v,v)) is computed on
+      // the same doubles either way — cosine bits are unchanged.
+      .agg(first(col(vecCol)).as(vecCol), first(col("nrm")).as("nrm"),
         sum(when(col("__bit"), expr("shiftleft(CAST(1 AS BIGINT), plane_idx)"))
           .otherwise(0L)).as("sig"))
 
@@ -202,7 +207,7 @@ object Similarity {
     * they collide on at least one band. */
   def lshBands(sigs: DataFrame, idCol: String, vecCol: String,
                bandBits: Int, nBands: Int): DataFrame =
-    sigs.select(col(idCol), col(vecCol), col("sig"),
+    sigs.select(col(idCol), col(vecCol), col("nrm"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band_id"))
       .withColumn("band_key",
         expr(s"(sig >> (band_id * $bandBits)) & ${(1 << bandBits) - 1}"))
@@ -238,9 +243,11 @@ object Similarity {
       if (queries eq corpus) corpusSigs
       else lshSignatures(queries, idCol, vecCol, planes)
     val cb = lshBands(corpusSigs, idCol, vecCol, bandBits, nBands)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("band_id"), col("band_key"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("nrm").as("cn"),
+        col("band_id"), col("band_key"))
     val qb0 = lshBands(querySigs, idCol, vecCol, bandBits, nBands)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("band_id"), col("band_key"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"),
+        col("band_id"), col("band_key"))
     // broadcast for the few-probes-against-big-corpus shape; turn OFF
     // when queries ARE the corpus (kNN graph) — there both sides
     // shuffle on the band key instead
@@ -252,7 +259,8 @@ object Similarity {
     // two embedding arrays per row
     qb.join(cb, Seq("band_id", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosineExpr("qv", "cv").as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotExpr("qv", "cv") / (col("qn") * col("cn"))).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
