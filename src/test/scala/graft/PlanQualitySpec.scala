@@ -343,4 +343,41 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(shuffles >= 1, s"$q lost its keyed window exchange")
     }
   }
+
+  test("q_dsir: B-row models broadcast into the scoring join, no cartesian") {
+    val p = plan("q_dsir")
+    assert(!p.contains("CartesianProduct"), "dsir has a non-broadcast cartesian")
+    // the log-ratio frame (≤ B rows) must reach the per-feature scoring
+    // join as a broadcast — a shuffle join here repartitions the full
+    // exploded feature stream by bucket (64 hot keys = skew by design)
+    assert(p.contains("BroadcastHashJoin"), "dsir lam model must broadcast-join the feature stream")
+  }
+
+  test("q_blocking_eval: truth discovery and banding are equi-joins, metrics sides broadcast") {
+    val p = plan("q_blocking_eval")
+    assert(!p.contains("CartesianProduct"), "blocking audit must never go all-pairs")
+    // the shared-shingle truth join and the band join both hash-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "truth/banding equi-joins missing")
+  }
+
+  test("q_water_fill: windows run over the domain-level frame, after one keyed aggregation") {
+    val p = plan("q_water_fill")
+    assert(!p.contains("CartesianProduct"), "water-fill cartesian")
+    // per-domain totals are a partial+final aggregate on the stratum
+    // key before any window touches the data
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "domain totals lost the partial+final aggregation")
+    assert(p.contains("Window"), "cap solve must stay declarative (window over domains)")
+  }
+
+  test("q_embed_decon: eval side is the broadcast side of the scoring loop") {
+    val p = plan("q_embed_decon")
+    // the cross-score is INTENDED as a broadcast nested loop (eval set
+    // is benchmark-sized); what must never appear is a non-broadcast
+    // cartesian between two corpus-scale frames
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "eval set must broadcast into the train-side scan")
+    assert(!p.contains("CartesianProduct"), "decon went non-broadcast all-pairs")
+  }
 }
