@@ -100,4 +100,79 @@ object Curation {
     capPerKey(scored, sourceCol, col("score").desc, col(idCol), perSourceCap)
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("score"), col("lm_xent"))
   }
+
+  /** Filter-funnel attribution — the per-rule audit behind any
+    * curation cascade: every document is attributed to its FIRST
+    * failing rule (the order is the pipeline's declared order), and
+    * the result is one row per rule with the walk-in/drop/walk-out
+    * counts a data card reports. `rules` are (name, fails-predicate)
+    * in evaluation order; names must be distinct and never "kept".
+    *
+    * Shape: the first-fail label is one CASE ladder in the scan
+    * projection, counts are one keyed aggregation to a |rules|-row
+    * frame, and the running walk-in numbers are a window over that
+    * tiny frame. Zero-drop rules still appear (the rule list is the
+    * spine, counts left-join in). */
+  def funnelAttribution(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "funnelAttribution needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size && !rules.exists(_._1 == "kept"),
+      s"rule names must be distinct and not 'kept': ${rules.map(_._1)}")
+    val firstFail = rules.reverse.foldLeft(lit("kept")) {
+      case (els, (name, fails)) => when(fails, name).otherwise(els)
+    }
+    val counts = df.select(firstFail.as("rule"))
+      .groupBy(col("rule")).agg(count(lit(1)).as("n_dropped"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = rules.map(_._1).zipWithIndex
+      .map { case (n, i) => (i + 1, n) }.toDF("rule_order", "rule")
+    val w = Window.orderBy(col("rule_order"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = df.agg(count(lit(1)).as("__n"))
+    spine.join(counts, Seq("rule"), "left")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in", col("__n") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("rule_order"), col("rule"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+  }
+
+  /** Global-threshold impact audit: find the single score threshold t
+    * that keeps `keepFraction` of the corpus (t = the value at rank
+    * ⌊f·N⌋ of the score sorted descending; ties keep everything equal
+    * to t, so n_kept can overshoot by the tie mass), then report how
+    * that ONE global filter lands on each domain — the disparate-
+    * impact check run before shipping a quality cutoff.
+    *
+    * Contract: `scoreCol` must already be rounded to a fixed decimal
+    * grain (the 4-dp curation convention) — the threshold compare is
+    * then exact on any engine. Returns one row per domain: (domain,
+    * n_docs, n_kept, keep_rate, threshold).
+    *
+    * Shape: one keyed aggregation to per-score counts (≤ 10^grain
+    * rows — thousands, not corpus-sized), a window over that tiny
+    * frame for the descending cumulative, a 1-row threshold broadcast
+    * into the per-domain aggregation. The corpus is scanned twice and
+    * shuffled only by (score) and (domain). */
+  def thresholdImpact(df: DataFrame, domainCol: String, scoreCol: String,
+                      keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0,1], got $keepFraction")
+    val perScore = df.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val wDesc = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val thr = perScore
+      .withColumn("__cum", sum(col("__c")).over(wDesc))
+      .crossJoin(broadcast(n))
+      .filter(col("__cum") >= greatest(floor(lit(keepFraction) * col("__n")), lit(1L)))
+      .agg(max(col("__s")).as("threshold"))
+    df.crossJoin(broadcast(thr))
+      .groupBy(col(domainCol), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col(scoreCol) >= col("threshold"), 1)).as("n_kept"))
+      .withColumn("keep_rate",
+        graft.queries.rd(col("n_kept").cast("double") / col("n_docs"), 4))
+      .select(col(domainCol), col("n_docs"), col("n_kept"), col("keep_rate"), col("threshold"))
+  }
 }

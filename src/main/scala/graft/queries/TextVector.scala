@@ -960,7 +960,39 @@ object TextVector {
       .orderBy("train_id")
   }
 
+  /** Shared projection for the funnel/threshold audits: rounded quality
+    * signals per doc (the 4-dp curation convention — gate compares are
+    * then exact cross-engine). */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_r", rd(TextAnalysis.stopwordRatio("toks"), 4))
+      .withColumn("punct_r", rd(TextAnalysis.punctRatio("text"), 4))
+      .withColumn("score", rd(TextAnalysis.qualityScore(
+        size(col("toks")), TextAnalysis.stopwordRatio("toks"),
+        TextAnalysis.punctRatio("text")), 4))
+
+  /** First-fail attribution across the four standard quality gates
+    * (Curation.funnelAttribution). */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    Curation.funnelAttribution(scoredDocs(s, dir), Seq(
+        "too_short" -> (col("n_tokens") < 20),
+        "too_punct" -> (col("punct_r") > 0.1),
+        "low_stop" -> (col("stop_r") < 0.02),
+        "low_score" -> (col("score") < 0.5)))
+      .orderBy("rule_order")
+
+  /** Disparate-impact audit of the global keep-half quality threshold
+    * (Curation.thresholdImpact). */
+  def thresholdImpactBySource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.thresholdImpact(
+        scoredDocs(s, dir), "source", "score", keepFraction = 0.5)
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_funnel" -> filterFunnel,
+    "q_threshold_impact" -> thresholdImpactBySource,
     "q_dsir" -> dsirWeights,
     "q_water_fill" -> waterFill,
     "q_blocking_eval" -> blockingEval,
@@ -1229,7 +1261,65 @@ object TextVector {
        |      FROM scored)""".stripMargin
   }
 
+  /** Shared DuckDB CTE: the scoredDocs projection (raw ratios feed the
+    * score — exactly the q_text_quality formula — then everything is
+    * 4-dp rounded like the Spark side). Ends with relation `r`. */
+  private val scoredCte =
+    """d AS (
+      |  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |m AS (
+      |  SELECT doc_id, source, len(w) AS n_tokens,
+      |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS sr,
+      |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS pr
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    floor(sr*10000 + 0.5)/10000 AS stop_r,
+      |    floor(pr*10000 + 0.5)/10000 AS punct_r,
+      |    floor((0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - sr) + 0.2 * (1.0 - pr))*10000 + 0.5)/10000 AS score
+      |  FROM m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // first-fail CASE ladder over the rounded quality gates; the rule
+    // list is the spine so zero-drop rules still appear
+    "q_filter_funnel" ->
+      (s"""WITH $scoredCte,
+        |lab AS (
+        |  SELECT CASE WHEN n_tokens < 20 THEN 'too_short'
+        |              WHEN punct_r > 0.1 THEN 'too_punct'
+        |              WHEN stop_r < 0.02 THEN 'low_stop'
+        |              WHEN score < 0.5 THEN 'low_score'
+        |              ELSE 'kept' END AS rule
+        |  FROM r),
+        |rules(rule_order, rule) AS (
+        |  VALUES (1, 'too_short'), (2, 'too_punct'), (3, 'low_stop'), (4, 'low_score')),
+        |cnt AS (SELECT rule, count(*) AS nd FROM lab GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM lab)
+        |SELECT rule_order, rule,
+        |  CAST(n - coalesce(sum(nd) OVER (ORDER BY rule_order
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+        |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dropped,
+        |  CAST(n - coalesce(sum(nd) OVER (ORDER BY rule_order
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_out
+        |FROM rules LEFT JOIN cnt USING (rule) CROSS JOIN tot ORDER BY rule_order""".stripMargin),
+    // threshold = max score whose descending cumulative count reaches
+    // floor(f*N); per-domain kept counts against that one threshold
+    "q_threshold_impact" ->
+      (s"""WITH $scoredCte,
+        |per AS (SELECT score, count(*) AS c FROM r GROUP BY 1),
+        |cum AS (
+        |  SELECT score, sum(c) OVER (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per),
+        |tot AS (SELECT count(*) AS n FROM r),
+        |t AS (
+        |  SELECT max(score) AS threshold FROM cum CROSS JOIN tot
+        |  WHERE cum >= greatest(CAST(floor(0.5 * n) AS BIGINT), 1))
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE score >= threshold) AS n_kept,
+        |  floor((CAST(count(*) FILTER (WHERE score >= threshold) AS DOUBLE) / count(*))*10000 + 0.5)/10000 AS keep_rate,
+        |  threshold
+        |FROM r CROSS JOIN t GROUP BY source, threshold ORDER BY source""".stripMargin),
     // DSIR: hashed unigram+bigram buckets (md5-prefix % 64 — the
     // minhash base-hash construction), Laplace-smoothed target (lang
     // = 'en') vs raw (all docs) bucket frequencies, per-doc sum of

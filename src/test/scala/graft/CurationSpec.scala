@@ -106,4 +106,42 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept2 == Seq(1L, 5L), s"got $kept2")
   }
+
+  test("funnelAttribution: first-fail only, conserved counts, zero-drop rules present") {
+    val df = Seq(
+      (1L, 5, 0.5),   // fails rule 1 AND rule 2 — attributed to rule 1 only
+      (2L, 50, 0.9),  // fails rule 2
+      (3L, 50, 0.1),  // passes both
+      (4L, 50, 0.2)   // passes both
+    ).toDF("id", "n_tok", "ratio")
+    val out = Curation.funnelAttribution(df, Seq(
+        "short" -> ($"n_tok" < 10),
+        "noisy" -> ($"ratio" > 0.8),
+        "never" -> lit(false)))
+      .orderBy("rule_order")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1, "short", 4L, 1L, 3L), (2, "noisy", 3L, 1L, 2L),
+      (3, "never", 2L, 0L, 2L)), s"got $out")
+  }
+
+  test("funnelAttribution: rejects duplicate and reserved rule names") {
+    val df = Seq((1L, 1)).toDF("id", "x")
+    intercept[IllegalArgumentException] {
+      Curation.funnelAttribution(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.funnelAttribution(df, Seq("kept" -> lit(true)))
+    }
+  }
+
+  test("thresholdImpact: rank-k threshold, tie overshoot, per-domain rates") {
+    val df = Seq(
+      ("a", 0.9), ("a", 0.8), ("a", 0.7), ("a", 0.7),
+      ("b", 0.7), ("b", 0.3), ("b", 0.2), ("b", 0.1)
+    ).toDF("dom", "score")
+    // f=0.5 of 8 rows → rank 4 descending = 0.7; ties keep all three 0.7s
+    val out = Curation.thresholdImpact(df, "dom", "score", 0.5)
+      .orderBy("dom").as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 4L, 4L, 1.0, 0.7), ("b", 4L, 1L, 0.25, 0.7)), s"got $out")
+  }
 }
