@@ -152,6 +152,29 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or the held-out sets are contaminated by
+    * paraphrases of training rows (the C4/Dolma pipeline splits on the
+    * dedup CLUSTER, not the document). `dupPairs` is any near-dup pair
+    * frame (id_a, id_b) — e.g. Dedup.lshCandidatePairs above a Jaccard
+    * floor; clusters come from Dedup.connectedComponents, singletons
+    * keep their own id as the cluster, and the split is [[hashSplit]]
+    * keyed on the cluster id. Adds (cluster_id, split).
+    *
+    * Scale shape: CC is the pointer-doubling loop (O(log d) rounds over
+    * a |pairs|-scale frame); everything after is one left equi-join +
+    * the zero-shuffle hash ladder. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, dupPairs: DataFrame,
+                       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      : DataFrame = {
+    val cc = Dedup.connectedComponents(dupPairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val clustered = df
+      .join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    hashSplit(clustered, "cluster_id", weights)
+  }
+
   /** Water-filling domain caps — the data-mixing dual of
     * [[mixByTokenBudget]]: instead of PRESCRIBING per-domain shares,
     * solve for the single cap `c` such that Σ_d min(tokens_d, c) =

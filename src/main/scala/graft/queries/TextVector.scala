@@ -990,7 +990,35 @@ object TextVector {
         scoredDocs(s, dir), "source", "score", keepFraction = 0.5)
       .orderBy("source")
 
+  /** Leakage-safe split (Sampling.leakageSafeSplit over the LSH ≥ 0.5
+    * near-dup clusters) summarized per split, with the self-audit
+    * column: n_leaky = clusters spanning more than one split (0 by
+    * construction — proven independently by the oracle's own CC). */
+  def leakSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(d, "doc_id", "text", 8), "doc_id", 8, 2)
+      .filter(col("est_jaccard") >= 0.5)
+    // two consumers (per-split stats AND the leaky audit) — eager
+    // persist or the minhash→banding→CC chain runs twice (the
+    // multi-consumer cache contract; lives until Verify/Bench
+    // clearCache between queries)
+    val split = Sampling.leakageSafeSplit(d, "doc_id", pairs).persist()
+    split.count()
+    val leaky = split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(count(when(col("ns") > 1, 1)).as("n_leaky"))
+    split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .crossJoin(broadcast(leaky))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_leak_split" -> leakSplit,
     "q_filter_funnel" -> filterFunnel,
     "q_threshold_impact" -> thresholdImpactBySource,
     "q_dsir" -> dsirWeights,
@@ -1280,6 +1308,39 @@ object TextVector {
       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // leakage-safe split: CC over the same LSH ≥ 0.5 pairs (recursive
+    // CTE), singletons keep their id, split = md5 bucket of the
+    // CLUSTER id (the q_hash_split ladder), per-split stats + the
+    // leaky-cluster audit
+    "q_leak_split" ->
+      ("WITH RECURSIVE " + lshPairsCte.replace("WITH ", "") + """,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= 0.5),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+        |cl AS (
+        |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN members m USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST('0x'||substr(md5(CAST(cluster_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS bucket
+        |  FROM cl),
+        |sp AS (
+        |  SELECT doc_id, cluster_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b),
+        |leaky AS (
+        |  SELECT count(*) FILTER (WHERE ns > 1) AS n_leaky
+        |  FROM (SELECT cluster_id, count(DISTINCT split) AS ns FROM sp GROUP BY 1))
+        |SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id, n_leaky
+        |FROM sp CROSS JOIN leaky GROUP BY split, n_leaky ORDER BY split""".stripMargin),
     // first-fail CASE ladder over the rounded quality gates; the rule
     // list is the spine so zero-drop rules still appear
     "q_filter_funnel" ->

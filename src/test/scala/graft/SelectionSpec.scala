@@ -96,6 +96,23 @@ class SelectionSpec extends AnyFunSuite {
     docs.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  // -- leakage-safe split ---------------------------------------------------
+
+  test("leakageSafeSplit: connected near-dups share a split, singletons keep their id") {
+    val df = (0L to 19L).map(i => (i, s"doc $i")).toDF("id", "payload")
+    // two chains: {0,1,2} via (0,1),(1,2) and {7,8}
+    val pairs = Seq((0L, 1L), (1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(df, "id", pairs)
+      .select("id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 20, "split is a total partition of the input")
+    assert(Set(0L, 1L, 2L).map(out(_)) == Set(out(0L)), "chain 0-1-2 must share cluster+split")
+    assert(out(7L) == out(8L), "pair 7-8 must share cluster+split")
+    assert(out(0L)._1 == 0L && out(7L)._1 == 7L, "cluster label is the min member")
+    assert(out(5L)._1 == 5L, "singleton keeps its own id as the cluster")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   // -- embedding decontamination -------------------------------------------
 
   test("crossCorpusLeakage: a vector present in both corpora is flagged at cosine 1") {
