@@ -131,6 +131,40 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Incremental LSH candidate pairs — the production dedup shape: the
+    * corpus signature table is MAINTAINED (appended batch by batch) and
+    * only the new batch probes it, so each ingest pays
+    * O(|new| · bands) probe work instead of re-banding the corpus.
+    * `newSigs` must be a subset of `allSigs` (the batch after its
+    * signatures were appended); returns every candidate pair touching
+    * at least one new doc, canonicalized (id_a < id_b) and deduped
+    * across bands, with the same est_jaccard as [[lshCandidatePairs]].
+    *
+    * Scale shape: the probe side is batch-sized, the index side is the
+    * corpus — both shuffle on (band_id, band_key) only; a new×new pair
+    * colliding from both probe directions collapses in the same
+    * groupBy that dedups cross-band hits. */
+  def incrementalCandidatePairs(newSigs: DataFrame, allSigs: DataFrame, idCol: String,
+                                k: Int, rowsPerBand: Int): DataFrame = {
+    def bands(sigs: DataFrame, as: String, pre: String): DataFrame = sigs
+      .select(col(idCol) +: explode(array(bandStructs(k, rowsPerBand): _*)).as("band") +:
+        (0 until k).map(j => col(s"mh$j")): _*)
+      .select(col(idCol).as(as) +: col("band.band_id").as("band_id") +:
+        col("band.band_key").as("band_key") +:
+        (0 until k).map(j => col(s"mh$j").as(s"$pre$j")): _*)
+    val probe = bands(newSigs, "id_p", "p")
+    val index = bands(allSigs, "id_i", "i")
+    val eq = (0 until k).map(j => when(col(s"p$j") === col(s"i$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    probe.join(index, Seq("band_id", "band_key"))
+      .filter(col("id_p") =!= col("id_i"))
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"),
+        (eq.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs: join the
     * shingle sets back in (only for candidate ids) and compute
     * |∩| / |∪|. This is the verify stage of the MinHash flow — and a

@@ -1017,7 +1017,20 @@ object TextVector {
       .orderBy("split")
   }
 
+  /** Incremental dedup probe (Dedup.incrementalCandidatePairs): the
+    * doc_id % 10 == 0 slice plays the freshly-ingested batch probing
+    * the maintained signature table; emits every candidate pair
+    * touching the batch. */
+  def incrDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 8).persist()
+    sigs.count() // probe AND index read it — eager multi-consumer contract
+    Dedup.incrementalCandidatePairs(
+        sigs.filter(col("doc_id") % 10 === 0), sigs, "doc_id", k = 8, rowsPerBand = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_dedup" -> incrDedup,
     "q_leak_split" -> leakSplit,
     "q_filter_funnel" -> filterFunnel,
     "q_threshold_impact" -> thresholdImpactBySource,
@@ -1308,6 +1321,19 @@ object TextVector {
       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // incremental probe = the lshPairs banding restricted to pairs
+    // touching the % 10 == 0 batch
+    "q_incr_dedup" ->
+      (s"""WITH $sigCte,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ((a.mh0=b.mh0)::INT+(a.mh1=b.mh1)::INT+(a.mh2=b.mh2)::INT+(a.mh3=b.mh3)::INT
+        |    +(a.mh4=b.mh4)::INT+(a.mh5=b.mh5)::INT+(a.mh6=b.mh6)::INT+(a.mh7=b.mh7)::INT)/8.0 AS est_jaccard
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |    AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0) AND (
+        |       (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
+        |    OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)))
+        |SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY 1, 2""".stripMargin),
     // leakage-safe split: CC over the same LSH ≥ 0.5 pairs (recursive
     // CTE), singletons keep their id, split = md5 bucket of the
     // CLUSTER id (the q_hash_split ladder), per-split stats + the

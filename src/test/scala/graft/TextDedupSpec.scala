@@ -18,6 +18,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) == Seq("one two three", "two three four"))
   }
 
+  test("incrementalCandidatePairs ≡ full lshCandidatePairs restricted to batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8).persist()
+    sigs.count()
+    val newSigs = sigs.filter(col("doc_id") % 5 === 0)
+    val incr = Dedup.incrementalCandidatePairs(newSigs, sigs, "doc_id", 8, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.lshCandidatePairs(sigs, "doc_id", 8, 2)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0).toSet
+    assert(incr == full, s"incremental probe diverged: ${incr.diff(full)} / ${full.diff(incr)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("simhashNearDups (banded equi-join) ≡ brute-force hamming filter") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
