@@ -441,6 +441,62 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Matryoshka truncation-recall eval: retrieval quality of
+    * dimension-PREFIX-truncated embeddings against the full-dimension
+    * ground truth — the dimension-budget curve an MRL-style embedding
+    * deployment reads before trading index size for recall. For each
+    * d in `dims`, every query's cosine top-k over the d-prefix corpus
+    * is compared to its full-dimension top-k; recall@k(d) =
+    * |hits| / (|queries|·k). The full dimension should appear in
+    * `dims` as the sanity row (recall 1.0 by construction).
+    *
+    * Scale shape: queries are broadcast with an exploded dim column
+    * (|Q|·|dims| rows — still broadcast-sized); the corpus streams
+    * through ONE scoring pass computing the sliced cosine per (query,
+    * dim), so the corpus is scanned once, not once per dim. Shuffle
+    * carries only the per-(query,dim) top-k window input. */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    val fullDim = dims.max
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("dim", explode(array(dims.map(lit): _*))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"), col("dim"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.plans.VectorExpressions.cosine(
+        expr("slice(qv, 1, dim)"), expr("slice(cv, 1, dim)")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("dim"), col("neighbor_id"))
+      .persist() // truth (dim = fullDim) joins against every other dim slice
+    topk.count()
+    val truth = topk.filter(col("dim") === fullDim)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = queries.count()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the dim list is the spine: a zero-hit truncation must surface as
+    // recall = 0, not silently vanish from the curve
+    val spine = dims.toDF("dim")
+    // materialize the |dims|-row result BEFORE releasing the topk
+    // cache — out reads topk through two legs (truth + the join)
+    val out = spine.join(
+        topk.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy(col("dim")).agg(count(lit(1)).as("n_hit")),
+        Seq("dim"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        graft.queries.rd(col("n_hit").cast("double") / lit(nq * k.toDouble), 4))
+      .persist()
+    out.count()
+    topk.unpersist()
+    out
+  }
+
   /** Embedding-space decontamination — the semantic complement of
     * Dedup.decontaminate (which catches only verbatim n-gram overlap):
     * flag every training vector whose cosine to SOME eval-set vector

@@ -1029,7 +1029,18 @@ object TextVector {
       .orderBy("id_a", "id_b")
   }
 
+  /** Matryoshka truncation-recall curve (Similarity.truncationRecall):
+    * retrieval recall@3 of the 8/16/32-dim embedding prefixes against
+    * full-64-dim truth; the dim=64 row is the recall=1 sanity anchor. */
+  def matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.truncationRecall(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, dims = Seq(8, 16, 32, 64))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka" -> matryoshka,
     "q_incr_dedup" -> incrDedup,
     "q_leak_split" -> leakSplit,
     "q_filter_funnel" -> filterFunnel,
@@ -1321,6 +1332,30 @@ object TextVector {
       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // dimension-prefix top-3 per (query, dim) vs the full-dim truth;
+    // 24 = |queries| * k
+    "q_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |dims(dim) AS (VALUES (8), (16), (32), (64)),
+        |sc AS (
+        |  SELECT q.query_id, d.dim, c.vec_id AS neighbor_id,
+        |    list_dot_product(list_slice(q.qv, 1, d.dim), list_slice(c.v, 1, d.dim)) /
+        |      (sqrt(list_dot_product(list_slice(q.qv, 1, d.dim), list_slice(q.qv, 1, d.dim))) *
+        |       sqrt(list_dot_product(list_slice(c.v, 1, d.dim), list_slice(c.v, 1, d.dim)))) AS cosine
+        |  FROM q CROSS JOIN dims d CROSS JOIN e c WHERE c.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, dim
+        |    ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM sc),
+        |topk AS (SELECT query_id, dim, neighbor_id FROM r WHERE rn <= 3),
+        |truth AS (SELECT query_id, neighbor_id FROM topk WHERE dim = 64),
+        |hits AS (
+        |  SELECT dim, count(*) AS n_hit
+        |  FROM topk JOIN truth USING (query_id, neighbor_id) GROUP BY dim)
+        |SELECT d.dim, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |  floor((CAST(coalesce(n_hit, 0) AS DOUBLE) / 24)*10000 + 0.5)/10000 AS recall
+        |FROM dims d LEFT JOIN hits ON d.dim = hits.dim ORDER BY d.dim""".stripMargin,
     // incremental probe = the lshPairs banding restricted to pairs
     // touching the % 10 == 0 batch
     "q_incr_dedup" ->

@@ -113,6 +113,26 @@ class SelectionSpec extends AnyFunSuite {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  // -- matryoshka truncation recall ----------------------------------------
+
+  test("truncationRecall: signal-bearing prefixes keep recall, noise prefixes lose it") {
+    // neighbor structure lives entirely in dims 1-2; dims 3-4 are
+    // anti-correlated noise that flips the ranking when included alone
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // true top-1 of 0 at any dim ≥ 2
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.truncationRecall(
+        vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 1, dims = Seq(2, 4))
+      .orderBy("dim").as[(Int, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(2, 4), "every dim appears in the curve")
+    assert(out.last == ((4, 1L, 1.0)), s"full dim is the sanity anchor: $out")
+    assert(out.head._3 == 1.0, s"signal-bearing 2-dim prefix must retain the neighbor: $out")
+    vecs.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   // -- embedding decontamination -------------------------------------------
 
   test("crossCorpusLeakage: a vector present in both corpora is flagged at cosine 1") {
