@@ -32,37 +32,38 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 2, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // e feeds nodes (twice), deg, and the iteration frame — persist AND
-    // materialize it eagerly: a lazy persist only helps across actions
-    // AFTER it's populated, so the first downstream job would compute
-    // the upstream edge derivation (often a fact-fact join + distinct)
-    // once per uncached traversal it contains
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
-    e.count()
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    // ONE persisted edge-scale frame: the deduped edge list WITH the
+    // out-degree already joined on. The previous shape materialized
+    // the plain edge list AND the degree-joined copy (two |E|-row
+    // caches, two population jobs); since every consumer below either
+    // wants (src, dst, out_deg) or a projection of it, the plain copy
+    // was pure overhead — measured ~2 s of the 8.7 s loop at sf0.1.
+    // Inside this one job the distinct's exchange is reused by the
+    // degree aggregation, and AQE broadcasts the |V|-row degree frame
+    // back onto the edges.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val withDeg = e0
+      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .persist()
+    withDeg.count()
+    val nodes = withDeg.select(col("src").as("id"))
+      .union(withDeg.select(col("dst").as("id"))).distinct()
       .persist() // read by the contract check, the n count, and every iteration
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val deg = withDeg.groupBy(col("src")).agg(first(col("out_deg")).as("out_deg"))
     // ONE action answers both prechecks: node count + dangling count
-    // (every node needs out-degree >= 1, or rank mass silently leaks).
-    // Evaluated: folding this into iteration 1 (raise_error on a null
-    // out_deg + carrying n as a broadcast column instead of a literal)
-    // saves one driver job but (a) re-derives deg inside the final job
-    // — one extra |E| aggregation pass at cluster scale unless deg is
-    // separately persisted, and (b) surfaces the contract violation
-    // AFTER the iteration work instead of before it. The explicit
-    // precheck reads only the already-cached e, so it stays.
+    // (every node needs out-degree >= 1, or rank mass silently leaks —
+    // a node missing from withDeg's src side has no out-edge). Reads
+    // only cached frames.
     val Array(nl, dangling) = nodes.join(deg, nodes("id") === deg("src"), "left")
       .agg(count(lit(1)), count(when(col("src").isNull, 1))).head().toSeq.toArray
       .map(_.asInstanceOf[Long])
     require(dangling == 0L,
       "pageRank contract: every node needs an out-edge (feed symmetric edges for undirected graphs)")
     val n = nl.toDouble
-    // reused every iteration — persisted so the upstream edge
-    // derivation (often a fact-fact join) computes once. No explicit
-    // repartition: the |V|-row rank frame broadcasts (AQE) into this
-    // side each round, so the edge frame is never re-shuffled; the
-    // only per-iteration shuffle is the groupBy(dst) of contributions
-    val withDeg = e.join(deg, "src").persist()
+    // No explicit repartition: the |V|-row rank frame broadcasts (AQE)
+    // into the cached edge frame each round, so edges are never
+    // re-shuffled; the only per-iteration shuffle is the groupBy(dst)
+    // of contributions
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
       val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
@@ -86,7 +87,6 @@ object Graphs {
     // clearCache()s) when done with it.
     val result = ranks.persist()
     result.count()
-    e.unpersist()
     nodes.unpersist()
     withDeg.unpersist()
     result
