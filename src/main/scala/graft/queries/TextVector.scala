@@ -1039,7 +1039,15 @@ object TextVector {
       .orderBy("dim")
   }
 
+  /** ROC AUC of the 4-dp quality score as an English-document ranker
+    * (Eval.auc — Mann-Whitney over per-score counts, no global sort). */
+  def qualityAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.auc(
+      scoredDocs(s, dir).withColumn("is_en", col("lang") === "en"),
+      "score", "is_en")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_auc" -> qualityAuc,
     "q_matryoshka" -> matryoshka,
     "q_incr_dedup" -> incrDedup,
     "q_leak_split" -> leakSplit,
@@ -1318,20 +1326,38 @@ object TextVector {
     * 4-dp rounded like the Spark side). Ends with relation `r`. */
   private val scoredCte =
     """d AS (
-      |  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |  SELECT doc_id, source, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
       |m AS (
-      |  SELECT doc_id, source, len(w) AS n_tokens,
+      |  SELECT doc_id, source, lang, len(w) AS n_tokens,
       |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS sr,
       |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS pr
       |  FROM d),
       |r AS (
-      |  SELECT doc_id, source, n_tokens,
+      |  SELECT doc_id, source, lang, n_tokens,
       |    floor(sr*10000 + 0.5)/10000 AS stop_r,
       |    floor(pr*10000 + 0.5)/10000 AS punct_r,
       |    floor((0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - sr) + 0.2 * (1.0 - pr))*10000 + 0.5)/10000 AS score
       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mann-Whitney AUC from per-score (pos, neg) counts — the x2-scaled
+    // integer numerator keeps the single division as the only IEEE op
+    "q_auc" ->
+      (s"""WITH $scoredCte,
+        |per AS (
+        |  SELECT score,
+        |    count(*) FILTER (WHERE lang = 'en') AS np,
+        |    count(*) FILTER (WHERE lang <> 'en') AS nn
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT *, coalesce(sum(nn) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+        |  FROM per)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+        |    floor((CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)))*10000 + 0.5)/10000
+        |  END AS auc
+        |FROM c""".stripMargin),
     // dimension-prefix top-3 per (query, dim) vs the full-dim truth;
     // 24 = |queries| * k
     "q_matryoshka" ->

@@ -96,6 +96,27 @@ class SelectionSpec extends AnyFunSuite {
     docs.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  // -- AUC ------------------------------------------------------------------
+
+  test("auc: perfect separation 1.0, anti-ranker 0.0, ties counted half") {
+    import graft.operators.Eval
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    assert(Eval.auc(perfect, "score", "label")
+      .as[(Long, Long, Option[Double])].head() == ((2L, 2L, Some(1.0))))
+    val inverted = Seq((0.1, true), (0.9, false)).toDF("score", "label")
+    assert(Eval.auc(inverted, "score", "label")
+      .as[(Long, Long, Option[Double])].head() == ((1L, 1L, Some(0.0))))
+    val tied = Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false))
+      .toDF("score", "label")
+    assert(Eval.auc(tied, "score", "label")
+      .as[(Long, Long, Option[Double])].head()._3.contains(0.875),
+      "2 pos x 2 neg: wins 3.5 of 4 -> 0.875")
+    val onlyPos = Seq((0.9, true)).toDF("score", "label")
+    assert(Eval.auc(onlyPos, "score", "label")
+      .as[(Long, Long, Option[Double])].head()._3.isEmpty, "single-class AUC is NULL")
+  }
+
   // -- leakage-safe split ---------------------------------------------------
 
   test("leakageSafeSplit: connected near-dups share a split, singletons keep their id") {
