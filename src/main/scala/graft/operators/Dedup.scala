@@ -54,11 +54,23 @@ object Dedup {
     * the signature stage. One explode + one groupBy(id) shuffle;
     * signature width k BIGINT columns. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, shingleN: Int = 3): DataFrame =
-    minhashSignaturesFromShingles(
-      docs.withColumn("__toks_pre", TextAnalysis.tokens(textCol))
-        .withColumn("__sh_pre", TextAnalysis.shingles("__toks_pre", shingleN)),
-      idCol, "__sh_pre", k)
+                        k: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(k <= MinhashA.length, s"k=$k exceeds available permutation constants")
+    // the shingle expression stays INLINE in the Generate operator —
+    // routing through minhashSignaturesFromShingles materializes the
+    // full shingle ARRAY per row in a Project below the explode, and
+    // that array write (UnsafeArrayData alloc + copy per doc) measured
+    // +4 s per minhash query at sf0.1. FromShingles exists for callers
+    // whose array column is ALREADY materialized (cached frames).
+    val toks = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .withColumn("__shingle", explode(TextAnalysis.shingles("__tokens", shingleN)))
+      .withColumn("__h",
+        expr(s"cast(conv(substr(md5(__shingle), 1, 15), 16, 10) as bigint) % $MinhashP"))
+    val mins = (0 until k).map(j =>
+      min((lit(MinhashA(j)) * col("__h") + lit(MinhashB(j))) % lit(MinhashP)).as(s"mh$j"))
+    toks.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
 
   /** [[minhashSignatures]] over a PRE-COMPUTED shingle-array column —
     * the entry point for callers that already hold the (often cached)
