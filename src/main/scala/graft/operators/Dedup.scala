@@ -716,4 +716,62 @@ object Dedup {
         graft.queries.rd(lit(1.0) - col("n_cand").cast("double") / col("n_pairs_total"), 4)
           .as("reduction_ratio"))
   }
+
+  /** Cross-document repeated-span detection — the token-level core of
+    * EXACT-substring dedup ("drop any ≥ n-token run that appears
+    * verbatim in another document", the policy suffix-array dedup
+    * implements; reference: Lee et al., ACL 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). The suffix array is
+    * replaced by the fixed-n sliding-window form, which is the
+    * distribution-friendly equivalent: a shared run of length
+    * L ≥ n appears as L − n + 1 shared windows, and merging
+    * overlapping repeated windows recovers the maximal span exactly —
+    * no global sort, no driver-side structure.
+    *
+    * Pipeline: positional n-token windows per doc (one explode; the
+    * shuffle key is the window's md5, never its text) → window
+    * document-frequency (≥ `minDocs` DISTINCT docs = repeated) → per-
+    * doc interval merge of the surviving windows (gaps-and-islands:
+    * a window starting at p covers [p, p+n−1]; a window whose start is
+    * ≤ running-max-end + 1 extends the current span). Output: one row
+    * per MAXIMAL repeated span — (id, span_start, span_end,
+    * span_tokens, n_windows), 1-based token positions, the cut list an
+    * exact-dedup pass applies to the corpus.
+    *
+    * Scale shape: |tokens|-row explode, one hash-keyed aggregation +
+    * one hash-keyed equi-join back, one per-doc window sort — all
+    * shuffles on bounded keys, never all-pairs. At 100 TB, cap window
+    * df before the island pass (boilerplate windows with df in the
+    * millions are cut lists nobody applies — same stop-key note as
+    * [[winnowOverlap]]) and swap countDistinct for approx_count_
+    * distinct at the documented 2% tolerance. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val wins = docs
+      .withColumn("__tokens", TextAnalysis.tokens(textCol))
+      .filter(size(col("__tokens")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, size(__tokens) - ${n - 1}),
+           |  i -> md5(concat_ws(' ', slice(__tokens, i, $n))))""".stripMargin))
+        .as(Seq("__p0", "__wh")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("__wh"))
+    val repeated = wins.groupBy(col("__wh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("__end")).over(w.rowsBetween(W.unboundedPreceding, -1))
+    wins.join(repeated, "__wh")
+      .withColumn("__end", col("pos") + lit(n - 1))
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        max(col("__end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_windows"))
+  }
 }

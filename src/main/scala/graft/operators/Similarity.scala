@@ -526,4 +526,69 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col("train_id"), col("eval_id"), col("cosine"))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    * λ·cos(d, query) − (1−λ)·max_{s∈S} cos(d, s) — relevance traded
+    * against redundancy with what's already selected. The standard
+    * diversified-retrieval / diverse-example-selection operator that
+    * plain top-k (which happily returns k near-duplicates) cannot
+    * express. Round 1 has an empty S, so its score is λ·rel.
+    *
+    * Greedy MMR is inherently sequential in k — that is the
+    * algorithm, not a distribution failure — so the loop runs k
+    * DataFrame rounds: each scores all remaining candidates against
+    * the ≤ k selected vectors (broadcast) in one partition-local pass
+    * and takes the global argmax via TakeOrderedAndProject (per-
+    * partition heap of 1, no sort, no driver-side data-path collect;
+    * the |S|-row state frame is the only thing carried round to
+    * round — the kMeansFit broadcast-ML contract). Ties break toward
+    * the smaller id. Scores stay full-precision doubles through
+    * selection (both engines compute identical IEEE bits — same
+    * guarantee every cosine-threshold query here relies on).
+    *
+    * Returns (rank, id, rel, mmr) for the k selections, persisted
+    * tiny; caller clearCache()s when done (house cache contract).
+    *
+    * @param query 1-row frame carrying `vecCol` (the query vector). */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1, s"need k >= 1, lambda in [0,1], got $k, $lambda")
+    val base = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(query.select(col(vecCol).as("__qv"))))
+      .select(col(idCol), col("__v"), cosineExpr("__v", "__qv").as("__rel"))
+      .persist()
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (selected == null)
+          base.select(col(idCol), col("__v"), col("__rel"),
+            (lit(lambda) * col("__rel")).as("__mmr"))
+        else {
+          // remaining candidates × selected vectors (≤ k rows,
+          // broadcast): partition-local max-sim, then rescore
+          val sel = broadcast(selected.select(col("__v").as("__sv")))
+          val maxsim = base
+            .join(selected.select(col(idCol)), Seq(idCol), "left_anti")
+            .crossJoin(sel)
+            .select(col(idCol), cosineExpr("__v", "__sv").as("__sim"))
+            .groupBy(col(idCol)).agg(max(col("__sim")).as("__maxsim"))
+          base.join(maxsim, Seq(idCol))
+            .select(col(idCol), col("__v"), col("__rel"),
+              (lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__maxsim")).as("__mmr"))
+        }
+      val pick = scored.orderBy(col("__mmr").desc, col(idCol)).limit(1)
+        .select(lit(r).as("rank"), col(idCol), col("__v"), col("__rel"), col("__mmr"))
+      val next = (if (selected == null) pick else selected.union(pick)).persist()
+      next.count() // materialize: bounds the plan (each round would otherwise re-run all priors)
+      if (selected != null) selected.unpersist()
+      selected = next
+    }
+    val result = selected.select(col("rank"), col(idCol), col("__rel").as("rel"),
+      col("__mmr").as("mmr")).persist()
+    result.count()
+    selected.unpersist()
+    base.unpersist()
+    result
+  }
 }

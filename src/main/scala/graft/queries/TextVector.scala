@@ -137,6 +137,13 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Cross-doc repeated spans (Dedup.repeatedSpans): maximal ≥ 6-token
+    * runs appearing verbatim in ≥ 2 documents — the exact-substring
+    * dedup cut list (Lee et al. 2022), sliding-window form. */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 6, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+
   /** PMI collocation mining (Collocations.pmiBigrams): top-30 adjacent
     * bigrams by the P(x,y)/(P(x)P(y)) ratio, min count 5 — the ratio
     * (not its log2) so the oracle arithmetic is libm-free. */
@@ -677,6 +684,17 @@ object TextVector {
       .orderBy("query_id")
   }
 
+  /** MMR diversified top-5 (Similarity.mmrSelect): query = vec_id 0,
+    * candidates = the rest of the corpus, λ = 0.7 — the
+    * redundancy-penalized selection plain top-k can't express. */
+  def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.mmrSelect(e.filter(col("vec_id") > 0), e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 5, lambda = 0.7)
+      .select(col("rank"), col("vec_id"), rd(col("rel"), 4).as("rel"), rd(col("mmr"), 4).as("mmr"))
+      .orderBy("rank")
+  }
+
   /** Sparse document cosine over df-pruned shingle-count vectors — the
     * inverted-index all-pairs similarity (integer dots, one division;
     * see TfIdf.shingleCosinePairs for the pruning-lever scale note). */
@@ -1102,6 +1120,7 @@ object TextVector {
     "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
+    "q_mmr" -> mmrTopK,
     "q_shingle_cosine" -> shingleCosine,
     "q_containment" -> containment,
     "q_rrf" -> rrfHybrid,
@@ -1115,6 +1134,7 @@ object TextVector {
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
+    "q_repeated_spans" -> repeatedSpans,
     "q_pmi_bigrams" -> pmiBigrams,
     "q_lm_xent" -> lmXent,
     "q_lm_bigram" -> lmBigram,
@@ -1276,6 +1296,39 @@ object TextVector {
       |  floor((mean_byte)*10000 + 0.5)/10000 AS mean_byte,
       |  floor((f1)*10000 + 0.5)/10000 AS f1
       |FROM f ORDER BY asset_id""".stripMargin
+
+  /** MMR oracle, GENERATED round by round from the same k/λ the Spark
+    * query passes (anti-drift: the unrolled greedy chain can't diverge
+    * from the operator's parameters). Each round r picks the argmax of
+    * λ·rel − (1−λ)·max cosine to the r−1 already-picked rows; scores
+    * compare at full double precision exactly like the Spark side. */
+  private def mmrOracleSql(k: Int, lambda: Double): String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val lam = lambda.toString
+    val om = (1.0 - lambda).toString
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |base AS (SELECT vec_id, v, ${cos("v", "qv")} AS rel FROM e, q WHERE vec_id > 0),
+              |s1 AS (SELECT vec_id, v, rel, $lam*rel AS mmr FROM base
+              |       ORDER BY $lam*rel DESC, vec_id LIMIT 1)""".stripMargin
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"s$i")
+      val notIn = prev.map(p => s"b.vec_id <> $p.vec_id").mkString(" AND ")
+      val sims = prev.map(p => cos("b.v", s"$p.v")).mkString(", ")
+      val maxSim = if (prev.size == 1) sims else s"greatest($sims)"
+      sb ++= s""",
+                |r$r AS (SELECT b.vec_id, b.v, b.rel, $lam*b.rel - $om*($maxSim) AS mmr
+                |        FROM base b, ${prev.mkString(", ")} WHERE $notIn),
+                |s$r AS (SELECT vec_id, v, rel, mmr FROM r$r ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS rank, vec_id, " +
+          s"floor((rel)*10000 + 0.5)/10000 AS rel, floor((mmr)*10000 + 0.5)/10000 AS mmr FROM s$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
 
   private val cosineCtes =
     """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1890,6 +1943,7 @@ object TextVector {
         |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+    "q_mmr" -> mmrOracleSql(k = 5, lambda = 0.7),
     "q_embed_topk" ->
       ("WITH " + cosineCtes + """,
         |r AS (SELECT query_id, neighbor_id, cosine,
@@ -2434,6 +2488,35 @@ object TextVector {
         |  floor((1.0 - 1.0*n_distinct/n_words)*10000 + 0.5)/10000 AS word_dup_frac,
         |  floor((1.0*top_bg/total_bg)*10000 + 0.5)/10000 AS top_bigram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    // mirrors Dedup.repeatedSpans: n=6 windows keyed by the joined
+    // token text (Spark keys the md5 of the same string — identical
+    // grouping), df >= 2 distinct docs, running-max interval merge
+    "q_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[i:i+5], ' ') AS wh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 5)) AS i)
+        |  WHERE len(w) >= 6),
+        |rep AS (
+        |  SELECT doc_id, pos FROM wins
+        |  WHERE wh IN (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2)),
+        |isl AS (
+        |  SELECT doc_id, pos, pos + 5 AS e,
+        |    CASE WHEN pos > coalesce(max(pos + 5) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM rep),
+        |g AS (SELECT doc_id, pos, e,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(e) AS INTEGER) AS span_end,
+        |  CAST(max(e) - min(pos) + 1 AS INTEGER) AS span_tokens,
+        |  count(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // patterns interpolated from the SAME Curation constants the Spark
     // side compiles (common Java-regex/RE2 subset); DuckDB needs the
     // 'g' flag for replace-all, Spark's regexp_replace is all-match.

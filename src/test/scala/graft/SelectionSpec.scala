@@ -170,4 +170,33 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.head._2 == 0L && math.abs(out.head._3 - 1.0) < 1e-12)
     assert(out(1)._2 == 0L, "best match must be the nearest eval row")
   }
+
+  // -- MMR diversified selection -------------------------------------------
+
+  private lazy val mmrQuery = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+  private lazy val mmrCands = Seq(
+    (1L, Array(0.9f, 0.4359f, 0.0f)),    // most relevant (cos ≈ 0.9)
+    (2L, Array(0.9f, 0.4359f, 0.001f)),  // near-duplicate of 1 (cos(1,2) ≈ 1)
+    (3L, Array(0.85f, 0.0f, 0.5268f))    // less relevant (cos ≈ 0.85) but diverse
+  ).toDF("vec_id", "embedding")
+
+  test("mmrSelect: redundant near-dup demoted below the diverse candidate at λ=0.5") {
+    val picks = Similarity.mmrSelect(mmrCands, mmrQuery, "vec_id", "embedding",
+        k = 3, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // plain top-k would give (1, 2, 3); MMR's redundancy penalty pushes
+    // the near-dup 2 behind the diverse 3
+    assert(picks == Seq(1L, 3L, 2L), s"expected diversity-aware order, got $picks")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("mmrSelect: λ=1 disables the diversity term — pure relevance top-k") {
+    val out = Similarity.mmrSelect(mmrCands, mmrQuery, "vec_id", "embedding",
+        k = 3, lambda = 1.0)
+      .orderBy("rank").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 2L, 3L), s"λ=1 must reduce to top-k, got $out")
+    // with λ=1 every round's mmr IS the relevance
+    out.foreach { case (_, _, rel, mmr) => assert(math.abs(rel - mmr) < 1e-15) }
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -242,6 +242,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not pair")
   }
 
+  test("repeatedSpans: planted shared run recovered maximally, both docs, exact bounds") {
+    // 10 shared tokens; n=6 → 5 overlapping repeated windows merge into
+    // ONE maximal span covering exactly the shared run
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $shared t1 t2"),          // run at tokens 4..13
+      (2L, s"$shared v1 v2 v3 v4 v5"),          // run at tokens 1..10
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 6, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(spans == Set((1L, 4, 13, 10, 5L), (2L, 1, 10, 10, 5L)),
+      s"expected the maximal planted span in both docs, got $spans")
+  }
+
+  test("repeatedSpans: two separated shared runs split into two spans (gap preserved)") {
+    val runA = (1 to 6).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 6).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$runA x1 x2 x3 x4 $runB"),         // runs at 1..6 and 11..16
+      (2L, s"p1 p2 $runA q1 q2"),
+      (3L, s"r1 r2 r3 $runB r4")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 6, minDocs = 2)
+      .filter($"doc_id" === 1L)
+      .select("span_start", "span_end").as[(Int, Int)].collect().toSet
+    assert(spans == Set((1, 6), (11, 16)), s"expected two separate spans, got $spans")
+  }
+
+  test("repeatedSpans: no cross-doc repeat → empty; within-doc repeat alone does not count") {
+    val rep = (1 to 6).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$rep filler1 filler2 $rep"),       // repeats only within doc 1
+      (2L, "totally different tokens without any overlap at all")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 6, minDocs = 2).isEmpty)
+  }
+
   test("winnowing density: selection keeps a fraction of k-gram hashes, short docs keep one") {
     val long = (1 to 100).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, long), (2L, "just four small words"), (3L, "ab cd")).toDF("doc_id", "text")
