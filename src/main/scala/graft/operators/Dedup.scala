@@ -656,8 +656,8 @@ object Dedup {
     * n − ⌈t·n⌉ + 1 shingles, so candidate generation explodes ONLY
     * those prefixes — the corpus-wide stop-shingles that make a naive
     * shared-shingle join quadratic never enter the join (measured
-    * 8.5 s → ~2 s at sf0.1), and the found pair set is provably
-    * identical. */
+    * 14.5 s → 7.2 s at sf0.1 like-for-like), and the found pair set
+    * is provably identical. */
   def blockingQuality(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2,
                       trueJaccard: Double = 0.5): DataFrame = {
@@ -675,7 +675,10 @@ object Dedup {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__df"), col("__gh"))
     // __n rides along from size(sh) — a free projection, not a second
-    // per-doc count window
+    // per-doc count window. df via hash aggregate + equi-join, NOT a
+    // count window over __gh: the hash cardinality is corpus-wide
+    // (~#distinct shingles), where a window means a global sort into
+    // millions of 1-3-row groups — the aggregate is the scale shape.
     val prefix = ex.join(dfreq, "__gh")
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= col("__n") - ceil(col("__n") * trueJaccard) + 1)

@@ -537,15 +537,18 @@ object Similarity {
     *
     * Greedy MMR is inherently sequential in k — that is the
     * algorithm, not a distribution failure — so the loop runs k
-    * DataFrame rounds: each scores all remaining candidates against
-    * the ≤ k selected vectors (broadcast) in one partition-local pass
-    * and takes the global argmax via TakeOrderedAndProject (per-
-    * partition heap of 1, no sort, no driver-side data-path collect;
-    * the |S|-row state frame is the only thing carried round to
-    * round — the kMeansFit broadcast-ML contract). Ties break toward
-    * the smaller id. Scores stay full-precision doubles through
-    * selection (both engines compute identical IEEE bits — same
-    * guarantee every cosine-threshold query here relies on).
+    * DataFrame rounds. Each round is SHUFFLE-FREE: the ≤ k selected
+    * (vector, norm) pairs are folded into ONE 1-row broadcast array,
+    * max-sim is a per-candidate `array_max(transform(...))` inside the
+    * scan projection (no groupBy, no join-back), the already-selected
+    * ids drop out through a broadcast anti join, and the argmax is
+    * TakeOrderedAndProject (per-partition heap of 1 — no sort, no
+    * data-path collect; the |S|-row state frame is the only thing
+    * carried round to round, the kMeansFit broadcast-ML contract).
+    * Ties break toward the smaller id. Scores stay full-precision
+    * doubles through selection (both engines compute identical IEEE
+    * bits — same guarantee every cosine-threshold query here relies
+    * on).
     *
     * Returns (rank, id, rel, mmr) for the k selections, persisted
     * tiny; caller clearCache()s when done (house cache contract).
@@ -554,40 +557,53 @@ object Similarity {
   def mmrSelect(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
                 k: Int, lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && lambda >= 0 && lambda <= 1, s"need k >= 1, lambda in [0,1], got $k, $lambda")
-    val base = corpus.select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(broadcast(query.select(col(vecCol).as("__qv"))))
-      .select(col(idCol), col("__v"), cosineExpr("__v", "__qv").as("__rel"))
+    // norm precomputed once: each round's cosine then needs only the
+    // dot against each selected vector (whose norm rides in the struct)
+    // float→double casts are exact, so every cosine/norm bit matches
+    // the float-array formulation (and the oracle's CAST AS DOUBLE[])
+    val base = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(query.select(col(vecCol).cast("array<double>").as("__qv"))))
+      .select(col(idCol), col("__v"), cosineExpr("__v", "__qv").as("__rel"),
+        normExpr("__v").as("__vn"))
       .persist()
+    // dot(__v, s.v) as a nested higher-order fold — runs on ≤ k
+    // broadcast vectors per row, so the HOF interpreter overhead is
+    // bounded by k·dim per candidate
+    val maxSim = expr(
+      """array_max(transform(__svs, s ->
+        |  aggregate(zip_with(__v, s.v, (x, y) -> x * y), CAST(0 AS DOUBLE),
+        |            (acc, p) -> acc + p) / (__vn * s.n)))""".stripMargin)
     var selected: DataFrame = null
     for (r <- 1 to k) {
       val scored =
         if (selected == null)
-          base.select(col(idCol), col("__v"), col("__rel"),
+          base.select(col(idCol), col("__v"), col("__vn"), col("__rel"),
             (lit(lambda) * col("__rel")).as("__mmr"))
         else {
-          // remaining candidates × selected vectors (≤ k rows,
-          // broadcast): partition-local max-sim, then rescore
-          val sel = broadcast(selected.select(col("__v").as("__sv")))
-          val maxsim = base
-            .join(selected.select(col(idCol)), Seq(idCol), "left_anti")
-            .crossJoin(sel)
-            .select(col(idCol), cosineExpr("__v", "__sv").as("__sim"))
-            .groupBy(col(idCol)).agg(max(col("__sim")).as("__maxsim"))
-          base.join(maxsim, Seq(idCol))
-            .select(col(idCol), col("__v"), col("__rel"),
-              (lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__maxsim")).as("__mmr"))
+          // ≤ k selected (vector, norm) rows folded to ONE broadcast row;
+          // the anti join's right side is the same ≤ k-row frame → AQE
+          // broadcasts it — the whole round stays exchange-free
+          val svs = broadcast(selected
+            .agg(collect_list(struct(col("__v").as("v"), col("__vn").as("n"))).as("__svs")))
+          base.join(selected.select(col(idCol)), Seq(idCol), "left_anti")
+            .crossJoin(svs)
+            .select(col(idCol), col("__v"), col("__vn"), col("__rel"),
+              (lit(lambda) * col("__rel") - lit(1.0 - lambda) * maxSim).as("__mmr"))
         }
       val pick = scored.orderBy(col("__mmr").desc, col(idCol)).limit(1)
-        .select(lit(r).as("rank"), col(idCol), col("__v"), col("__rel"), col("__mmr"))
-      val next = (if (selected == null) pick else selected.union(pick)).persist()
-      next.count() // materialize: bounds the plan (each round would otherwise re-run all priors)
-      if (selected != null) selected.unpersist()
+        .select(lit(r).as("rank"), col(idCol), col("__v"), col("__vn"), col("__rel"), col("__mmr"))
+      // lineage MUST reset each round (eager localCheckpoint), not just
+      // persist: round r's plan references round r−1's TWICE (anti join
+      // + the folded selected-vector array), so an un-truncated chain
+      // grows ~3^k analysis nodes — measured 12→2 s at k=5 over a
+      // 2k-row corpus, all driver-side planning
+      val next = graft.core.Lineage.truncate(
+        if (selected == null) pick else selected.union(pick))
       selected = next
     }
     val result = selected.select(col("rank"), col(idCol), col("__rel").as("rel"),
       col("__mmr").as("mmr")).persist()
     result.count()
-    selected.unpersist()
     base.unpersist()
     result
   }
