@@ -144,6 +144,13 @@ object TextVector {
     Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 6, minDocs = 2)
       .orderBy("doc_id", "span_start")
 
+  /** Distributed BPE tokenizer fit (Bpe.fitMerges): 3 merge rounds over
+    * the corpus vocabulary — the merge ledger plus the corpus token
+    * count under the tokenizer-so-far (the compression curve). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.fitMerges(docs(s, dir), "text", rounds = 3)
+      .orderBy("round")
+
   /** PMI collocation mining (Collocations.pmiBigrams): top-30 adjacent
     * bigrams by the P(x,y)/(P(x)P(y)) ratio, min count 5 — the ratio
     * (not its log2) so the oracle arithmetic is libm-free. */
@@ -1135,6 +1142,7 @@ object TextVector {
     "q_multimodal_features" -> multimodalFeatures,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
+    "q_bpe_merges" -> bpeMerges,
     "q_pmi_bigrams" -> pmiBigrams,
     "q_lm_xent" -> lmXent,
     "q_lm_bigram" -> lmBigram,
@@ -1327,6 +1335,44 @@ object TextVector {
         s"SELECT CAST($r AS INTEGER) AS rank, vec_id, " +
           s"floor((rel)*10000 + 0.5)/10000 AS rel, floor((mmr)*10000 + 0.5)/10000 AS mmr FROM s$r")
       .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
+
+  /** BPE oracle, GENERATED round by round (anti-drift: mirrors
+    * Bpe.fitMerges' pair-count → argmax → `replace`-apply loop for the
+    * same round count; `replace`'s left-to-right non-overlapping scan
+    * is the shared greedy-apply trick on both engines). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+             |v0 AS (
+             |  SELECT word, count(*) AS freq,
+             |    '|' || array_to_string(regexp_extract_all(word, '.'), '|') AS syms
+             |  FROM toks GROUP BY 1)""".stripMargin
+    for (r <- 1 to rounds) {
+      val prev = s"v${r - 1}"
+      sb ++= s""",
+                |p$r AS (
+                |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+                |  FROM (SELECT freq, string_split(substr(syms, 2), '|') AS l FROM $prev),
+                |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+                |  GROUP BY 1, 2),
+                |b$r AS (SELECT a, b, pair_count FROM p$r
+                |        ORDER BY pair_count DESC, a, b LIMIT 1),
+                |v$r AS (
+                |  SELECT word, freq,
+                |    replace(syms, '|' || b$r.a || '|' || b$r.b, '|' || b$r.a || b$r.b) AS syms
+                |  FROM $prev, b$r),
+                |t$r AS (
+                |  SELECT CAST(sum(freq * (length(syms) - length(replace(syms, '|', '')))) AS BIGINT)
+                |    AS vocab_symbols
+                |  FROM v$r)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, a AS merge_a, b AS merge_b, " +
+          s"pair_count, vocab_symbols FROM b$r, t$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
     sb.toString
   }
 
@@ -1944,6 +1990,7 @@ object TextVector {
         |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
     "q_mmr" -> mmrOracleSql(k = 5, lambda = 0.7),
+    "q_bpe_merges" -> bpeOracleSql(rounds = 3),
     "q_embed_topk" ->
       ("WITH " + cosineCtes + """,
         |r AS (SELECT query_id, neighbor_id, cosine,
