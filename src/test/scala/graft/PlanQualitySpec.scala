@@ -380,4 +380,22 @@ class PlanQualitySpec extends AnyFunSuite {
       "eval set must broadcast into the train-side scan")
     assert(!p.contains("CartesianProduct"), "decon went non-broadcast all-pairs")
   }
+
+  test("q_repeated_spans: window-df via partial+final aggregate, hash equi-join back, no cartesian") {
+    val p = plan("q_repeated_spans")
+    assert(!p.contains("CartesianProduct"), "repeated-spans went all-pairs")
+    // df aggregation must keep the map-side partial (the 100 TB lever on
+    // a |tokens|-row explode), and the join back to positions is keyed
+    // on the window hash
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "window-df lost the partial+final aggregation")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "repeated-window join must stay an equi-join")
+  }
+
+  // q_mmr / q_bpe_merges have no externally-pinnable plan: their
+  // results are lineage-truncated per round (the loop contract), so
+  // the outer plan is a checkpoint-leaf read. Their scale shapes are
+  // pinned behaviorally instead (SelectionSpec: shuffle-free round
+  // semantics + determinism; BpeSpec: partitioning-invariant fit).
 }
