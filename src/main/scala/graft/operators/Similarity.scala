@@ -527,6 +527,55 @@ object Similarity {
       .select(col("train_id"), col("eval_id"), col("cosine"))
   }
 
+  /** Seeded ±1 sign matrix for [[jlProject]] — a compile-time LCG
+    * walk, so the SAME literals are interpolated into the Spark
+    * expression and the DuckDB oracle (the generated-constants
+    * anti-drift pattern, like DefaultPlanePairs / wtaBucketDuckSql). */
+  def jlSignRows(outDims: Int, inDims: Int, seed: Long = 0x9E3779B97F4A7C15L): Seq[Seq[Int]] = {
+    var x = seed
+    Seq.fill(outDims)(Seq.fill(inDims) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 32) & 1L) == 0L) 1 else -1
+    })
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    * variant): v′_j = (1/√k) · Σ_i v_i · s_{j,i} with seeded ±1 signs —
+    * the cheap, data-independent dimensionality reduction whose
+    * pairwise-distance distortion is bounded by the JL lemma
+    * (ε ≈ √(ln n / k)). Complements the trained reducers here: PQ
+    * codes compress memory, matryoshka prefixes need a trained model;
+    * JL needs NOTHING — the matrix is a compile-time literal.
+    *
+    * Pure per-row projection: no shuffle, no state, runs at scan
+    * throughput on any corpus size. k = 16 keeps the 1/√k scale at
+    * exactly 0.25 (a binary fraction), so every projected coordinate
+    * is a deterministic IEEE fold both engines reproduce bit-for-bit —
+    * the output hash-gates with NO tolerance.
+    *
+    * Returns (idCol, proj array<double>, norm2_ratio = ‖v′‖²/‖v‖², the
+    * per-row JL distortion diagnostic; NULL ratio for zero vectors). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDims: Int = 16, inDims: Int = 64): DataFrame = {
+    require(outDims > 0 && inDims > 0, s"need positive dims, got $outDims/$inDims")
+    require(math.pow(math.sqrt(outDims.toDouble).floor, 2) == outDims,
+      s"outDims must be a perfect square so 1/sqrt(k) is exact, got $outDims")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val signsSql = jlSignRows(outDims, inDims)
+      .map(r => s"array(${r.mkString(",")})").mkString("array(", ",", ")")
+    val proj = expr(
+      s"""transform($signsSql, r ->
+         |  aggregate(zip_with(__v, r, (x, s) -> x * s), CAST(0 AS DOUBLE),
+         |            (acc, p) -> acc + p) * $scale)""".stripMargin)
+    val norm2 = (c: String) => expr(
+      s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === inDims)
+      .withColumn("proj", proj)
+      .select(col(idCol), col("proj"),
+        when(norm2("__v") > 0, norm2("proj") / norm2("__v")).as("norm2_ratio"))
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
     * Goldstein, SIGIR 1998): greedily pick the candidate maximizing
     * λ·cos(d, query) − (1−λ)·max_{s∈S} cos(d, s) — relevance traded

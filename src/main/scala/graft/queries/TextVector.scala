@@ -691,6 +691,18 @@ object TextVector {
       .orderBy("query_id")
   }
 
+  /** JL ±1 random projection 64 → 16 (Similarity.jlProject): first 8
+    * projected coordinates for the sample rows plus the per-row norm²
+    * distortion ratio — every value a deterministic IEEE fold, so the
+    * whole output hash-gates tolerance-free. */
+  def jlProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlProject(embs(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "x")), col("norm2_ratio"))
+      .filter(col("pos") < 8)
+      .select(col("vec_id"), col("pos"), rd(col("x"), 6).as("x"),
+        rd(col("norm2_ratio"), 4).as("norm2_ratio"))
+      .orderBy("vec_id", "pos")
+
   /** MMR diversified top-5 (Similarity.mmrSelect): query = vec_id 0,
     * candidates = the rest of the corpus, λ = 0.7 — the
     * redundancy-penalized selection plain top-k can't express. */
@@ -1128,6 +1140,7 @@ object TextVector {
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
     "q_mmr" -> mmrTopK,
+    "q_jl_project" -> jlProject,
     "q_shingle_cosine" -> shingleCosine,
     "q_containment" -> containment,
     "q_rrf" -> rrfHybrid,
@@ -1991,6 +2004,29 @@ object TextVector {
         |ORDER BY id_a, id_b""".stripMargin),
     "q_mmr" -> mmrOracleSql(k = 5, lambda = 0.7),
     "q_bpe_merges" -> bpeOracleSql(rounds = 3),
+    // sign matrix interpolated from the SAME jlSignRows constants the
+    // Spark expression compiles; folds run in identical element order
+    // on both engines, so the gate needs no tolerance
+    "q_jl_project" -> {
+      val rows = graft.operators.Similarity.jlSignRows(16, 64)
+        .map(r => s"[${r.map(i => s"$i.0").mkString(",")}]").mkString("[", ",", "]")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 8),
+        |m AS (SELECT $rows AS signs),
+        |p AS (
+        |  SELECT vec_id, v,
+        |    [list_dot_product(v, signs[j]) * 0.25
+        |     FOR j IN generate_series(1, 16)] AS proj
+        |  FROM e, m),
+        |x AS (
+        |  SELECT vec_id, j - 1 AS pos, proj[j] AS x,
+        |    list_dot_product(proj, proj) / nullif(list_dot_product(v, v), 0) AS norm2_ratio
+        |  FROM p, LATERAL (SELECT unnest(generate_series(1, 8)) AS j))
+        |SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+        |  floor((x)*1000000 + 0.5)/1000000 AS x,
+        |  floor((norm2_ratio)*10000 + 0.5)/10000 AS norm2_ratio
+        |FROM x ORDER BY vec_id, pos""".stripMargin
+    },
     "q_embed_topk" ->
       ("WITH " + cosineCtes + """,
         |r AS (SELECT query_id, neighbor_id, cosine,

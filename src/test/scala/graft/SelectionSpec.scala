@@ -190,6 +190,45 @@ class SelectionSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("jlProject: norm roughly preserved, distances roughly preserved, exact determinism") {
+    // 20 seeded pseudo-random 64-dim vectors (unit-ish scale)
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(64) { d =>
+        (math.sin(i * 64 + d + 1).toFloat) // deterministic, zero-mean-ish
+      })
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.jlProject(vecs, "vec_id", "embedding")
+      .orderBy("vec_id")
+    val rows = out.as[(Long, Seq[Double], Double)].collect()
+    assert(rows.length == 20 && rows.forall(_._2.length == 16))
+    // JL norm preservation: E[ratio] = 1; k=16 gives loose concentration
+    rows.foreach { case (id, _, ratio) =>
+      assert(ratio > 0.25 && ratio < 2.5, s"vec $id norm ratio $ratio outside JL bounds")
+    }
+    // pairwise distance preservation on a few pairs, same loose bounds
+    val m = rows.map(r => r._1 -> r._2).toMap
+    val v = vecs.as[(Long, Seq[Float])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((i, j) <- Seq((0L, 1L), (2L, 9L), (5L, 17L))) {
+      val orig = d2(v(i).map(_.toDouble), v(j).map(_.toDouble))
+      val proj = d2(m(i), m(j))
+      assert(proj / orig > 0.25 && proj / orig < 2.5,
+        s"pair ($i,$j) distance ratio ${proj / orig} outside JL bounds")
+    }
+    // determinism: same literals, same bits
+    val again = graft.operators.Similarity.jlProject(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Seq[Double], Double)].collect()
+    assert(rows.toSeq == again.toSeq, "projection must be bit-deterministic")
+  }
+
+  test("jlSignRows: stable shape, balanced signs") {
+    val rows = graft.operators.Similarity.jlSignRows(16, 64)
+    assert(rows.length == 16 && rows.forall(_.length == 64))
+    assert(rows == graft.operators.Similarity.jlSignRows(16, 64), "constants must be stable")
+    val plus = rows.flatten.count(_ == 1)
+    assert(plus > 400 && plus < 624, s"sign balance off: $plus of 1024 are +1")
+  }
+
   test("mmrSelect: λ=1 disables the diversity term — pure relevance top-k") {
     val out = Similarity.mmrSelect(mmrCands, mmrQuery, "vec_id", "embedding",
         k = 3, lambda = 1.0)
