@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Dashboards.queries ++
       graft.queries.Tpch.queries ++
       graft.queries.TpchSubquery.queries ++
-      graft.queries.Behavioral.queries
+      graft.queries.Behavioral.queries ++
+      graft.queries.Mixture.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Dashboards.oracles ++
       graft.queries.Tpch.oracles ++
       graft.queries.TpchSubquery.oracles ++
-      graft.queries.Behavioral.oracles
+      graft.queries.Behavioral.oracles ++
+      graft.queries.Mixture.oracles
 }

@@ -104,4 +104,57 @@ object Drift {
         ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
         (col("__s").cast("double") / lit(1e9)).as("chi2"))
   }
+
+  /** Token-distribution divergence between two corpus slices — the
+    * corpus-mix monitoring gate ("how far has slice B's language
+    * drifted from slice A's?"). Returns ONE row: token totals, vocab
+    * sizes (per-slice + union), KL(A‖B), KL(B‖A) and the bounded
+    * symmetric Jensen-Shannon divergence, all in nats over
+    * Laplace-smoothed unigram distributions (+1 over the UNION vocab,
+    * so zero-count terms are well-defined on both sides and the KLs
+    * are finite by construction).
+    *
+    * Exactness: smoothed probabilities are single IEEE divisions of
+    * exact integer counts (identical cross-engine); each term's
+    * contribution is one `ln` of such a ratio, then rounded to 1e-9
+    * fixed point and summed as BIGINTs — order-independent under any
+    * partitioning (the [[chiSquareIndependence]] pattern). The one
+    * libm call per term (`ln`) is shared with the lm_xent family.
+    *
+    * Scale shape: explode → per-term hash aggregate (map-side
+    * combine) per slice, one full-outer equi-join on the term, a
+    * broadcast 1-row totals frame, and a final 1-row aggregate — no
+    * window, no sort, shuffle keys are the term hash. */
+  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+    def termCounts(df: DataFrame, out: String) = df
+      .select(explode(graft.functions.TextAnalysis.tokens(textCol)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val joined = termCounts(a, "ca").join(termCounts(b, "cb"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(
+      sum(col("ca")).as("n_tok_a"), sum(col("cb")).as("n_tok_b"),
+      count(lit(1)).as("vocab_union"),
+      sum((col("ca") > 0).cast("long")).as("vocab_a"),
+      sum((col("cb") > 0).cast("long")).as("vocab_b"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") /
+        (col("n_tok_a") + col("vocab_union")).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") /
+        (col("n_tok_b") + col("vocab_union")).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .groupBy(col("n_tok_a"), col("n_tok_b"),
+        col("vocab_union"), col("vocab_a"), col("vocab_b"))
+      .agg(
+        sum(fx(col("p") * log(col("p") / col("q")))).as("__kab"),
+        sum(fx(col("q") * log(col("q") / col("p")))).as("__kba"),
+        sum(fx(lit(0.5) * (col("p") * log(col("p") / col("m"))
+          + col("q") * log(col("q") / col("m"))))).as("__js"))
+      .select(col("n_tok_a"), col("n_tok_b"),
+        col("vocab_union"), col("vocab_a"), col("vocab_b"),
+        (col("__kab").cast("double") / lit(1e9)).as("kl_ab"),
+        (col("__kba").cast("double") / lit(1e9)).as("kl_ba"),
+        (col("__js").cast("double") / lit(1e9)).as("jsd"))
+  }
 }

@@ -49,4 +49,44 @@ object Eval {
           graft.queries.rd(col("__num").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
   }
+
+  /** Reliability diagram + expected calibration error for a probability
+    * scorer — "when the filter model says 0.8, is it right 80% of the
+    * time?". Equal-width bins over [0, 1]: bin b = min(⌊p·B⌋, B−1).
+    * Per bin: n, mean predicted confidence, empirical positive rate,
+    * |gap|; plus the scalar ECE = Σ_b (n_b/N)·|gap_b| repeated on every
+    * row (the diagram and the headline number in one frame).
+    *
+    * Exactness: bin assignment is floor of an exact product; per-bin
+    * means are fixed-point (1e-12) BIGINT sums divided by exact
+    * counts; ECE is the fixed-point sum of n_b·|gap_b| divided by N —
+    * every emitted double is a division of cross-engine-identical
+    * values, no tolerance.
+    *
+    * Scale shape: one partial+final aggregate to the B-row frame, one
+    * broadcast 1-row reduce for N and ECE — corpus scanned once,
+    * nothing sorted. `labelCol` must be 0.0/1.0 doubles (the LogReg
+    * convention). */
+  def calibration(df: DataFrame, probCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fx = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val perBin = df
+      .withColumn("__b", least(floor(col(probCol) * lit(bins)), lit(bins - 1)).cast("int"))
+      .groupBy(col("__b").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(fx(col(probCol))).as("__sp"),
+        sum(col(labelCol).cast("long")).as("__npos"))
+      .withColumn("avg_conf", (col("__sp").cast("double") / lit(1e12)) / col("n"))
+      .withColumn("frac_pos", col("__npos").cast("double") / col("n"))
+      .withColumn("abs_gap", abs(col("avg_conf") - col("frac_pos")))
+    val tot = perBin.agg(
+      sum(col("n")).as("__nt"),
+      sum(fx(col("n") * col("abs_gap"))).as("__g"))
+      .select(((col("__g").cast("double") / lit(1e12)) / col("__nt")).as("ece"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("avg_conf"), col("frac_pos"),
+        col("abs_gap"), col("ece"))
+  }
 }

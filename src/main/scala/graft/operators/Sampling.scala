@@ -227,4 +227,47 @@ object Sampling {
         when(col("__full"), col("tokens_avail").cast("double")).otherwise(col("__cap")), 4))
       .select(col(strataCol), col("tokens_avail"), col("tokens_alloc"), col("clipped"))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * α-sampling rule (exponent-smoothed sampling, as in the mBERT/XLM
+    * pretraining recipe): source i is sampled with probability
+    * w_i = p_i^α / Σ_j p_j^α where p_i is its raw token share. α = 1
+    * keeps natural proportions; α → 0 flattens toward uniform, lifting
+    * low-resource sources. Returns one row per stratum: n_docs,
+    * n_tokens, p_raw, weight, expected_tokens = weight·budget, and
+    * epochs = expected/available (> 1 ⇒ the source is repeated —
+    * the upsampling-repetition signal the mix designer watches).
+    *
+    * Exactness: p_raw is one IEEE division of exact longs; α = 0.5
+    * (the common default) is computed with `sqrt` — correctly rounded
+    * by IEEE 754, so identical on every engine, unlike `pow`, which
+    * carries a libm ulp. The normalizer Σ p^α is summed in 1e-12 fixed
+    * point (order-independent); every downstream value is then a pure
+    * division/multiplication of identical inputs — tolerance-free.
+    * Non-half exponents fall back to `pow` (callers should round).
+    *
+    * Scale shape: one partial+final aggregate to the |strata|-row
+    * frame, one broadcast 1-row totals frame — no windows, no sort;
+    * the corpus is scanned once. */
+  def temperatureWeights(df: DataFrame, strataCol: String, tokenCol: String,
+                         alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val per = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"))
+    val powAlpha = (c: Column) =>
+      if (alpha == 1.0) c else if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val raw = per.crossJoin(broadcast(tot))
+      .withColumn("p_raw", col("n_tokens").cast("double") / col("__tot").cast("double"))
+      .withColumn("__pa", powAlpha(col("p_raw")))
+    val z = raw.agg(
+      sum(floor(col("__pa") * lit(1e12) + lit(0.5)).cast("long")).as("__zfx"))
+    raw.crossJoin(broadcast(z))
+      .withColumn("weight", col("__pa") / (col("__zfx").cast("double") / lit(1e12)))
+      .withColumn("expected_tokens", col("weight") * lit(budget.toDouble))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("p_raw"), col("weight"), col("expected_tokens"),
+        (col("expected_tokens") / col("n_tokens").cast("double")).as("epochs"))
+  }
 }

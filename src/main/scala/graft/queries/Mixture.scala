@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextAnalysis
+import graft.operators.{Drift, Eval, Raking, Sampling}
+
+/** Corpus-mix design and monitoring surface: token-distribution
+  * divergence between slices, temperature-scaled source weights, IPF
+  * raking to target marginals, and filter-model calibration — the
+  * queries a data-mix designer runs before and after committing a
+  * training blend.
+  */
+object Mixture {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** English-vs-rest unigram drift (Drift.tokenJsDivergence): KL both
+    * ways + bounded JSD in nats, Laplace-smoothed over the union
+    * vocab — the "how different are these two slices really" gate. */
+  def tokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Drift.tokenJsDivergence(
+        d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"), "text")
+      .select(col("n_tok_a"), col("n_tok_b"),
+        col("vocab_union"), col("vocab_a"), col("vocab_b"),
+        rd(col("kl_ab"), 6).as("kl_ab"),
+        rd(col("kl_ba"), 6).as("kl_ba"),
+        rd(col("jsd"), 6).as("jsd"))
+  }
+
+  /** Temperature-scaled source mix (Sampling.temperatureWeights,
+    * α = 0.5, 100k-token budget): the exponent-smoothed sampling rule
+    * with the upsampling-epochs signal per source. */
+  def tempMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(
+        docs(s, dir).withColumn("n_toks", size(TextAnalysis.tokens("text"))),
+        "source", "n_toks", alpha = 0.5, budget = 100000L)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        rd(col("p_raw"), 6).as("p_raw"),
+        rd(col("weight"), 6).as("weight"),
+        rd(col("expected_tokens"), 2).as("expected_tokens"),
+        rd(col("epochs"), 4).as("epochs"))
+      .orderBy("source")
+
+  private[queries] val RakeLangTargets = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  private[queries] val RakeSourceTargets =
+    (0 to 9).map(i => s"src$i" -> 0.1).toMap
+
+  /** IPF raking (Raking.rake, 2 rounds): per-(lang, source) document
+    * weights that pull the corpus marginals toward a 40%-English /
+    * uniform-source target blend without dropping rows. */
+  def raking(s: SparkSession, dir: String): DataFrame =
+    Raking.rake(docs(s, dir), "lang", "source",
+        RakeLangTargets, RakeSourceTargets, iters = 2)
+      .select(col("lang"), col("source"), col("n"),
+        rd(col("weight"), 8).as("weight"),
+        rd(col("mass"), 8).as("mass"))
+      .orderBy("lang", "source")
+
+  /** Reliability diagram + ECE (Eval.calibration, 10 bins) for the
+    * quality score read as an is-English predictor — "is the filter
+    * signal's confidence honest?". The quality score has real spread
+    * across bins (the 2-round linear fit's algebraic-sigmoid
+    * probabilities all land in one bin — a degenerate diagram), and
+    * its per-bin gap exposes exactly the miscalibration a reliability
+    * diagram exists to show. */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        TextAnalysis.qualityScore(size(col("toks")),
+          TextAnalysis.stopwordRatio("toks"), TextAnalysis.punctRatio("text")).as("p"))
+    Eval.calibration(scored, "p", "y", bins = 10)
+      .select(col("bin"), col("n"),
+        rd(col("avg_conf"), 6).as("avg_conf"),
+        rd(col("frac_pos"), 6).as("frac_pos"),
+        rd(col("abs_gap"), 6).as("abs_gap"),
+        rd(col("ece"), 6).as("ece"))
+      .orderBy("bin")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_drift" -> tokenDrift,
+    "q_temp_mix" -> tempMix,
+    "q_raking" -> raking,
+    "q_calibration" -> calibration)
+
+  private def sqlCase(keyCol: String, targets: Map[String, Double]): String =
+    "CASE " + targets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $keyCol = '$k' THEN $v" }
+      .mkString(" ") + " END"
+
+  def oracles: Map[String, String] = Map(
+    "q_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
+        |cb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT term, coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+        |  FROM ca a FULL JOIN cb b USING (term)),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_tok_a, CAST(sum(cb) AS BIGINT) AS n_tok_b,
+        |    count(*) AS vocab_union,
+        |    CAST(sum(CAST(ca > 0 AS BIGINT)) AS BIGINT) AS vocab_a,
+        |    CAST(sum(CAST(cb > 0 AS BIGINT)) AS BIGINT) AS vocab_b
+        |  FROM j),
+        |terms AS (
+        |  SELECT n_tok_a, n_tok_b, vocab_union, vocab_a, vocab_b,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(n_tok_a + vocab_union AS DOUBLE) AS p,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(n_tok_b + vocab_union AS DOUBLE) AS q,
+        |    (CAST(ca + 1 AS DOUBLE) / CAST(n_tok_a + vocab_union AS DOUBLE)
+        |     + CAST(cb + 1 AS DOUBLE) / CAST(n_tok_b + vocab_union AS DOUBLE)) / 2 AS m
+        |  FROM j CROSS JOIN tot),
+        |agg AS (
+        |  SELECT n_tok_a, n_tok_b, vocab_union, vocab_a, vocab_b,
+        |    sum(CAST(floor((p * ln(p / q)) * 1e9 + 0.5) AS BIGINT)) AS kab,
+        |    sum(CAST(floor((q * ln(q / p)) * 1e9 + 0.5) AS BIGINT)) AS kba,
+        |    sum(CAST(floor((0.5 * (p * ln(p / m) + q * ln(q / m))) * 1e9 + 0.5) AS BIGINT)) AS js
+        |  FROM terms GROUP BY 1, 2, 3, 4, 5)
+        |SELECT n_tok_a, n_tok_b, vocab_union, vocab_a, vocab_b,
+        |  floor((CAST(kab AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS kl_ab,
+        |  floor((CAST(kba AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS kl_ba,
+        |  floor((CAST(js AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS jsd
+        |FROM agg""".stripMargin,
+    "q_temp_mix" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS tot FROM per),
+        |raw AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p_raw,
+        |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS pa
+        |  FROM per CROSS JOIN tot),
+        |z AS (SELECT sum(CAST(floor(pa * 1e12 + 0.5) AS BIGINT)) AS zfx FROM raw),
+        |wt AS (
+        |  SELECT source, n_docs, n_tokens, p_raw,
+        |    pa / (CAST(zfx AS DOUBLE) / 1e12) AS weight,
+        |    (pa / (CAST(zfx AS DOUBLE) / 1e12)) * 100000.0 AS expected_tokens
+        |  FROM raw CROSS JOIN z)
+        |SELECT source, n_docs, n_tokens,
+        |  floor((p_raw)*1000000 + 0.5)/1000000 AS p_raw,
+        |  floor((weight)*1000000 + 0.5)/1000000 AS weight,
+        |  floor((expected_tokens)*100 + 0.5)/100 AS expected_tokens,
+        |  floor((expected_tokens / CAST(n_tokens AS DOUBLE))*10000 + 0.5)/10000 AS epochs
+        |FROM wt ORDER BY source""".stripMargin,
+    "q_raking" -> {
+      val tr = sqlCase("r", RakeLangTargets)
+      val tc = sqlCase("c", RakeSourceTargets)
+      val langs = RakeLangTargets.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      val srcs = RakeSourceTargets.keys.toSeq.sorted.map(x => s"'$x'").mkString(", ")
+      s"""WITH cells AS (
+         |  SELECT lang AS r, source AS c, count(*) AS n, 1.0 AS w
+         |  FROM documents WHERE lang IN ($langs) AND source IN ($srcs)
+         |  GROUP BY 1, 2),
+         |rm1 AS (
+         |  SELECT r, sum(CAST(floor((w * n) * 1e9 + 0.5) AS BIGINT)) AS rm
+         |  FROM cells GROUP BY r),
+         |s1 AS (
+         |  SELECT cells.r, cells.c, n,
+         |    w * ($tr) / (CAST(rm AS DOUBLE) / 1e9) AS w
+         |  FROM cells JOIN rm1 USING (r)),
+         |cm1 AS (
+         |  SELECT c, sum(CAST(floor((w * n) * 1e9 + 0.5) AS BIGINT)) AS cm
+         |  FROM s1 GROUP BY c),
+         |s2 AS (
+         |  SELECT s1.r, s1.c, n,
+         |    w * ($tc) / (CAST(cm AS DOUBLE) / 1e9) AS w
+         |  FROM s1 JOIN cm1 USING (c)),
+         |rm2 AS (
+         |  SELECT r, sum(CAST(floor((w * n) * 1e9 + 0.5) AS BIGINT)) AS rm
+         |  FROM s2 GROUP BY r),
+         |s3 AS (
+         |  SELECT s2.r, s2.c, n,
+         |    w * ($tr) / (CAST(rm AS DOUBLE) / 1e9) AS w
+         |  FROM s2 JOIN rm2 USING (r)),
+         |cm2 AS (
+         |  SELECT c, sum(CAST(floor((w * n) * 1e9 + 0.5) AS BIGINT)) AS cm
+         |  FROM s3 GROUP BY c),
+         |s4 AS (
+         |  SELECT s3.r, s3.c, n,
+         |    w * ($tc) / (CAST(cm AS DOUBLE) / 1e9) AS w
+         |  FROM s3 JOIN cm2 USING (c))
+         |SELECT r AS lang, c AS source, n,
+         |  floor((w)*100000000 + 0.5)/100000000 AS weight,
+         |  floor((w * n)*100000000 + 0.5)/100000000 AS mass
+         |FROM s4 ORDER BY lang, source""".stripMargin
+    },
+    "q_calibration" ->
+      ("""WITH dq AS (
+        |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |mq AS (
+        |  SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
+        |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
+        |  FROM dq),
+        |sc AS (
+        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+        |    0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio) AS p
+        |  FROM mq),
+        |pb AS (
+        |  SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+        |    count(*) AS n,
+        |    sum(CAST(floor(p * 1e12 + 0.5) AS BIGINT)) AS sp,
+        |    sum(CAST(y AS BIGINT)) AS npos
+        |  FROM sc GROUP BY 1),
+        |pbx AS (
+        |  SELECT bin, n,
+        |    (CAST(sp AS DOUBLE) / 1e12) / n AS avg_conf,
+        |    CAST(npos AS DOUBLE) / n AS frac_pos,
+        |    abs((CAST(sp AS DOUBLE) / 1e12) / n - CAST(npos AS DOUBLE) / n) AS abs_gap
+        |  FROM pb),
+        |tt AS (
+        |  SELECT (CAST(sum(CAST(floor((n * abs_gap) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)
+        |    / sum(n) AS ece
+        |  FROM pbx)
+        |SELECT bin, n,
+        |  floor((avg_conf)*1000000 + 0.5)/1000000 AS avg_conf,
+        |  floor((frac_pos)*1000000 + 0.5)/1000000 AS frac_pos,
+        |  floor((abs_gap)*1000000 + 0.5)/1000000 AS abs_gap,
+        |  floor((ece)*1000000 + 0.5)/1000000 AS ece
+        |FROM pbx CROSS JOIN tt ORDER BY bin""".stripMargin))
+}

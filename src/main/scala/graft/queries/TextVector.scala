@@ -52,6 +52,55 @@ object TextVector {
       |       (a.mh0=b.mh0 AND a.mh1=b.mh1) OR (a.mh2=b.mh2 AND a.mh3=b.mh3)
       |    OR (a.mh4=b.mh4 AND a.mh5=b.mh5) OR (a.mh6=b.mh6 AND a.mh7=b.mh7)))""".stripMargin
 
+  /** Shared DuckDB CTE chain mirroring the 2-round LogReg.fit
+    * (fixed-point gradients, algebraic sigmoid) up to the final weight
+    * row `w2`, with the feature frame `f` — factored out so any future
+    * consumer of the fitted weights can't drift from q_logreg's. */
+  private[queries] val logregW2Cte =
+    """f AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100 AS x_ntok,
+      |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ('the', 'a'))) AS DOUBLE)
+      |      / CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE) AS x_stop,
+      |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) AS x_punct
+      |  FROM documents),
+      |g1 AS (
+      |  SELECT
+      |    CAST(sum(CAST(floor((y - 0.5) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_bias,
+      |    CAST(sum(CAST(floor(((y - 0.5) * x_ntok) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_ntok,
+      |    CAST(sum(CAST(floor(((y - 0.5) * x_stop) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_stop,
+      |    CAST(sum(CAST(floor(((y - 0.5) * x_punct) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_punct,
+      |    count(*) AS n
+      |  FROM f),
+      |w1 AS (
+      |  SELECT (CAST(g_bias AS DOUBLE) / 1e12) / n AS w_bias,
+      |         (CAST(g_ntok AS DOUBLE) / 1e12) / n AS w_ntok,
+      |         (CAST(g_stop AS DOUBLE) / 1e12) / n AS w_stop,
+      |         (CAST(g_punct AS DOUBLE) / 1e12) / n AS w_punct
+      |  FROM g1),
+      |e2 AS (
+      |  SELECT y, x_ntok, x_stop, x_punct,
+      |    y - (0.5 + 0.5 * (m / (1 + abs(m)))) AS err
+      |  FROM (
+      |    SELECT f.*, ((w.w_bias + w.w_ntok * f.x_ntok) + w.w_stop * f.x_stop) + w.w_punct * f.x_punct AS m
+      |    FROM f CROSS JOIN w1 w)),
+      |g2 AS (
+      |  SELECT
+      |    CAST(sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_bias,
+      |    CAST(sum(CAST(floor((err * x_ntok) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_ntok,
+      |    CAST(sum(CAST(floor((err * x_stop) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_stop,
+      |    CAST(sum(CAST(floor((err * x_punct) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_punct,
+      |    count(*) AS n
+      |  FROM e2),
+      |w2 AS (
+      |  SELECT w1.w_bias + (CAST(g2.g_bias AS DOUBLE) / 1e12) / g2.n AS w_bias,
+      |         w1.w_ntok + (CAST(g2.g_ntok AS DOUBLE) / 1e12) / g2.n AS w_ntok,
+      |         w1.w_stop + (CAST(g2.g_stop AS DOUBLE) / 1e12) / g2.n AS w_stop,
+      |         w1.w_punct + (CAST(g2.g_punct AS DOUBLE) / 1e12) / g2.n AS w_punct
+      |  FROM w1 CROSS JOIN g2)""".stripMargin
+
   /** Shared DuckDB CTE: stride-100 coarse centroids + argmax-cosine
     * cluster assignment — mirrors Similarity.strideCentroids +
     * ivfAssign including the centroid-id tie-break. */
@@ -2479,49 +2528,7 @@ object TextVector {
     // under any row order — and every feature is a ratio of integer
     // counts, so the whole fit hash-gates bit-for-bit.
     "q_logreg" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100 AS x_ntok,
-        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ('the', 'a'))) AS DOUBLE)
-        |      / CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE) AS x_stop,
-        |    CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS x_punct
-        |  FROM documents),
-        |g1 AS (
-        |  SELECT
-        |    CAST(sum(CAST(floor((y - 0.5) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_bias,
-        |    CAST(sum(CAST(floor(((y - 0.5) * x_ntok) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_ntok,
-        |    CAST(sum(CAST(floor(((y - 0.5) * x_stop) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_stop,
-        |    CAST(sum(CAST(floor(((y - 0.5) * x_punct) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_punct,
-        |    count(*) AS n
-        |  FROM f),
-        |w1 AS (
-        |  SELECT (CAST(g_bias AS DOUBLE) / 1e12) / n AS w_bias,
-        |         (CAST(g_ntok AS DOUBLE) / 1e12) / n AS w_ntok,
-        |         (CAST(g_stop AS DOUBLE) / 1e12) / n AS w_stop,
-        |         (CAST(g_punct AS DOUBLE) / 1e12) / n AS w_punct
-        |  FROM g1),
-        |e2 AS (
-        |  SELECT y, x_ntok, x_stop, x_punct,
-        |    y - (0.5 + 0.5 * (m / (1 + abs(m)))) AS err
-        |  FROM (
-        |    SELECT f.*, ((w.w_bias + w.w_ntok * f.x_ntok) + w.w_stop * f.x_stop) + w.w_punct * f.x_punct AS m
-        |    FROM f CROSS JOIN w1 w)),
-        |g2 AS (
-        |  SELECT
-        |    CAST(sum(CAST(floor(err * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_bias,
-        |    CAST(sum(CAST(floor((err * x_ntok) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_ntok,
-        |    CAST(sum(CAST(floor((err * x_stop) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_stop,
-        |    CAST(sum(CAST(floor((err * x_punct) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g_punct,
-        |    count(*) AS n
-        |  FROM e2),
-        |w2 AS (
-        |  SELECT w1.w_bias + (CAST(g2.g_bias AS DOUBLE) / 1e12) / g2.n AS w_bias,
-        |         w1.w_ntok + (CAST(g2.g_ntok AS DOUBLE) / 1e12) / g2.n AS w_ntok,
-        |         w1.w_stop + (CAST(g2.g_stop AS DOUBLE) / 1e12) / g2.n AS w_stop,
-        |         w1.w_punct + (CAST(g2.g_punct AS DOUBLE) / 1e12) / g2.n AS w_punct
-        |  FROM w1 CROSS JOIN g2),
+      ("WITH " + logregW2Cte + """,
         |sc AS (
         |  SELECT f.y,
         |    ((w.w_bias + w.w_ntok * f.x_ntok) + w.w_stop * f.x_stop) + w.w_punct * f.x_punct AS m
@@ -2537,7 +2544,7 @@ object TextVector {
         |  floor((w_ntok)*10000000000 + 0.5)/10000000000 AS w_ntok,
         |  floor((w_stop)*10000000000 + 0.5)/10000000000 AS w_stop,
         |  floor((w_punct)*10000000000 + 0.5)/10000000000 AS w_punct
-        |FROM mt CROSS JOIN w2""".stripMargin,
+        |FROM mt CROSS JOIN w2""".stripMargin),
     "q_semantic_dedup" ->
       ("WITH " + ivfAssignCte + """,
         |p AS (

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.{Drift, Eval, Raking, Sampling}
+
+/** Invariants for the corpus-mix design operators: temperature
+  * weights, IPF raking, token-distribution divergence, calibration. */
+class MixtureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+
+  // ---- temperatureWeights ---------------------------------------------------
+
+  private def tempMix(alpha: Double) =
+    Sampling.temperatureWeights(
+      docs.withColumn("nt", col("n_chars")), "source", "nt", alpha, budget = 100000L)
+
+  test("temperatureWeights: weights sum to 1; alpha=1 keeps raw proportions") {
+    val rows = tempMix(1.0)
+      .select("source", "p_raw", "weight").as[(String, Double, Double)].collect()
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    rows.foreach { case (s, p, w) =>
+      assert(math.abs(p - w) < 1e-9, s"alpha=1 must keep p_raw for $s")
+    }
+  }
+
+  test("temperatureWeights: alpha=0.5 flattens toward uniform") {
+    val raw = tempMix(1.0).select("source", "weight").as[(String, Double)].collect().toMap
+    val smo = tempMix(0.5).select("source", "weight").as[(String, Double)].collect().toMap
+    assert(math.abs(smo.values.sum - 1.0) < 1e-9)
+    val biggest = raw.maxBy(_._2)._1
+    val smallest = raw.minBy(_._2)._1
+    assert(smo(biggest) < raw(biggest), "head source must be downsampled")
+    assert(smo(smallest) > raw(smallest), "tail source must be upsampled")
+    // order is preserved — smoothing rescales, never reranks
+    assert(raw.toSeq.sortBy(_._2).map(_._1) == smo.toSeq.sortBy(_._2).map(_._1))
+  }
+
+  test("temperatureWeights: epochs = expected/available; rejects bad alpha") {
+    val r = tempMix(0.5)
+      .select("n_tokens", "expected_tokens", "epochs").as[(Long, Double, Double)].collect()
+    r.foreach { case (nt, exp, ep) => assert(math.abs(ep - exp / nt) < 1e-12) }
+    intercept[IllegalArgumentException](tempMix(0.0).collect())
+    intercept[IllegalArgumentException](tempMix(1.5).collect())
+  }
+
+  // ---- Raking.rake ----------------------------------------------------------
+
+  private val langT = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  private val srcT = (0 to 9).map(i => s"src$i" -> 0.1).toMap
+
+  test("rake: column marginals match exactly after the closing column pass") {
+    val cells = Raking.rake(docs, "lang", "source", langT, srcT, iters = 2)
+    val colMass = cells.groupBy("source").agg(sum("mass").as("m"))
+      .as[(String, Double)].collect().toMap
+    // "exact" up to the 1e-9 fixed-point quantum the masses are summed in
+    colMass.foreach { case (s, m) =>
+      assert(math.abs(m - srcT(s)) < 1e-7, s"source $s mass $m != ${srcT(s)}")
+    }
+    // row marginals converge toward targets (exactness only at the limit)
+    val rowMass = cells.groupBy("lang").agg(sum("mass").as("m"))
+      .as[(String, Double)].collect().toMap
+    rowMass.foreach { case (l, m) =>
+      assert(math.abs(m - langT(l)) < 0.05, s"lang $l mass $m far from ${langT(l)}")
+    }
+    assert(math.abs(colMass.values.sum - 1.0) < 1e-9, "total mass = target total")
+  }
+
+  test("rake: more iterations tighten the row marginals") {
+    def rowErr(iters: Int): Double =
+      Raking.rake(docs, "lang", "source", langT, srcT, iters)
+        .groupBy("lang").agg(sum("mass").as("m")).as[(String, Double)].collect()
+        .map { case (l, m) => math.abs(m - langT(l)) }.max
+    assert(rowErr(4) <= rowErr(1), "row-marginal error must not grow with rounds")
+  }
+
+  test("rake: deterministic and strictly positive weights") {
+    val a = Raking.rake(docs, "lang", "source", langT, srcT, iters = 2)
+      .select("lang", "source", "weight").as[(String, String, Double)].collect().toSet
+    val b = Raking.rake(docs, "lang", "source", langT, srcT, iters = 2)
+      .select("lang", "source", "weight").as[(String, String, Double)].collect().toSet
+    assert(a == b)
+    a.foreach { case (_, _, w) => assert(w > 0) }
+  }
+
+  // ---- Drift.tokenJsDivergence ---------------------------------------------
+
+  test("tokenJsDivergence: bounded, symmetric, zero on identical slices") {
+    val en = docs.filter($"lang" === "en")
+    val rest = docs.filter($"lang" =!= "en")
+    val ab = Drift.tokenJsDivergence(en, rest, "text")
+      .select("kl_ab", "kl_ba", "jsd").as[(Double, Double, Double)].head()
+    val ba = Drift.tokenJsDivergence(rest, en, "text")
+      .select("kl_ab", "kl_ba", "jsd").as[(Double, Double, Double)].head()
+    assert(ab._3 > 0 && ab._3 <= math.log(2) + 1e-9, s"JSD ${ab._3} out of (0, ln 2]")
+    assert(ab._1 > 0 && ab._2 > 0, "smoothed KLs are positive for distinct slices")
+    assert(math.abs(ab._3 - ba._3) < 1e-6, "JSD is symmetric")
+    assert(math.abs(ab._1 - ba._2) < 1e-6 && math.abs(ab._2 - ba._1) < 1e-6,
+      "KLs swap under argument swap")
+    val same = Drift.tokenJsDivergence(en, en, "text")
+      .select("kl_ab", "kl_ba", "jsd").as[(Double, Double, Double)].head()
+    assert(same._1 == 0.0 && same._2 == 0.0 && same._3 == 0.0)
+  }
+
+  test("tokenJsDivergence: vocab accounting is the union") {
+    val r = Drift.tokenJsDivergence(
+      docs.filter($"lang" === "en"), docs.filter($"lang" =!= "en"), "text")
+      .select("vocab_union", "vocab_a", "vocab_b").as[(Long, Long, Long)].head()
+    assert(r._1 >= math.max(r._2, r._3) && r._1 <= r._2 + r._3)
+  }
+
+  // ---- Eval.calibration -----------------------------------------------------
+
+  test("calibration: bins partition the frame; gaps consistent; ECE in [0,1]") {
+    val scored = docs.select(
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      (least(col("n_chars").cast("double") / 4000, lit(1.0))).as("p"))
+    val cal = Eval.calibration(scored, "p", "y", bins = 10)
+      .select("bin", "n", "avg_conf", "frac_pos", "abs_gap", "ece")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+    assert(cal.map(_._2).sum == docs.count(), "bins partition the corpus")
+    cal.foreach { case (b, _, conf, pos, gap, ece) =>
+      assert(b >= 0 && b <= 9)
+      assert(math.abs(gap - math.abs(conf - pos)) < 1e-12)
+      assert(ece >= 0 && ece <= 1)
+    }
+    assert(cal.map(_._6).distinct.length == 1, "ECE is the same scalar on every row")
+    // ECE is the n-weighted mean gap
+    val n = cal.map(_._2).sum.toDouble
+    val expected = cal.map { c => c._2 * c._5 }.sum / n
+    assert(math.abs(cal.head._6 - expected) < 1e-9)
+  }
+
+  test("calibration: a perfect probability scorer has ECE 0") {
+    val perfect = docs.select(
+      when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("y"))
+      .withColumn("p", col("y"))
+    val cal = Eval.calibration(perfect, "p", "y", bins = 10)
+      .select("bin", "abs_gap", "ece").as[(Int, Double, Double)].collect()
+    assert(cal.map(_._1).toSet == Set(0, 9), "mass sits in the extreme bins")
+    cal.foreach { case (_, gap, ece) => assert(gap == 0.0 && ece == 0.0) }
+  }
+}
