@@ -84,11 +84,24 @@ object Mixture {
       .orderBy("bin")
   }
 
+  /** Dominant principal direction of the embedding corpus
+    * (Pca.powerIteration, 2 rounds): per-dim loadings + eigenvalue +
+    * top component's variance share — the anisotropy diagnostic. */
+  def pcaTop(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.powerIteration(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 2)
+      .select(col("pos"),
+        rd(col("loading"), 8).as("loading"),
+        rd(col("eigenvalue"), 8).as("eigenvalue"),
+        rd(col("var_frac"), 8).as("var_frac"))
+      .orderBy("pos")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_drift" -> tokenDrift,
     "q_temp_mix" -> tempMix,
     "q_raking" -> raking,
-    "q_calibration" -> calibration)
+    "q_calibration" -> calibration,
+    "q_pca_top" -> pcaTop)
 
   private def sqlCase(keyCol: String, targets: Map[String, Double]): String =
     "CASE " + targets.toSeq.sortBy(_._1)
@@ -233,5 +246,46 @@ object Mixture {
         |  floor((frac_pos)*1000000 + 0.5)/1000000 AS frac_pos,
         |  floor((abs_gap)*1000000 + 0.5)/1000000 AS abs_gap,
         |  floor((ece)*1000000 + 0.5)/1000000 AS ece
-        |FROM pbx CROSS JOIN tt ORDER BY bin""".stripMargin))
+        |FROM pbx CROSS JOIN tt ORDER BY bin""".stripMargin),
+    "q_pca_top" ->
+      """WITH ex AS (
+        |  SELECT vec_id AS id, pos - 1 AS pos, x FROM (
+        |    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |           generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings)),
+        |mu AS (
+        |  SELECT pos, count(*) AS n,
+        |    (CAST(sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / count(*) AS mu
+        |  FROM ex GROUP BY pos),
+        |exc AS (SELECT id, pos, x - mu AS xc FROM ex JOIN mu USING (pos)),
+        |dm AS (SELECT count(*) AS d, max(n) AS n FROM mu),
+        |v0 AS (SELECT pos, 1.0 / sqrt(CAST(d AS DOUBLE)) AS v FROM mu CROSS JOIN dm),
+        |s1 AS (
+        |  SELECT id, CAST(sum(CAST(floor((xc * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS s
+        |  FROM exc JOIN v0 USING (pos) GROUP BY id),
+        |u1 AS (
+        |  SELECT pos, (CAST(sum(CAST(floor((xc * s) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / n AS u
+        |  FROM exc JOIN s1 USING (id) CROSS JOIN dm GROUP BY pos, n),
+        |n1 AS (
+        |  SELECT sqrt(CAST(sum(CAST(floor((u * u) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        |  FROM u1),
+        |v1 AS (SELECT pos, u / nrm AS v FROM u1 CROSS JOIN n1),
+        |s2 AS (
+        |  SELECT id, CAST(sum(CAST(floor((xc * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS s
+        |  FROM exc JOIN v1 USING (pos) GROUP BY id),
+        |u2 AS (
+        |  SELECT pos, (CAST(sum(CAST(floor((xc * s) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / n AS u
+        |  FROM exc JOIN s2 USING (id) CROSS JOIN dm GROUP BY pos, n),
+        |n2 AS (
+        |  SELECT sqrt(CAST(sum(CAST(floor((u * u) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+        |  FROM u2),
+        |v2 AS (SELECT pos, u / nrm AS v FROM u2 CROSS JOIN n2),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(floor((xc * xc) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS tv
+        |  FROM exc)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  floor((v)*100000000 + 0.5)/100000000 AS loading,
+        |  floor((nrm)*100000000 + 0.5)/100000000 AS eigenvalue,
+        |  floor((nrm / (tv / n))*100000000 + 0.5)/100000000 AS var_frac
+        |FROM v2 CROSS JOIN n2 CROSS JOIN dm CROSS JOIN tot ORDER BY pos""".stripMargin)
 }
