@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Drift, Eval, Raking, Sampling}
+import graft.operators.{Dedup, Drift, Eval, Linkage, Raking, Sampling}
 
 /** Corpus-mix design and monitoring surface: token-distribution
   * divergence between slices, temperature-scaled source weights, IPF
@@ -96,12 +96,28 @@ object Mixture {
         rd(col("var_frac"), 8).as("var_frac"))
       .orderBy("pos")
 
+  /** Fellegi-Sunter linkage scoring (Linkage.fellegiSunter) over the
+    * MinHash-blocked candidate pairs: (source, lang, length-band)
+    * agreement vector, unsupervised m/u estimation (pseudo-truth =
+    * est_jaccard ≥ 0.75), log-likelihood match weight + decision. */
+  def linkage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("len_band", floor(col("n_chars") / 200))
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(d, "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+      .select(col("id_a"), col("id_b"), (col("est_jaccard") >= 0.75).as("pseudo"))
+    Linkage.fellegiSunter(d, "doc_id", pairs, Seq("source", "lang", "len_band"), "pseudo")
+      .select(col("id_a"), col("id_b"), col("agree_source"), col("agree_lang"),
+        col("agree_len_band"), rd(col("score"), 6).as("score"), col("decision"))
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_drift" -> tokenDrift,
     "q_temp_mix" -> tempMix,
     "q_raking" -> raking,
     "q_calibration" -> calibration,
-    "q_pca_top" -> pcaTop)
+    "q_pca_top" -> pcaTop,
+    "q_linkage" -> linkage)
 
   private def sqlCase(keyCol: String, targets: Map[String, Double]): String =
     "CASE " + targets.toSeq.sortBy(_._1)
@@ -287,5 +303,57 @@ object Mixture {
         |  floor((v)*100000000 + 0.5)/100000000 AS loading,
         |  floor((nrm)*100000000 + 0.5)/100000000 AS eigenvalue,
         |  floor((nrm / (tv / n))*100000000 + 0.5)/100000000 AS var_frac
-        |FROM v2 CROSS JOIN n2 CROSS JOIN dm CROSS JOIN tot ORDER BY pos""".stripMargin)
+        |FROM v2 CROSS JOIN n2 CROSS JOIN dm CROSS JOIN tot ORDER BY pos""".stripMargin,
+    "q_linkage" ->
+      (s"WITH ${TextVector.lshPairsCte}," + """
+        |pp AS (SELECT id_a, id_b, est_jaccard >= 0.75 AS pseudo FROM pairs),
+        |db AS (
+        |  SELECT doc_id, source, lang, CAST(floor(n_chars / 200) AS BIGINT) AS len_band
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |u_source AS (
+        |  SELECT CAST(sum(c*(c-1)) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS u_source
+        |  FROM (SELECT count(*) AS c FROM db GROUP BY source) CROSS JOIN nn GROUP BY n),
+        |u_lang AS (
+        |  SELECT CAST(sum(c*(c-1)) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS u_lang
+        |  FROM (SELECT count(*) AS c FROM db GROUP BY lang) CROSS JOIN nn GROUP BY n),
+        |u_len AS (
+        |  SELECT CAST(sum(c*(c-1)) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS u_len_band
+        |  FROM (SELECT count(*) AS c FROM db GROUP BY len_band) CROSS JOIN nn GROUP BY n),
+        |fl AS (
+        |  SELECT p.id_a, p.id_b, p.pseudo,
+        |    CAST(a.source = b.source AS INT) AS agree_source,
+        |    CAST(a.lang = b.lang AS INT) AS agree_lang,
+        |    CAST(a.len_band = b.len_band AS INT) AS agree_len_band
+        |  FROM pp p JOIN db a ON p.id_a = a.doc_id JOIN db b ON p.id_b = b.doc_id),
+        |mm AS (
+        |  SELECT
+        |    CAST(sum(agree_source) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_source,
+        |    CAST(sum(agree_lang) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_lang,
+        |    CAST(sum(agree_len_band) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_len_band
+        |  FROM fl WHERE pseudo),
+        |params AS (
+        |  SELECT
+        |    least(greatest(m_source, 0.001), 0.999) AS mc_source,
+        |    least(greatest(u_source, 0.001), 0.999) AS uc_source,
+        |    least(greatest(m_lang, 0.001), 0.999) AS mc_lang,
+        |    least(greatest(u_lang, 0.001), 0.999) AS uc_lang,
+        |    least(greatest(m_len_band, 0.001), 0.999) AS mc_len,
+        |    least(greatest(u_len_band, 0.001), 0.999) AS uc_len
+        |  FROM mm CROSS JOIN u_source CROSS JOIN u_lang CROSS JOIN u_len),
+        |sc AS (
+        |  SELECT id_a, id_b, agree_source, agree_lang, agree_len_band,
+        |    (CASE WHEN agree_source = 1 THEN ln(mc_source / uc_source)
+        |          ELSE ln((1.0 - mc_source) / (1.0 - uc_source)) END
+        |     + CASE WHEN agree_lang = 1 THEN ln(mc_lang / uc_lang)
+        |            ELSE ln((1.0 - mc_lang) / (1.0 - uc_lang)) END
+        |     + CASE WHEN agree_len_band = 1 THEN ln(mc_len / uc_len)
+        |            ELSE ln((1.0 - mc_len) / (1.0 - uc_len)) END) AS score
+        |  FROM fl CROSS JOIN params)
+        |SELECT id_a, id_b, agree_source, agree_lang, agree_len_band,
+        |  floor((score)*1000000 + 0.5)/1000000 AS score,
+        |  CASE WHEN score >= 2.0 THEN 'match'
+        |       WHEN score <= -2.0 THEN 'non_match'
+        |       ELSE 'possible' END AS decision
+        |FROM sc ORDER BY id_a, id_b""".stripMargin))
 }

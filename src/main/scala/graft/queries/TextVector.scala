@@ -42,7 +42,7 @@ object TextVector {
       |  FROM shx GROUP BY 1)""").stripMargin
   }
 
-  private val lshPairsCte =
+  private[queries] val lshPairsCte =
     sigCte + """,
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
