@@ -398,4 +398,38 @@ class PlanQualitySpec extends AnyFunSuite {
   // the outer plan is a checkpoint-leaf read. Their scale shapes are
   // pinned behaviorally instead (SelectionSpec: shuffle-free round
   // semantics + determinism; BpeSpec: partitioning-invariant fit).
+
+  test("q_token_drift: per-slice term aggregates keep the map-side partial, term equi-join") {
+    val p = plan("q_token_drift")
+    assert(!p.contains("CartesianProduct"), "token drift went all-pairs")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "per-term counts lost the partial+final aggregation")
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin"),
+      "union-vocab join must stay a keyed full-outer")
+  }
+
+  test("q_raking/q_temp_mix: corpus collapses to the grid in one pass, rounds are broadcast joins") {
+    Seq("q_raking", "q_temp_mix").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian between data-scale frames")
+      assert(p.contains("BroadcastExchange"),
+        s"$q stratum totals must broadcast, not shuffle the grid")
+    }
+  }
+
+  test("q_linkage: marginal aggregates + pair equi-joins, params broadcast") {
+    val p = plan("q_linkage")
+    assert(!p.contains("CartesianProduct"), "linkage went all-pairs")
+    assert(p.contains("BroadcastExchange"), "m/u parameter row must broadcast")
+  }
+
+  test("q_pca_top: per-round state is broadcast; corpus touched by keyed aggregates only") {
+    // the fit materializes through persisted frames, so pin the shape on
+    // the operator's first round directly rather than the checkpoint leaf
+    val exc = graft.core.Tables(spark, dir, "embeddings")
+    val p = graft.operators.Pca.powerIteration(exc, "vec_id", "embedding", iters = 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "pca has a data-scale cartesian")
+  }
 }
