@@ -175,4 +175,48 @@ object Curation {
         graft.queries.rd(col("n_kept").cast("double") / col("n_docs"), 4))
       .select(col(domainCol), col("n_docs"), col("n_kept"), col("keep_rate"), col("threshold"))
   }
+
+  /** Exact-phrase blocklist matching at corpus scale — "flag every
+    * document containing any banned phrase", the policy-filter stage.
+    * NOT a per-row scan over K patterns (the multi-regex approach that
+    * dies at large K): each document explodes once per phrase LENGTH
+    * into md5-hashed token windows, and phrases join by window hash —
+    * a keyed equi-join whose cost is |tokens|·|distinct lengths|,
+    * independent of K. Matching is token-exact (same normalization as
+    * [[graft.functions.TextAnalysis.tokens]] on both sides), so
+    * "fast table" matches "Fast, table!" but never "fastest table".
+    *
+    * `phrases` is config-scale (it broadcasts); its distinct token
+    * LENGTHS (a handful) are collected to drive the per-length window
+    * explode — config-metadata collect, not a data-path collect.
+    * Returns one row per (doc, phrase) with the hit count; anti-join
+    * the doc frame against it to apply the block. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: DataFrame, phraseIdCol: String,
+                    phraseCol: String): DataFrame = {
+    // config-scale frame: re-deriving it per length leg is cheaper than
+    // managing a cache lifetime for a handful of rows
+    val ph = phrases.select(col(phraseIdCol),
+      graft.functions.TextAnalysis.tokens(phraseCol).as("__ptoks"))
+      .withColumn("__len", size(col("__ptoks")))
+      .withColumn("__ph", md5(concat_ws(" ", col("__ptoks"))))
+    val lengths = ph.select(col("__len")).distinct()
+      .collect().map(_.getInt(0)).filter(_ >= 1).sorted
+    require(lengths.nonEmpty, "blocklist has no non-empty phrase")
+    val toks = docs.withColumn("__toks",
+      graft.functions.TextAnalysis.tokens(textCol))
+    val hits = lengths.map { n =>
+      toks.filter(size(col("__toks")) >= n)
+        .select(col(idCol), explode(expr(
+          s"""transform(sequence(1, size(__toks) - ${n - 1}),
+             |  i -> md5(concat_ws(' ', slice(__toks, i, $n))))""".stripMargin))
+          .as("__wh"))
+        .join(broadcast(ph.filter(col("__len") === n)
+          .select(col(phraseIdCol), col("__ph"))),
+          col("__wh") === col("__ph"))
+        .groupBy(col(idCol), col(phraseIdCol))
+        .agg(count(lit(1)).as("n_hits"))
+    }.reduce(_.unionByName(_))
+    hits
+  }
 }

@@ -111,13 +111,39 @@ object Mixture {
       .orderBy("id_a", "id_b")
   }
 
+  /** Heaps-law diversity growth (Diversity.growthCurve): cumulative
+    * distinct-trigram curve over 10 hash slices + per-slice novelty
+    * rate — the crawl-saturation signal. */
+  def diversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diversity.growthCurve(docs(s, dir), "doc_id", "text",
+        n = 3, buckets = 10)
+      .select(col("bucket"), col("n_docs"), col("slice_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"),
+        rd(col("novelty_rate"), 6).as("novelty_rate"))
+      .orderBy("bucket")
+
+  /** Exact-phrase blocklist hits (Curation.blocklistHits): mixed 2- and
+    * 3-token banned phrases matched via hashed token-window equi-join. */
+  def blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = Seq(
+      (1L, "table table"), (2L, "fast table value"), (3L, "batch window"),
+      (4L, "slow filter value"), (5L, "agg join small"))
+      .toDF("phrase_id", "phrase")
+    graft.operators.Curation.blocklistHits(
+        docs(s, dir), "doc_id", "text", ph, "phrase_id", "phrase")
+      .orderBy("doc_id", "phrase_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_drift" -> tokenDrift,
     "q_temp_mix" -> tempMix,
     "q_raking" -> raking,
     "q_calibration" -> calibration,
     "q_pca_top" -> pcaTop,
-    "q_linkage" -> linkage)
+    "q_linkage" -> linkage,
+    "q_diversity" -> diversity,
+    "q_blocklist" -> blocklist)
 
   private def sqlCase(keyCol: String, targets: Map[String, Double]): String =
     "CASE " + targets.toSeq.sortBy(_._1)
@@ -355,5 +381,54 @@ object Mixture {
         |  CASE WHEN score >= 2.0 THEN 'match'
         |       WHEN score <= -2.0 THEN 'non_match'
         |       ELSE 'possible' END AS decision
-        |FROM sc ORDER BY id_a, id_b""".stripMargin))
+        |FROM sc ORDER BY id_a, id_b""".stripMargin),
+    "q_diversity" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) % 10 AS INT) AS b,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, b,
+        |    unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS g
+        |  FROM d WHERE len(w) >= 3),
+        |pg AS (SELECT g, min(b) AS bucket FROM g GROUP BY g),
+        |nt AS (SELECT bucket, count(*) AS new_types FROM pg GROUP BY 1),
+        |st AS (SELECT b AS bucket, count(*) AS slice_tokens FROM g GROUP BY 1),
+        |dp AS (SELECT b AS bucket, count(*) AS n_docs FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT dp.bucket, n_docs,
+        |    coalesce(slice_tokens, 0) AS slice_tokens,
+        |    coalesce(new_types, 0) AS new_types
+        |  FROM dp LEFT JOIN st USING (bucket) LEFT JOIN nt USING (bucket)),
+        |c AS (
+        |  SELECT *, CAST(sum(slice_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+        |    CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+        |  FROM j)
+        |SELECT bucket, n_docs, slice_tokens, new_types, cum_tokens, cum_types,
+        |  CASE WHEN slice_tokens > 0 THEN
+        |    floor((CAST(new_types AS DOUBLE) / CAST(slice_tokens AS DOUBLE))*1000000 + 0.5)/1000000
+        |  END AS novelty_rate
+        |FROM c ORDER BY bucket""".stripMargin,
+    "q_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |p AS (
+        |  SELECT CAST(phrase_id AS BIGINT) AS phrase_id, phrase,
+        |    len(string_split(phrase, ' ')) AS plen
+        |  FROM (VALUES (1, 'table table'), (2, 'fast table value'), (3, 'batch window'),
+        |               (4, 'slow filter value'), (5, 'agg join small')) v(phrase_id, phrase)),
+        |w2 AS (
+        |  SELECT doc_id, unnest([w[i]||' '||w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS win
+        |  FROM t WHERE len(w) >= 2),
+        |w3 AS (
+        |  SELECT doc_id, unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS win
+        |  FROM t WHERE len(w) >= 3),
+        |h AS (
+        |  SELECT doc_id, phrase_id, count(*) AS n_hits
+        |  FROM w2 JOIN p ON plen = 2 AND win = phrase GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, phrase_id, count(*) AS n_hits
+        |  FROM w3 JOIN p ON plen = 3 AND win = phrase GROUP BY 1, 2)
+        |SELECT doc_id, phrase_id, n_hits FROM h ORDER BY doc_id, phrase_id""".stripMargin)
 }

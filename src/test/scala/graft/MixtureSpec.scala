@@ -134,6 +134,46 @@ class MixtureSpec extends AnyFunSuite {
     assert(math.abs(cal.head._6 - expected) < 1e-9)
   }
 
+  // ---- Diversity.growthCurve -----------------------------------------------
+
+  test("growthCurve: slices partition the corpus; curve is a monotone exact count") {
+    val r = graft.operators.Diversity.growthCurve(docs, "doc_id", "text", n = 3, buckets = 10)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "slice_tokens", "new_types", "cum_tokens", "cum_types")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(r.map(_._1).toSeq == (0 until 10), "every slice present")
+    assert(r.map(_._2).sum == docs.count(), "slices partition the docs")
+    assert(r.last._5 == r.map(_._3).sum && r.last._6 == r.map(_._4).sum,
+      "cumulative columns are running sums")
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 >= a._5 && b._6 >= a._6, "cumulative curve must be monotone")
+    }
+    // the final type count is the corpus's exact distinct-trigram count
+    val distinctGrams = docs
+      .withColumn("t", graft.functions.TextAnalysis.tokens("text"))
+      .select(explode(graft.functions.TextAnalysis.shinglesMulti("t", 3)).as("g"))
+      .agg(countDistinct($"g")).as[Long].head()
+    assert(r.last._6 == distinctGrams)
+  }
+
+  // ---- Curation.blocklistHits ----------------------------------------------
+
+  test("blocklistHits: token-exact matches with counts, mixed lengths, no false hits") {
+    val d = Seq(
+      (1L, "the Quick, BROWN fox! jumps the quick brown dog"),
+      (2L, "quick brown things and a quick brownie"),
+      (3L, "nothing to see here")).toDF("id", "body")
+    val ph = Seq((10L, "quick brown"), (20L, "jumps the quick")).toDF("pid", "p")
+    val hits = graft.operators.Curation.blocklistHits(d, "id", "body", ph, "pid", "p")
+      .as[(Long, Long, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    // doc 1: "Quick, BROWN" normalizes to a hit + "quick brown dog" = 2 hits
+    assert(hits(1L -> 10L) == 2L)
+    assert(hits(1L -> 20L) == 1L, "3-token phrase found across punctuation")
+    // doc 2: "quick brownie" must NOT match "quick brown" (token-exact)
+    assert(hits(2L -> 10L) == 1L)
+    assert(!hits.contains(2L -> 20L) && !hits.keys.exists(_._1 == 3L), "no false hits")
+  }
+
   test("calibration: a perfect probability scorer has ECE 0") {
     val perfect = docs.select(
       when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("y"))
