@@ -135,7 +135,22 @@ object Mixture {
       .orderBy("doc_id", "phrase_id")
   }
 
+  /** k-anonymity / l-diversity audit (Privacy.kAnonymity, k=5, l=2):
+    * quasi-identifiers (source, 500-char length band), sensitive
+    * attribute lang — per-class risk plus corpus rates. */
+  def kAnon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymity(
+        docs(s, dir).withColumn("len_band", floor(col("n_chars") / 500)),
+        Seq("source", "len_band"), "lang", k = 5, l = 2)
+      .select(col("source"), col("len_band"), col("class_size"),
+        col("l_diversity"), rd(col("risk"), 6).as("risk"),
+        col("violates_k"), col("violates_l"), col("n_rows"),
+        rd(col("frac_rows_at_risk"), 6).as("frac_rows_at_risk"),
+        col("min_class_size"))
+      .orderBy("source", "len_band")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> kAnon,
     "q_token_drift" -> tokenDrift,
     "q_temp_mix" -> tempMix,
     "q_raking" -> raking,
@@ -151,6 +166,26 @@ object Mixture {
       .mkString(" ") + " END"
 
   def oracles: Map[String, String] = Map(
+    "q_kanon" ->
+      """WITH c AS (
+        |  SELECT source, CAST(floor(n_chars / 500) AS BIGINT) AS len_band,
+        |    count(*) AS class_size, count(DISTINCT lang) AS l_diversity
+        |  FROM documents GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *, CAST(1 AS DOUBLE) / class_size AS risk,
+        |    class_size < 5 AS violates_k, l_diversity < 2 AS violates_l
+        |  FROM c),
+        |t AS (
+        |  SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN violates_k THEN class_size ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(class_size) AS DOUBLE) AS frac_rows_at_risk,
+        |    min(class_size) AS min_class_size
+        |  FROM x)
+        |SELECT source, len_band, class_size, l_diversity,
+        |  floor((risk)*1000000 + 0.5)/1000000 AS risk, violates_k, violates_l,
+        |  n_rows, floor((frac_rows_at_risk)*1000000 + 0.5)/1000000 AS frac_rows_at_risk,
+        |  min_class_size
+        |FROM x CROSS JOIN t ORDER BY source, len_band""".stripMargin,
     "q_token_drift" ->
       """WITH ta AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

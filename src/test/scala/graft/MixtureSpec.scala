@@ -174,6 +174,39 @@ class MixtureSpec extends AnyFunSuite {
     assert(!hits.contains(2L -> 20L) && !hits.keys.exists(_._1 == 3L), "no false hits")
   }
 
+  // ---- Privacy.kAnonymity --------------------------------------------------
+
+  test("kAnonymity: classes partition rows; flags and rates are consistent") {
+    val r = graft.operators.Privacy.kAnonymity(
+      docs.withColumn("len_band", floor(col("n_chars") / 500)),
+      Seq("source", "len_band"), "lang", k = 5, l = 2)
+      .select("class_size", "l_diversity", "risk", "violates_k", "violates_l",
+        "n_rows", "frac_rows_at_risk", "min_class_size")
+      .as[(Long, Long, Double, Boolean, Boolean, Long, Double, Long)].collect()
+    val n = docs.count()
+    assert(r.map(_._1).sum == n, "classes partition the corpus")
+    assert(r.forall(_._6 == n))
+    r.foreach { x =>
+      assert(x._4 == (x._1 < 5) && x._5 == (x._2 < 2))
+      assert(math.abs(x._3 - 1.0 / x._1) < 1e-15)
+      assert(x._2 <= x._1, "l-diversity cannot exceed class size")
+    }
+    val atRisk = r.filter(_._4).map(_._1).sum.toDouble / n
+    assert(math.abs(r.head._7 - atRisk) < 1e-12)
+    assert(r.head._8 == r.map(_._1).min)
+  }
+
+  test("kAnonymity: a unique quasi-identifier is flagged at maximum risk") {
+    val d = Seq((1L, "x", "s1"), (2L, "x", "s2"), (3L, "x", "s1"), (4L, "y", "s1"))
+      .toDF("id", "qid", "sens")
+    val r = graft.operators.Privacy.kAnonymity(d, Seq("qid"), "sens", k = 2, l = 2)
+      .select("qid", "class_size", "l_diversity", "risk", "violates_k", "violates_l")
+      .as[(String, Long, Long, Double, Boolean, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("y")._5 && r("y")._4 == 1.0, "singleton class is fully linkable")
+    assert(!r("x")._5 && !r("x")._6, "3-row 2-diverse class passes at k=2,l=2")
+  }
+
   test("calibration: a perfect probability scorer has ECE 0") {
     val perfect = docs.select(
       when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("y"))
