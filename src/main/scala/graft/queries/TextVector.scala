@@ -699,6 +699,20 @@ object TextVector {
       .orderBy("label")
   }
 
+  /** Newman modularity of the LPA communities over the same kNN graph
+    * (Graphs.modularity): per-community contribution + the corpus Q —
+    * "are the clusters real or random wiring?". */
+  def modularityQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val labels = graft.operators.Graphs.labelPropagation(
+      knn, "query_id", "neighbor_id", iters = 2)
+    graft.operators.Graphs.modularity(knn, "query_id", "neighbor_id", labels)
+      .select(col("label"), col("n_nodes"), col("degree_sum"), col("intra_edges"),
+        rd(col("contrib"), 8).as("contrib"),
+        rd(col("modularity"), 8).as("modularity"), col("m"))
+      .orderBy("label")
+  }
+
   /** IVF with the FITTED spherical-k-means quantizer + multi-probe
     * (nprobe=3) — the production ANN path. The Lloyd iteration isn't
     * SQL-expressible, so the detailed ranking can't be oracled; the
@@ -1185,6 +1199,7 @@ object TextVector {
     "q_kcore" -> kcorePeel,
     "q_triangles_oriented" -> trianglesOriented,
     "q_label_prop" -> labelProp,
+    "q_modularity" -> modularityQ,
     "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
@@ -2331,6 +2346,52 @@ object TextVector {
         |         FROM v2) WHERE rn = 1)
         |SELECT label, count(*) AS n_members, min(id) AS min_member
         |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same knn + 2-round LPA chain as q_label_prop, then the Newman
+    // modularity CTEs: exact integer e_c/d_c/m, fixed-point Q sum
+    "q_modularity" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |und AS (
+        |  SELECT query_id AS src, neighbor_id AS dst FROM knn WHERE query_id <> neighbor_id
+        |  UNION
+        |  SELECT neighbor_id, query_id FROM knn WHERE query_id <> neighbor_id),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+        |v1 AS (SELECT u.src, l.label, count(*) AS c
+        |       FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT src AS id, label FROM (
+        |         SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT u.src, l.label, count(*) AS c
+        |       FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT src AS id, label FROM (
+        |         SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |ce AS (SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |       FROM knn WHERE query_id <> neighbor_id),
+        |el AS (SELECT ce.u, ce.v, a.label AS lu, b.label AS lv
+        |       FROM ce JOIN l2 a ON ce.u = a.id JOIN l2 b ON ce.v = b.id),
+        |mm AS (SELECT count(*) AS m FROM el),
+        |intra AS (SELECT lu AS label, count(*) AS intra_edges FROM el WHERE lu = lv GROUP BY 1),
+        |degc AS (SELECT label, count(*) AS degree_sum
+        |         FROM (SELECT lu AS label FROM el UNION ALL SELECT lv FROM el) GROUP BY 1),
+        |nodes AS (SELECT label, count(*) AS n_nodes FROM l2 GROUP BY 1),
+        |per AS (
+        |  SELECT n.label, n.n_nodes,
+        |    coalesce(d.degree_sum, 0) AS degree_sum,
+        |    coalesce(i.intra_edges, 0) AS intra_edges,
+        |    CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m
+        |      - (CAST(coalesce(d.degree_sum, 0) AS DOUBLE) / (2 * m))
+        |        * (CAST(coalesce(d.degree_sum, 0) AS DOUBLE) / (2 * m)) AS contrib,
+        |    m
+        |  FROM nodes n LEFT JOIN degc d USING (label) LEFT JOIN intra i USING (label)
+        |  CROSS JOIN mm),
+        |qq AS (
+        |  SELECT CAST(sum(CAST(floor(contrib * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS q
+        |  FROM per)
+        |SELECT label, n_nodes, degree_sum, intra_edges,
+        |  floor((contrib)*100000000 + 0.5)/100000000 AS contrib,
+        |  floor((q)*100000000 + 0.5)/100000000 AS modularity, m
+        |FROM per CROSS JOIN qq ORDER BY label""".stripMargin,
     "q_embed_ivf" ->
       ("WITH " + ivfAssignCte + """,
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM assign WHERE vec_id < 8),

@@ -163,4 +163,34 @@ class GraphsSpec extends AnyFunSuite {
     // clean graph is the 1-2-3 triangle: everyone has deg 2, nothing peels
     assert(got == Seq((0, 3L, 3L), (1, 3L, 3L)), s"got $got")
   }
+
+  test("modularity: two disjoint triangles with perfect labels score exactly 0.5") {
+    // K3 ∪ K3: m = 6, per community e_c = 3, d_c = 6
+    // Q = 2 · (3/6 − (6/12)²) = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "label")
+    val r = Graphs.modularity(edges, "a", "b", labels)
+      .select("label", "n_nodes", "degree_sum", "intra_edges", "modularity", "m")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(r.length == 2 && r.forall(_._6 == 6L))
+    r.foreach { x =>
+      assert(x._2 == 3 && x._3 == 6 && x._4 == 3, s"per-community counts wrong: $x")
+      assert(math.abs(x._5 - 0.5) < 1e-9)
+    }
+    labels.unpersist(); edges.unpersist()
+  }
+
+  test("modularity: the all-in-one labeling scores 0; singletons score negative") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("id", "label")
+    val q1 = Graphs.modularity(edges, "a", "b", one)
+      .select("modularity").as[Double].head()
+    assert(math.abs(q1) < 1e-9, s"single community must score 0, got $q1")
+    val selfs = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "label")
+    val q2 = Graphs.modularity(edges, "a", "b", selfs)
+      .select("modularity").as[Double].head()
+    assert(q2 < 0, s"all-singleton labeling must be negative, got $q2")
+  }
 }
