@@ -363,4 +363,44 @@ object Graphs {
     el.unpersist()
     out
   }
+
+  /** Degree assortativity (Newman 2002) of an undirected simple graph —
+    * the Pearson correlation of endpoint degrees over edges:
+    *
+    *   r = [S_jk/m − (S_sum/2m)²] / [S_sq/2m − (S_sum/2m)²]
+    *
+    * with, summed over the m canonical edges, S_jk = Σ j·k,
+    * S_sum = Σ (j+k), S_sq = Σ (j²+k²). r > 0: hubs attach to hubs
+    * (social shape); r < 0: hubs attach to leaves (hub-and-spoke —
+    * the shape that warns of skew in a kNN/dedup graph). NULL when the
+    * graph is degree-regular (zero variance — correlation undefined).
+    *
+    * Exactness: every sum is an exact integer aggregate (degrees are
+    * counts; products of counts), so the two divisions composing r are
+    * the only IEEE ops — tolerance-free. Scale shape: degree frame via
+    * one hash aggregate, two equi-joins to attach endpoint degrees,
+    * one 1-row reduce. Degrees ≤ ~1e6 and m ≤ ~1e12 keep Σ j·k inside
+    * int64 for any graph this engine would see. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val el = e
+      .join(deg.select(col("id").as("u"), col("d").as("ju")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("jv")), "v")
+    val s = el.agg(
+      count(lit(1)).as("m"),
+      sum(col("ju") * col("jv")).as("__sjk"),
+      sum(col("ju") + col("jv")).as("__ssum"),
+      sum(col("ju") * col("ju") + col("jv") * col("jv")).as("__ssq"))
+    val mean = col("__ssum").cast("double") / (lit(2) * col("m"))
+    val num = col("__sjk").cast("double") / col("m") - mean * mean
+    val den = col("__ssq").cast("double") / (lit(2) * col("m")) - mean * mean
+    s.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("m"),
+        when(den =!= 0, num / den).as("assortativity"))
+  }
 }

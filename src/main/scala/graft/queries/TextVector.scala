@@ -713,6 +713,16 @@ object TextVector {
       .orderBy("label")
   }
 
+  /** Degree assortativity of the kNN graph (Graphs.degreeAssortativity):
+    * hub-to-hub vs hub-and-spoke wiring — the skew early-warning for
+    * every downstream per-node join. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    graft.operators.Graphs.degreeAssortativity(knn, "query_id", "neighbor_id")
+      .select(col("n_nodes"), col("m"),
+        rd(col("assortativity"), 8).as("assortativity"))
+  }
+
   /** IVF with the FITTED spherical-k-means quantizer + multi-probe
     * (nprobe=3) — the production ANN path. The Lloyd iteration isn't
     * SQL-expressible, so the detailed ranking can't be oracled; the
@@ -1200,6 +1210,7 @@ object TextVector {
     "q_triangles_oriented" -> trianglesOriented,
     "q_label_prop" -> labelProp,
     "q_modularity" -> modularityQ,
+    "q_assortativity" -> assortativity,
     "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
@@ -2346,6 +2357,32 @@ object TextVector {
         |         FROM v2) WHERE rn = 1)
         |SELECT label, count(*) AS n_members, min(id) AS min_member
         |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // edge-endpoint degree Pearson over the canonical kNN edges — all
+    // sums exact integers, the two divisions are the only IEEE ops
+    "q_assortativity" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |ce AS (SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |       FROM knn WHERE query_id <> neighbor_id),
+        |deg AS (SELECT id, count(*) AS d
+        |        FROM (SELECT u AS id FROM ce UNION ALL SELECT v FROM ce) GROUP BY 1),
+        |el AS (SELECT du.d AS ju, dv.d AS jv
+        |       FROM ce JOIN deg du ON ce.u = du.id JOIN deg dv ON ce.v = dv.id),
+        |s AS (SELECT count(*) AS m,
+        |        CAST(sum(ju * jv) AS BIGINT) AS sjk,
+        |        CAST(sum(ju + jv) AS BIGINT) AS ssum,
+        |        CAST(sum(ju * ju + jv * jv) AS BIGINT) AS ssq
+        |      FROM el),
+        |nn AS (SELECT count(*) AS n_nodes FROM deg)
+        |SELECT n_nodes, m,
+        |  CASE WHEN CAST(ssq AS DOUBLE) / (2 * m)
+        |            - (CAST(ssum AS DOUBLE) / (2 * m)) * (CAST(ssum AS DOUBLE) / (2 * m)) <> 0
+        |    THEN floor(((CAST(sjk AS DOUBLE) / m
+        |            - (CAST(ssum AS DOUBLE) / (2 * m)) * (CAST(ssum AS DOUBLE) / (2 * m)))
+        |          / (CAST(ssq AS DOUBLE) / (2 * m)
+        |            - (CAST(ssum AS DOUBLE) / (2 * m)) * (CAST(ssum AS DOUBLE) / (2 * m))))*100000000 + 0.5)/100000000
+        |  END AS assortativity
+        |FROM s CROSS JOIN nn""".stripMargin,
     // same knn + 2-round LPA chain as q_label_prop, then the Newman
     // modularity CTEs: exact integer e_c/d_c/m, fixed-point Q sum
     "q_modularity" ->

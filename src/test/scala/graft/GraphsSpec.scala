@@ -193,4 +193,23 @@ class GraphsSpec extends AnyFunSuite {
       .select("modularity").as[Double].head()
     assert(q2 < 0, s"all-singleton labeling must be negative, got $q2")
   }
+
+  test("degreeAssortativity: star is maximally disassortative, regular graph undefined") {
+    // star 0—{1,2,3}: every edge joins deg-3 hub to a deg-1 leaf → r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val rs = Graphs.degreeAssortativity(star, "a", "b")
+      .select("n_nodes", "m", "assortativity").as[(Long, Long, Option[Double])].head()
+    assert(rs._1 == 4 && rs._2 == 3)
+    assert(math.abs(rs._3.get - (-1.0)) < 1e-12, s"star must score -1, got ${rs._3}")
+    // triangle: all degrees equal — zero variance, r undefined (NULL)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val rt = Graphs.degreeAssortativity(tri, "a", "b")
+      .select("assortativity").as[Option[Double]].head()
+    assert(rt.isEmpty, "degree-regular graph must yield NULL")
+    // two disjoint edges joined through a path: positive-leaning mixing
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rp = Graphs.degreeAssortativity(path, "a", "b")
+      .select("assortativity").as[Option[Double]].head()
+    assert(rp.get < 0, "path-of-4 ends pull r negative")
+  }
 }
