@@ -125,12 +125,23 @@ object Drift {
     * combine) per slice, one full-outer equi-join on the term, a
     * broadcast 1-row totals frame, and a final 1-row aggregate — no
     * window, no sort, shuffle keys are the term hash. */
-  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+  def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    tokenJsDivergenceFromCounts(
+      a.select(explode(graft.functions.TextAnalysis.tokens(textCol)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("ca")),
+      b, textCol)
+
+  /** [[tokenJsDivergence]] with side A's (term, ca) counts precomputed —
+    * the streaming-monitor entry point (DriftMonitor computes the
+    * baseline counts once and scores every micro-batch against the
+    * cached frame). */
+  def tokenJsDivergenceFromCounts(aCounts: DataFrame, b: DataFrame,
+                                  textCol: String): DataFrame = {
     val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
     def termCounts(df: DataFrame, out: String) = df
       .select(explode(graft.functions.TextAnalysis.tokens(textCol)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as(out))
-    val joined = termCounts(a, "ca").join(termCounts(b, "cb"), Seq("term"), "full_outer")
+    val joined = aCounts.join(termCounts(b, "cb"), Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
     val tot = joined.agg(
