@@ -29,8 +29,13 @@ object Drift {
     * attaining the max gap). `bucketCents` is the fixed bucket width
     * of the two-level prefix sum (scale knob only — any value yields
     * identical results). */
-  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
-                  a: String, b: String, bucketCents: Long = 2048L): DataFrame = {
+  /** Shared two-level distributed ECDF over cent-scaled values: one
+    * row per distinct cent value c with per-group counts (ca, cb),
+    * inclusive cumulatives (cuma, cumb), and the group totals
+    * (n_a, n_b) attached — the frame KS, Wasserstein-1, and PSI all
+    * read. ≤ |distinct cents| rows at any corpus size. */
+  private def ecdfCents(df: DataFrame, valueCol: String, groupCol: String,
+                        a: String, b: String, bucketCents: Long): DataFrame = {
     val cents = floor(col(valueCol) * lit(100) + lit(0.5)).cast("long")
     val tagged = df
       .filter(col(groupCol).isin(a, b))
@@ -56,7 +61,12 @@ object Drift {
       .withColumn("cuma", col("offa") + sum(col("ca")).over(wLoc))
       .withColumn("cumb", col("offb") + sum(col("cb")).over(wLoc))
     val totals = tagged.agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"))
-    val gaps = ecdf.crossJoin(broadcast(totals))
+    ecdf.crossJoin(broadcast(totals))
+  }
+
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+                  a: String, b: String, bucketCents: Long = 2048L): DataFrame = {
+    val gaps = ecdfCents(df, valueCol, groupCol, a, b, bucketCents)
       .withColumn("gap", abs(col("cuma").cast("double") / col("n_a")
         - col("cumb").cast("double") / col("n_b")))
     // ks_at = smallest value attaining the max gap (gap doubles are
@@ -67,6 +77,70 @@ object Drift {
       .groupBy(col("n_a"), col("n_b"), col("mx"))
       .agg((min(col("c")).cast("double") / 100).as("ks_at"))
       .select(col("n_a"), col("n_b"), col("mx").as("ks_stat"), col("ks_at"))
+  }
+
+  /** Wasserstein-1 (earth-mover) distance between the two samples'
+    * value distributions — drift in the METRIC'S OWN UNITS ("the
+    * purchase-value distribution moved by $0.42 of mass-transport"),
+    * where KS only reports the worst single-point CDF gap. Computed as
+    * the exact ECDF-area integral: between consecutive distinct cent
+    * values both ECDFs are constant, so
+    * W1 = Σ |F_a(c) − F_b(c)| · (next(c) − c) / 100.
+    *
+    * Exactness: ECDF values are ratios of exact integer counts, gap
+    * widths are integer cents; per-interval areas are rounded to 1e-9
+    * fixed point and summed as BIGINTs. The `lead` window runs on the
+    * ≤ |distinct cents| ECDF frame, never on corpus rows. */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+                   a: String, b: String, bucketCents: Long = 2048L): DataFrame = {
+    val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val wAll = Window.orderBy(col("c"))
+    ecdfCents(df, valueCol, groupCol, a, b, bucketCents)
+      .withColumn("__next", lead(col("c"), 1).over(wAll))
+      .withColumn("__gap", abs(col("cuma").cast("double") / col("n_a")
+        - col("cumb").cast("double") / col("n_b")))
+      .withColumn("__area", when(col("__next").isNotNull,
+        col("__gap") * ((col("__next") - col("c")).cast("double") / 100)).otherwise(lit(0.0)))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg((sum(fx(col("__area"))).cast("double") / lit(1e9)).as("w1"))
+  }
+
+  /** Population stability index between the two samples — the
+    * industry-standard "has the score distribution shifted?" gate:
+    * bins are slice A's deciles (realized on the discrete value grid:
+    * a value's bin is ⌊F_a(c⁻)·B⌋+1 over A's LEFT-limit CDF, capped at
+    * B — ties that swallow a decile leave that bin unrealized), and
+    *
+    *   PSI = Σ_k (p_a,k − p_b,k) · ln(p_a,k / p_b,k)
+    *
+    * with add-half smoothing (count + 0.5) / (n + B/2) so an empty
+    * side keeps a finite log. PSI < 0.1 is conventionally stable,
+    * > 0.25 action-worthy. Per-bin contributions are 1e-9 fixed-point
+    * summed; the `ln` calls are B per result, not per row.
+    *
+    * Scale shape: everything downstream of the shared ECDF frame —
+    * one keyed aggregate to B rows, one 1-row reduce. */
+  def psi(df: DataFrame, valueCol: String, groupCol: String,
+          a: String, b: String, bins: Int = 10,
+          bucketCents: Long = 2048L): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val binned = ecdfCents(df, valueCol, groupCol, a, b, bucketCents)
+      .withColumn("bin", least(
+        floor(((col("cuma") - col("ca")).cast("double") / col("n_a")) * bins) + 1,
+        lit(bins)).cast("int"))
+    val per = binned.groupBy(col("bin"), col("n_a"), col("n_b"))
+      .agg(sum(col("ca")).as("ca_bin"), sum(col("cb")).as("cb_bin"))
+      .withColumn("pa", (col("ca_bin").cast("double") + 0.5)
+        / (col("n_a").cast("double") + lit(bins / 2.0)))
+      .withColumn("pb", (col("cb_bin").cast("double") + 0.5)
+        / (col("n_b").cast("double") + lit(bins / 2.0)))
+      .withColumn("contrib", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+    val total = per.agg(
+      (sum(fx(col("contrib"))).cast("double") / lit(1e9)).as("psi"))
+    per.crossJoin(broadcast(total))
+      .select(col("bin"), col("ca_bin"), col("cb_bin"),
+        col("pa"), col("pb"), col("contrib"), col("psi"))
   }
 
   /** Chi-square test of independence between two categorical columns —

@@ -283,9 +283,29 @@ object Behavioral {
         a = "purchase", b = "view")
       .select(col("n_a"), col("n_b"), rd(col("ks_stat"), 6).as("ks_stat"), col("ks_at"))
 
+  /** Wasserstein-1 drift between the same two slices
+    * (Drift.wasserstein1): mass-transport distance in value units —
+    * "how far did the distribution move", not just the worst gap. */
+  def w1Drift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.wasserstein1(t(s, dir, "events"), "value", "event_type",
+        a = "purchase", b = "view")
+      .select(col("n_a"), col("n_b"), rd(col("w1"), 6).as("w1"))
+
+  /** PSI drift gate (Drift.psi, 10 A-decile bins, add-half smoothing):
+    * the per-bin shift ledger plus the headline index. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.psi(t(s, dir, "events"), "value", "event_type",
+        a = "purchase", b = "view", bins = 10)
+      .select(col("bin"), col("ca_bin"), col("cb_bin"),
+        rd(col("pa"), 8).as("pa"), rd(col("pb"), 8).as("pb"),
+        rd(col("contrib"), 8).as("contrib"), rd(col("psi"), 8).as("psi"))
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anomaly" -> anomalies,
     "q_ks_drift" -> ksDrift,
+    "q_w1_drift" -> w1Drift,
+    "q_psi_drift" -> psiDrift,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -340,6 +360,62 @@ object Behavioral {
         |  CAST(min(g.c) AS DOUBLE)/100 AS ks_at
         |FROM m JOIN g ON g.gap = m.mx AND g.n_a = m.n_a AND g.n_b = m.n_b
         |GROUP BY 1, 2, 3""".stripMargin,
+    // same ECDF chain as q_ks_drift, then the exact interval-area sum
+    "q_w1_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |pv AS (SELECT c, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        |       FROM t GROUP BY 1),
+        |n AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b FROM t),
+        |e AS (SELECT c,
+        |        CAST(sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |      FROM pv),
+        |g AS (SELECT c, lead(c) OVER (ORDER BY c) AS nxt, cuma, cumb FROM e),
+        |ar AS (SELECT n_a, n_b,
+        |        CASE WHEN nxt IS NOT NULL
+        |          THEN abs(CAST(cuma AS DOUBLE)/n_a - CAST(cumb AS DOUBLE)/n_b)
+        |               * (CAST(nxt - c AS DOUBLE)/100)
+        |          ELSE 0.0 END AS area
+        |       FROM g CROSS JOIN n)
+        |SELECT n_a, n_b,
+        |  floor((CAST(sum(CAST(floor(area*1e9 + 0.5) AS BIGINT)) AS DOUBLE)/1e9)*1000000 + 0.5)/1000000 AS w1
+        |FROM ar GROUP BY 1, 2""".stripMargin,
+    // A-decile bins realized on the discrete grid via the LEFT-limit
+    // CDF; add-half smoothing keeps empty sides finite
+    "q_psi_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |pv AS (SELECT c, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        |       FROM t GROUP BY 1),
+        |n AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b FROM t),
+        |e AS (SELECT c, ca, cb,
+        |        CAST(sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma
+        |      FROM pv),
+        |b AS (SELECT CAST(least(floor((CAST(cuma - ca AS DOUBLE)/n_a) * 10) + 1, 10) AS INT) AS bin,
+        |        ca, cb, n_a, n_b
+        |      FROM e CROSS JOIN n),
+        |per AS (SELECT bin, n_a, n_b,
+        |          CAST(sum(ca) AS BIGINT) AS ca_bin, CAST(sum(cb) AS BIGINT) AS cb_bin
+        |        FROM b GROUP BY 1, 2, 3),
+        |p2 AS (SELECT bin, ca_bin, cb_bin,
+        |         (CAST(ca_bin AS DOUBLE) + 0.5)/(CAST(n_a AS DOUBLE) + 5.0) AS pa,
+        |         (CAST(cb_bin AS DOUBLE) + 0.5)/(CAST(n_b AS DOUBLE) + 5.0) AS pb
+        |       FROM per),
+        |p3 AS (SELECT *, (pa - pb) * ln(pa/pb) AS contrib FROM p2),
+        |tt AS (SELECT CAST(sum(CAST(floor(contrib*1e9 + 0.5) AS BIGINT)) AS DOUBLE)/1e9 AS psi FROM p3)
+        |SELECT bin, ca_bin, cb_bin,
+        |  floor((pa)*100000000 + 0.5)/100000000 AS pa,
+        |  floor((pb)*100000000 + 0.5)/100000000 AS pb,
+        |  floor((contrib)*100000000 + 0.5)/100000000 AS contrib,
+        |  floor((psi)*100000000 + 0.5)/100000000 AS psi
+        |FROM p3 CROSS JOIN tt ORDER BY bin""".stripMargin,
     // baseline sums on exact cents (row-order-proof), z re-derived with
     // the identical fixed-order expression — mirrors Anomaly.seasonalZ
     "q_anomaly" ->

@@ -51,4 +51,36 @@ class DriftSpec extends AnyFunSuite {
     assert(w1.getAs[Double]("ks_stat") == w2.getAs[Double]("ks_stat"))
     assert(w1.getAs[Double]("ks_at") == w2.getAs[Double]("ks_at"))
   }
+
+  test("wasserstein1: identical = 0; a pure shift moves mass by exactly the shift") {
+    val same = (1 to 40).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "value")
+    assert(Drift.wasserstein1(same, "value", "g", "a", "b")
+      .head.getAs[Double]("w1") == 0.0)
+    // b = a + 2.5 pointwise: W1 of a pure translation is the shift
+    val shifted = ((1 to 40).map(i => ("a", i.toDouble)) ++
+      (1 to 40).map(i => ("b", i + 2.5))).toDF("g", "value")
+    val w = Drift.wasserstein1(shifted, "value", "g", "a", "b")
+      .head.getAs[Double]("w1")
+    assert(math.abs(w - 2.5) < 1e-6, s"translation by 2.5 must transport 2.5, got $w")
+    // symmetric in its arguments
+    val rev = Drift.wasserstein1(shifted, "value", "g", "b", "a")
+      .head.getAs[Double]("w1")
+    assert(math.abs(w - rev) < 1e-9)
+  }
+
+  test("psi: identical slices score 0; a hard shift scores large; bins partition the mass") {
+    val same = (1 to 200).flatMap(i => Seq(("a", (i % 20).toDouble), ("b", (i % 20).toDouble)))
+      .toDF("g", "value")
+    val p0 = Drift.psi(same, "value", "g", "a", "b")
+    assert(p0.select("psi").as[Double].head() == 0.0, "pa == pb per bin -> exactly 0")
+    val shifted = ((1 to 200).map(i => ("a", (i % 20).toDouble)) ++
+      (1 to 200).map(i => ("b", (i % 20) + 100.0))).toDF("g", "value")
+    val rows = Drift.psi(shifted, "value", "g", "a", "b")
+      .select("bin", "ca_bin", "cb_bin", "psi").as[(Int, Long, Long, Double)].collect()
+    assert(rows.head._4 > 0.25, s"disjoint distributions must flag: ${rows.head._4}")
+    assert(rows.map(_._2).sum == 200 && rows.map(_._3).sum == 200,
+      "bins must partition both samples' mass")
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 10))
+  }
 }
