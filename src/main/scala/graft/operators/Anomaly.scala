@@ -46,4 +46,46 @@ object Anomaly {
       .withColumn("z", (col(valueCol) - col("mean")) / col("sd"))
       .filter(abs(col("z")) >= sigma)
   }
+
+  /** CUSUM change-point detection over an ordered series — the
+    * monitoring gate that catches a sustained small SHIFT the
+    * seasonal-z per-point test misses (z flags spikes; CUSUM
+    * accumulates drift). The textbook recursion
+    *
+    *   C⁺_t = max(0, C⁺_{t−1} + (x_t − target − slack))
+    *
+    * is not a window aggregate, but its closed form is: with
+    * S_t = Σ_{j≤t}(x_j − target − slack), C⁺_t = S_t − min(0, min_{j≤t} S_j)
+    * — two plain cumulative windows. Same trick mirrored for C⁻. A row
+    * alarms when either side crosses `h`.
+    *
+    * Determinism: engines may evaluate window cumulatives with
+    * different association (running scan vs segment tree), so for a
+    * cross-engine-exact ledger feed values whose deviations are exact
+    * binary fractions — integer counts with half-integer
+    * target/slack make every running sum a multiple of 0.5, bit-exact
+    * under ANY summation order (the q_cusum recipe). Arbitrary
+    * doubles work fine for a single engine; round the output then.
+    *
+    * Scale contract: `series` is an ALREADY-AGGREGATED frame (e.g.
+    * per-minute counts — thousands of rows at any corpus size); the
+    * unpartitioned windows run on that frame, never on raw events.
+    * `target` is typically the in-control mean, `slack` the half-shift
+    * you want to detect, `h` the decision interval (4-5 σ). */
+  def cusum(series: DataFrame, orderCol: String, valueCol: String,
+            target: Double, slack: Double, h: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(h > 0, s"decision interval h must be positive, got $h")
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series
+      .withColumn("__dp", col(valueCol) - lit(target) - lit(slack))
+      .withColumn("__dn", col(valueCol) - lit(target) + lit(slack))
+      .withColumn("__sp", sum(col("__dp")).over(w))
+      .withColumn("__sn", sum(col("__dn")).over(w))
+      .withColumn("cusum_pos", col("__sp") - least(min(col("__sp")).over(w), lit(0.0)))
+      .withColumn("cusum_neg", greatest(max(col("__sn")).over(w), lit(0.0)) - col("__sn"))
+      .withColumn("alarm", col("cusum_pos") > h || col("cusum_neg") > h)
+      .drop("__dp", "__dn", "__sp", "__sn")
+  }
 }

@@ -224,4 +224,58 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("f"), col("df"), col("score"))
   }
+
+  /** Mutual information between term presence and a boolean label —
+    * the classic feature-selection score ("which words actually carry
+    * the class signal?") for training a text filter model:
+    *
+    *   MI(t) = Σ_{cells of the 2×2 presence×label table} (n/N)·ln(n·N / (row·col))
+    *
+    * over the exact contingency counts n11 (labeled docs containing t),
+    * n01, n10, n00, with 0·ln(0) cells contributing 0. Natural log, in
+    * nats. Terms below `minDf` distinct-doc frequency are dropped
+    * (their MI is noise).
+    *
+    * Exactness: the four cell counts per term come from ONE keyed
+    * aggregate over distinct (doc, term) pairs joined to the doc
+    * label; every ln argument is a ratio of exact integers, and the
+    * ≤ 4 ln calls per term are summed in a fixed evaluation order —
+    * the only cross-engine exposure is the libm ulp on ln, absorbed by
+    * the caller's output rounding (the lm_xent precedent).
+    *
+    * Scale shape: one explode → distinct → per-term aggregate (map-
+    * side combinable), a broadcast 1-row totals frame, a pure
+    * projection for the four-cell formula. No windows, no sort. */
+  def termLabelMi(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, minDf: Long = 5L): DataFrame = {
+    val labeled = docs.select(col(idCol),
+      col(labelCol).cast("boolean").as("__y"),
+      TextAnalysis.tokens(textCol).as("__toks"))
+    val pairs = labeled
+      .select(col(idCol), col("__y"), explode(array_distinct(col("__toks"))).as("term"))
+    val perTerm = pairs.groupBy(col("term"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n11"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n01"))
+      .filter(col("n11") + col("n01") >= minDf)
+    val totals = labeled.agg(count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val cells = perTerm.crossJoin(broadcast(totals))
+      .withColumn("n10", col("__pos") - col("n11"))
+      .withColumn("n00", col("__n") - col("__pos") - col("n01"))
+    // cell term: (n/N)·ln(n·N / (row·col)); rows are presence margins,
+    // cols the label margins — evaluated in fixed 11,01,10,00 order
+    def cell(n: Column, rowMargin: Column, colMargin: Column): Column =
+      when(n > 0, (n.cast("double") / col("__n"))
+        * log((n * col("__n")).cast("double") / (rowMargin * colMargin).cast("double")))
+        .otherwise(lit(0.0))
+    val present = col("n11") + col("n01")
+    val absent = col("n10") + col("n00")
+    val pos = col("__pos")
+    val neg = col("__n") - col("__pos")
+    cells
+      .withColumn("mi",
+        cell(col("n11"), present, pos) + cell(col("n01"), present, neg)
+          + cell(col("n10"), absent, pos) + cell(col("n00"), absent, neg))
+      .select(col("term"), col("n11"), col("n01"), col("n10"), col("n00"), col("mi"))
+  }
 }

@@ -291,6 +291,23 @@ object Behavioral {
         a = "purchase", b = "view")
       .select(col("n_a"), col("n_b"), rd(col("w1"), 6).as("w1"))
 
+  /** CUSUM change-point scan (Anomaly.cusum) over the per-minute view
+    * RATE — sustained-shift detection the per-point z test misses.
+    * Counts are integers and target/slack are half-integers, so every
+    * running sum is an exact multiple of 0.5 (bit-exact under ANY
+    * window summation order — engine segment trees included). */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(count(lit(1)).cast("double").as("rate"))
+    graft.operators.Anomaly.cusum(series, "minute_epoch", "rate",
+        target = 1.0, slack = 0.5, h = 5.0)
+      .select(col("minute_epoch"), col("rate"),
+        col("cusum_pos"), col("cusum_neg"), col("alarm"))
+      .orderBy("minute_epoch")
+  }
+
   /** PSI drift gate (Drift.psi, 10 A-decile bins, add-half smoothing):
     * the per-bin shift ledger plus the headline index. */
   def psiDrift(s: SparkSession, dir: String): DataFrame =
@@ -306,6 +323,7 @@ object Behavioral {
     "q_ks_drift" -> ksDrift,
     "q_w1_drift" -> w1Drift,
     "q_psi_drift" -> psiDrift,
+    "q_cusum" -> cusumDrift,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -360,6 +378,26 @@ object Behavioral {
         |  CAST(min(g.c) AS DOUBLE)/100 AS ks_at
         |FROM m JOIN g ON g.gap = m.mx AND g.n_a = m.n_a AND g.n_b = m.n_b
         |GROUP BY 1, 2, 3""".stripMargin,
+    // sequential window cumulatives mirror left-to-right exactly; the
+    // running-min/max closed form replaces the CUSUM recursion
+    "q_cusum" ->
+      """WITH s AS (
+        |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
+        |    CAST(count(*) AS DOUBLE) AS rate
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |d AS (
+        |  SELECT minute_epoch, rate,
+        |    sum(rate - 1.0 - 0.5) OVER (ORDER BY minute_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+        |    sum(rate - 1.0 + 0.5) OVER (ORDER BY minute_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        |  FROM s),
+        |c AS (
+        |  SELECT minute_epoch, rate,
+        |    sp - least(min(sp) OVER (ORDER BY minute_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS cusum_pos,
+        |    greatest(max(sn) OVER (ORDER BY minute_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) - sn AS cusum_neg
+        |  FROM d)
+        |SELECT minute_epoch, rate, cusum_pos, cusum_neg,
+        |  cusum_pos > 5.0 OR cusum_neg > 5.0 AS alarm
+        |FROM c ORDER BY minute_epoch""".stripMargin,
     // same ECDF chain as q_ks_drift, then the exact interval-area sum
     "q_w1_drift" ->
       """WITH t AS (

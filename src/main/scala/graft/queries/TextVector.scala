@@ -713,6 +713,17 @@ object TextVector {
       .orderBy("label")
   }
 
+  /** Term↔label mutual information (TfIdf.termLabelMi): which words
+    * carry the is-English signal — the feature-selection ledger for
+    * the filter model, exact 2×2 contingency counts per term. */
+  def termMi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.termLabelMi(
+        docs(s, dir).withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en", minDf = 5L)
+      .select(col("term"), col("n11"), col("n01"), col("n10"), col("n00"),
+        rd(col("mi"), 8).as("mi"))
+      .orderBy("term")
+
   /** Degree assortativity of the kNN graph (Graphs.degreeAssortativity):
     * hub-to-hub vs hub-and-spoke wiring — the skew early-warning for
     * every downstream per-node join. */
@@ -1211,6 +1222,7 @@ object TextVector {
     "q_label_prop" -> labelProp,
     "q_modularity" -> modularityQ,
     "q_assortativity" -> assortativity,
+    "q_term_mi" -> termMi,
     "q_hard_negatives" -> hardNegatives,
     "q_embed_ivf_kmeans" -> embedIvfKmeansRecall,
     "q_semantic_dedup" -> semanticDedupDrops,
@@ -2357,6 +2369,37 @@ object TextVector {
         |         FROM v2) WHERE rn = 1)
         |SELECT label, count(*) AS n_members, min(id) AS min_member
         |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact 2x2 contingency per term; four ln calls in fixed 11,01,10,00
+    // order, zero-count cells contribute 0
+    "q_term_mi" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang = 'en' AS y,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, y, unnest(list_distinct(w)) AS term FROM d),
+        |pt AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        |  FROM p GROUP BY 1
+        |  HAVING sum(CASE WHEN y THEN 1 ELSE 0 END) + sum(CASE WHEN NOT y THEN 1 ELSE 0 END) >= 5),
+        |t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM d),
+        |c AS (
+        |  SELECT term, n11, n01, pos - n11 AS n10, n - pos - n01 AS n00, n, pos
+        |  FROM pt CROSS JOIN t),
+        |m AS (
+        |  SELECT term, n11, n01, n10, n00,
+        |    (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE)/n) * ln(CAST(n11*n AS DOUBLE)/CAST((n11+n01)*pos AS DOUBLE)) ELSE 0.0 END
+        |     + CASE WHEN n01 > 0 THEN (CAST(n01 AS DOUBLE)/n) * ln(CAST(n01*n AS DOUBLE)/CAST((n11+n01)*(n-pos) AS DOUBLE)) ELSE 0.0 END
+        |     + CASE WHEN n10 > 0 THEN (CAST(n10 AS DOUBLE)/n) * ln(CAST(n10*n AS DOUBLE)/CAST((n10+n00)*pos AS DOUBLE)) ELSE 0.0 END
+        |     + CASE WHEN n00 > 0 THEN (CAST(n00 AS DOUBLE)/n) * ln(CAST(n00*n AS DOUBLE)/CAST((n10+n00)*(n-pos) AS DOUBLE)) ELSE 0.0 END) AS mi
+        |  FROM c)
+        |SELECT term, n11, n01, n10, n00,
+        |  floor((mi)*100000000 + 0.5)/100000000 AS mi
+        |FROM m ORDER BY term""".stripMargin,
     // edge-endpoint degree Pearson over the canonical kNN edges — all
     // sums exact integers, the two divisions are the only IEEE ops
     "q_assortativity" ->

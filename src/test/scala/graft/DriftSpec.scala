@@ -69,6 +69,28 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(w - rev) < 1e-9)
   }
 
+  test("cusum: matches the textbook recursion; sustained shift alarms, flat series stays 0") {
+    import graft.operators.Anomaly
+    // 20 in-control minutes at rate 1, then 15 at rate 3 (the shift)
+    val xs = (Seq.fill(20)(1.0) ++ Seq.fill(15)(3.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val got = Anomaly.cusum(xs.toDF("t", "x"), "t", "x",
+        target = 1.0, slack = 0.5, h = 5.0)
+      .orderBy("t").select("t", "cusum_pos", "alarm")
+      .as[(Long, Double, Boolean)].collect()
+    // driver-side reference recursion
+    var c = 0.0
+    val ref = xs.map { case (t, v) => c = math.max(0.0, c + (v - 1.0 - 0.5)); (t, c) }.toMap
+    got.foreach { case (t, cp, al) =>
+      assert(cp == ref(t), s"t=$t: closed form $cp != recursion ${ref(t)}")
+      assert(al == (cp > 5.0))
+    }
+    assert(!got(19)._3 && got.last._3, "alarm fires only after the sustained shift")
+    val flat = Anomaly.cusum(xs.take(20).toDF("t", "x"), "t", "x", 1.0, 0.5, 5.0)
+      .select("cusum_pos", "cusum_neg").as[(Double, Double)].collect()
+    assert(flat.forall(_._1 == 0.0), "in-control series accumulates nothing positive")
+  }
+
   test("psi: identical slices score 0; a hard shift scores large; bins partition the mass") {
     val same = (1 to 200).flatMap(i => Seq(("a", (i % 20).toDouble), ("b", (i % 20).toDouble)))
       .toDF("g", "value")

@@ -107,4 +107,26 @@ class TfIdfSpec extends AnyFunSuite {
     // agreement on the top item beats a solo #1: 20 outranks both
     assert(got(20L) > got(10L) && got(20L) > got(30L))
   }
+
+  test("termLabelMi: predictive term carries the full label entropy, balanced term carries 0") {
+    // 8 docs, 4 labeled true: 'sig' appears exactly in the true docs,
+    // 'noise' appears in exactly half of each class
+    val docs = (0 until 8).map { i =>
+      val sig = if (i < 4) " sig" else ""
+      val noise = if (i % 2 == 0) " noise" else ""
+      (i.toLong, i < 4, s"base$sig$noise")
+    }.toDF("id", "y", "body")
+    val mi = TfIdf.termLabelMi(docs, "id", "body", "y", minDf = 1L)
+      .select("term", "n11", "n01", "n10", "n00", "mi")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    // perfect predictor: MI = H(label) = ln 2 for a balanced label
+    assert(mi("sig")._2 == 4 && mi("sig")._3 == 0 && mi("sig")._4 == 0 && mi("sig")._5 == 4)
+    assert(math.abs(mi("sig")._6 - math.log(2)) < 1e-12)
+    // independent of the label: MI exactly 0
+    assert(mi("noise")._6 == 0.0)
+    assert(mi("base")._6 == 0.0, "a term in every doc carries nothing")
+    // contingency cells always total N
+    mi.values.foreach(x => assert(x._2 + x._3 + x._4 + x._5 == 8))
+  }
 }
