@@ -190,6 +190,76 @@ object Behavioral {
       .limit(20)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — P(next event type | current), the behavior-model
+    * baseline (and the input to next-event prediction evals). One
+    * user-keyed window for the lead, one keyed aggregate, transition
+    * probabilities as exact count ratios via a per-row window over the
+    * tiny |types|² frame. */
+  def markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val rowTot = Window.partitionBy(col("cur"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("cur"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(rowTot))
+      .select(col("cur"), col("nxt"), col("n"), rd(col("p"), 8).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
+  /** RFM segmentation: per-user recency/frequency/monetary quintiles
+    * (deterministic ntile tie-break on user_id) — the classic
+    * customer-value grid. Windows run over the |users| frame, not raw
+    * events. */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        (sum(floor(col("value") * 100 + lit(0.5)).cast("long")).cast("double") / 100)
+          .as("monetary"))
+    val anchor = per.agg(max(col("last_day")).as("anchor"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_day")))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        rd(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** Benford first-digit audit over the value column — the fabricated-
+    * data smoke test: observed leading-digit shares vs the Benford
+    * expectation log10(1 + 1/d). The digit comes from the exact cents
+    * INTEGER's decimal rendering (no float log10 at the boundary);
+    * expected shares are shared double constants. */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val expected = (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+    val expCol = expected.foldLeft(lit(Double.NaN)) { case (e, (d, p)) =>
+      when(col("digit") === d, lit(p)).otherwise(e)
+    }
+    val digits = t(s, dir, "events")
+      .select(cents.as("c")).filter(col("c") > 0)
+      .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("tot"))))
+      .withColumn("frac", col("n").cast("double") / col("tot"))
+      .withColumn("expected", expCol)
+      .select(col("digit"), col("n"), rd(col("frac"), 6).as("frac"),
+        rd(col("expected"), 6).as("expected"),
+        rd(abs(col("frac") - col("expected")), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
   /** Last-touch attribution: each purchase credits the user's most
     * recent preceding non-purchase event (the classic marketing
     * attribution window). `last(..., ignoreNulls)` over ROWS UNBOUNDED
@@ -324,6 +394,9 @@ object Behavioral {
     "q_w1_drift" -> w1Drift,
     "q_psi_drift" -> psiDrift,
     "q_cusum" -> cusumDrift,
+    "q_markov" -> markov,
+    "q_rfm" -> rfm,
+    "q_benford" -> benford,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -378,6 +451,55 @@ object Behavioral {
         |  CAST(min(g.c) AS DOUBLE)/100 AS ks_at
         |FROM m JOIN g ON g.gap = m.mx AND g.n_a = m.n_a AND g.n_b = m.n_b
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_markov" ->
+      """WITH s AS (
+        |  SELECT cur, lead(cur) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM (SELECT user_id, event_type AS cur, ts, event_id FROM events)),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  floor((CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE))*100000000 + 0.5)/100000000 AS p
+        |FROM c ORDER BY cur, nxt""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS frequency,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS monetary
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor FROM per),
+        |sc AS (
+        |  SELECT user_id, date_diff('day', last_day, anchor) AS recency_days,
+        |    frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY date_diff('day', last_day, anchor), user_id) AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_score
+        |  FROM per CROSS JOIN a)
+        |SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency,
+        |  floor((monetary)*100 + 0.5)/100 AS monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR)||CAST(f_score AS VARCHAR)||CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+    "q_benford" -> {
+      // expected shares generated from the SAME Scala constants as the
+      // query — literal round-trips to the identical double
+      val ladder = (1 to 9)
+        .map(d => s"WHEN digit = $d THEN CAST(${math.log10(1 + 1.0 / d)} AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH c AS (
+        |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |  WHERE CAST(floor(value*100 + 0.5) AS BIGINT) > 0),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d),
+        |x AS (
+        |  SELECT digit, n, CAST(n AS DOUBLE) / tot AS frac,
+        |    CASE $ladder END AS expected
+        |  FROM d CROSS JOIN t)
+        |SELECT digit, n,
+        |  floor((frac)*1000000 + 0.5)/1000000 AS frac,
+        |  floor((expected)*1000000 + 0.5)/1000000 AS expected,
+        |  floor((abs(frac - expected))*1000000 + 0.5)/1000000 AS abs_dev
+        |FROM x ORDER BY digit""".stripMargin
+    },
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
     "q_cusum" ->
