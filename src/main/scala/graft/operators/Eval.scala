@@ -89,4 +89,91 @@ object Eval {
       .select(col("bin"), col("n"), col("avg_conf"), col("frac_pos"),
         col("abs_gap"), col("ece"))
   }
+
+  /** Group-fairness report for a binary classifier — demographic
+    * parity and equalized-odds diagnostics per protected group:
+    * per-group selection rate, TPR, FPR (NULL where the class is
+    * absent — a rate over nothing is undefined, not 0), plus the
+    * corpus-level gaps repeated on every row: dp_gap = max−min
+    * selection rate, eo_gap = max−min TPR. Every rate is a ratio of
+    * exact integer counts — tolerance-free.
+    *
+    * Scale shape: ONE keyed aggregate to the |groups| frame carrying
+    * all four confusion cells, then a broadcast 1-row gap reduce.
+    * `labelCol`/`predCol` must be 0.0/1.0 doubles (LogReg.score
+    * convention). */
+  def groupFairness(df: DataFrame, groupCol: String, labelCol: String,
+                    predCol: String): DataFrame = {
+    val y = col(labelCol) === 1.0
+    val p = col(predCol) === 1.0
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("__np"),
+        sum(when(p, 1L).otherwise(0L)).as("__npp"),
+        sum(when(y && p, 1L).otherwise(0L)).as("__tp"),
+        sum(when(!y && p, 1L).otherwise(0L)).as("__fp"))
+      .withColumn("base_rate", col("__np").cast("double") / col("n"))
+      .withColumn("sel_rate", col("__npp").cast("double") / col("n"))
+      .withColumn("tpr",
+        when(col("__np") > 0, col("__tp").cast("double") / col("__np")))
+      .withColumn("fpr",
+        when(col("n") - col("__np") > 0,
+          col("__fp").cast("double") / (col("n") - col("__np"))))
+    val gaps = per.agg(
+      (max(col("sel_rate")) - min(col("sel_rate"))).as("dp_gap"),
+      (max(col("tpr")) - min(col("tpr"))).as("eo_gap"))
+    per.crossJoin(broadcast(gaps))
+      .select(col(groupCol), col("n"), col("base_rate"), col("sel_rate"),
+        col("tpr"), col("fpr"), col("dp_gap"), col("eo_gap"))
+  }
+
+  /** Brier score with the Murphy decomposition — the proper-scoring
+    * companion to [[calibration]]: over the same equal-width bins,
+    *
+    *   brier ≈ reliability − resolution + uncertainty
+    *
+    * with reliability = Σ n_b(conf_b − acc_b)²/N (how far confidence
+    * sits from per-bin truth), resolution = Σ n_b(acc_b − ȳ)²/N (how
+    * much the bins separate outcomes), uncertainty = ȳ(1−ȳ). The
+    * identity is EXACT when forecasts are grouped by distinct value;
+    * under equal-width binning it holds up to the within-bin forecast
+    * variance (Stephenson's generalized decomposition) — small when
+    * bins are narrow, zero for a perfect scorer (MixtureSpec pins
+    * both regimes).
+    *
+    * Exactness: squared terms are fixed-point (1e-12) summed; ȳ and
+    * per-bin means are integer-count ratios. One corpus scan for the
+    * bins, one B-row reduce, one broadcast of ȳ. */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val fx = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e12) + lit(0.5)).cast("long")
+    val perBin = df
+      .withColumn("__b", least(floor(col(probCol) * lit(bins)), lit(bins - 1)).cast("int"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(fx(col(probCol))).as("__sp"),
+        sum(col(labelCol).cast("long")).as("__npos"),
+        sum(fx((col(probCol) - col(labelCol)) * (col(probCol) - col(labelCol))))
+          .as("__sq"))
+      .withColumn("__conf", (col("__sp").cast("double") / lit(1e12)) / col("__n"))
+      .withColumn("__acc", col("__npos").cast("double") / col("__n"))
+    val ybar = perBin.agg(
+      (sum(col("__npos")).cast("double") / sum(col("__n"))).as("__ybar"))
+    perBin.crossJoin(broadcast(ybar))
+      .agg(
+        sum(col("__n")).as("n"),
+        ((sum(col("__sq")).cast("double") / lit(1e12))).as("__sqsum"),
+        (sum(fx(col("__n") * (col("__conf") - col("__acc"))
+          * (col("__conf") - col("__acc")))).cast("double") / lit(1e12)).as("__rel"),
+        (sum(fx(col("__n") * (col("__acc") - col("__ybar"))
+          * (col("__acc") - col("__ybar")))).cast("double") / lit(1e12)).as("__res"),
+        first(col("__ybar")).as("__yb"))
+      .select(col("n"),
+        (col("__sqsum") / col("n")).as("brier"),
+        (col("__rel") / col("n")).as("reliability"),
+        (col("__res") / col("n")).as("resolution"),
+        (col("__yb") * (lit(1.0) - col("__yb"))).as("uncertainty"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Drift, Eval, Linkage, Raking, Sampling}
+import graft.operators.{Dedup, Drift, Eval, Linkage, LogReg, Raking, Sampling}
 
 /** Corpus-mix design and monitoring surface: token-distribution
   * divergence between slices, temperature-scaled source weights, IPF
@@ -149,7 +149,43 @@ object Mixture {
         col("min_class_size"))
       .orderBy("source", "len_band")
 
+  /** Group-fairness report (Eval.groupFairness) for the 2-round linear
+    * language classifier across sources: per-group selection rate /
+    * TPR / FPR + demographic-parity and equal-opportunity gaps. */
+  def fairness(s: SparkSession, dir: String): DataFrame = {
+    val f = TextVector.logregFeatures(s, dir)
+    val w = LogReg.fit(f, TextVector.LogregFeatures, "y", lr = 1.0, iters = 2)
+    val scored = LogReg.score(f, TextVector.LogregFeatures, w)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    Eval.groupFairness(scored, "source", "y", "pred")
+      .select(col("source"), col("n"),
+        rd(col("base_rate"), 6).as("base_rate"),
+        rd(col("sel_rate"), 6).as("sel_rate"),
+        rd(col("tpr"), 6).as("tpr"), rd(col("fpr"), 6).as("fpr"),
+        rd(col("dp_gap"), 6).as("dp_gap"), rd(col("eo_gap"), 6).as("eo_gap"))
+      .orderBy("source")
+  }
+
+  /** Brier score + Murphy decomposition (Eval.brierDecomposition) for
+    * the quality-score-as-English-predictor — the proper-scoring
+    * counterpart of q_calibration over the same bins. */
+  def brier(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        TextAnalysis.qualityScore(size(col("toks")),
+          TextAnalysis.stopwordRatio("toks"), TextAnalysis.punctRatio("text")).as("p"))
+    Eval.brierDecomposition(scored, "p", "y", bins = 10)
+      .select(col("n"), rd(col("brier"), 8).as("brier"),
+        rd(col("reliability"), 8).as("reliability"),
+        rd(col("resolution"), 8).as("resolution"),
+        rd(col("uncertainty"), 8).as("uncertainty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fairness" -> fairness,
+    "q_brier" -> brier,
     "q_kanon" -> kAnon,
     "q_token_drift" -> tokenDrift,
     "q_temp_mix" -> tempMix,
@@ -166,6 +202,75 @@ object Mixture {
       .mkString(" ") + " END"
 
   def oracles: Map[String, String] = Map(
+    "q_fairness" ->
+      ("WITH " + TextVector.logregW2Cte + """,
+        |sc AS (
+        |  SELECT d.source, f.y, CAST(CASE WHEN m >= 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS pred
+        |  FROM (
+        |    SELECT f.doc_id, f.y,
+        |      ((w.w_bias + w.w_ntok * f.x_ntok) + w.w_stop * f.x_stop) + w.w_punct * f.x_punct AS m
+        |    FROM f CROSS JOIN w2 w) f
+        |  JOIN documents d USING (doc_id)),
+        |per AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN pred = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npp,
+        |    CAST(sum(CASE WHEN y = 1.0 AND pred = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN y <> 1.0 AND pred = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM sc GROUP BY 1),
+        |r AS (
+        |  SELECT source, n,
+        |    CAST(np AS DOUBLE)/n AS base_rate, CAST(npp AS DOUBLE)/n AS sel_rate,
+        |    CASE WHEN np > 0 THEN CAST(tp AS DOUBLE)/np END AS tpr,
+        |    CASE WHEN n - np > 0 THEN CAST(fp AS DOUBLE)/(n - np) END AS fpr
+        |  FROM per),
+        |g AS (SELECT max(sel_rate) - min(sel_rate) AS dp_gap,
+        |             max(tpr) - min(tpr) AS eo_gap FROM r)
+        |SELECT source, n,
+        |  floor((base_rate)*1000000 + 0.5)/1000000 AS base_rate,
+        |  floor((sel_rate)*1000000 + 0.5)/1000000 AS sel_rate,
+        |  floor((tpr)*1000000 + 0.5)/1000000 AS tpr,
+        |  floor((fpr)*1000000 + 0.5)/1000000 AS fpr,
+        |  floor((dp_gap)*1000000 + 0.5)/1000000 AS dp_gap,
+        |  floor((eo_gap)*1000000 + 0.5)/1000000 AS eo_gap
+        |FROM r CROSS JOIN g ORDER BY source""".stripMargin),
+    "q_brier" ->
+      """WITH dq AS (
+        |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |mq AS (
+        |  SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_tokens,
+        |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
+        |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
+        |  FROM dq),
+        |sc AS (
+        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+        |    0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio) AS p
+        |  FROM mq),
+        |pb AS (
+        |  SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS b, count(*) AS n,
+        |    sum(CAST(floor(p * 1e12 + 0.5) AS BIGINT)) AS sp,
+        |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS npos,
+        |    sum(CAST(floor(((p - y) * (p - y)) * 1e12 + 0.5) AS BIGINT)) AS sq
+        |  FROM sc GROUP BY 1),
+        |pbx AS (
+        |  SELECT b, n, npos, sq,
+        |    (CAST(sp AS DOUBLE) / 1e12) / n AS conf,
+        |    CAST(npos AS DOUBLE) / n AS acc
+        |  FROM pb),
+        |yb AS (SELECT CAST(sum(npos) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS ybar FROM pbx),
+        |ag AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(sq) AS DOUBLE) / 1e12 AS sqsum,
+        |    CAST(sum(CAST(floor(((n * (conf - acc)) * (conf - acc)) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS rel,
+        |    CAST(sum(CAST(floor(((n * (acc - ybar)) * (acc - ybar)) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS res,
+        |    max(ybar) AS yb
+        |  FROM pbx CROSS JOIN yb)
+        |SELECT n,
+        |  floor((sqsum / n)*100000000 + 0.5)/100000000 AS brier,
+        |  floor((rel / n)*100000000 + 0.5)/100000000 AS reliability,
+        |  floor((res / n)*100000000 + 0.5)/100000000 AS resolution,
+        |  floor((yb * (1.0 - yb))*100000000 + 0.5)/100000000 AS uncertainty
+        |FROM ag""".stripMargin,
     "q_kanon" ->
       """WITH c AS (
         |  SELECT source, CAST(floor(n_chars / 500) AS BIGINT) AS len_band,

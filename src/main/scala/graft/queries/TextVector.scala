@@ -989,7 +989,7 @@ object TextVector {
   /** Feature frame for the linear language classifier: integer-ratio
     * features (exact IEEE divisions of exact integer counts — bit-
     * identical on any engine), label = is-English. */
-  private def logregFeatures(s: SparkSession, dir: String): DataFrame =
+  private[queries] def logregFeatures(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("__toks", TextAnalysis.tokens("text"))
       .select(col("doc_id"),
@@ -1000,7 +1000,7 @@ object TextVector {
         ((length(col("text")) - length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
           .cast("double") / greatest(length(col("text")), lit(1)).cast("double")).as("x_punct"))
 
-  private val LogregFeatures = Seq("x_ntok", "x_stop", "x_punct")
+  private[queries] val LogregFeatures = Seq("x_ntok", "x_stop", "x_punct")
 
   /** Distributed classifier fit (LogReg.fit: 2 GD rounds, broadcast-ML
     * loop) + full-corpus train metrics, as one 1-row result the oracle

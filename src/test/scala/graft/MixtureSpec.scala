@@ -207,6 +207,48 @@ class MixtureSpec extends AnyFunSuite {
     assert(!r("x")._5 && !r("x")._6, "3-row 2-diverse class passes at k=2,l=2")
   }
 
+  // ---- Eval.groupFairness / brierDecomposition -----------------------------
+
+  test("groupFairness: hand-counted rates, gaps, and undefined-rate NULLs") {
+    val d = Seq(
+      // group g1: 2 pos (1 predicted), 2 neg (1 predicted) -> tpr .5, fpr .5
+      ("g1", 1.0, 1.0), ("g1", 1.0, 0.0), ("g1", 0.0, 1.0), ("g1", 0.0, 0.0),
+      // group g2: all positive, all selected -> tpr 1, fpr NULL
+      ("g2", 1.0, 1.0), ("g2", 1.0, 1.0))
+      .toDF("grp", "y", "pred")
+    val r = graft.operators.Eval.groupFairness(d, "grp", "y", "pred")
+      .select("grp", "n", "base_rate", "sel_rate", "tpr", "fpr", "dp_gap", "eo_gap")
+      .as[(String, Long, Double, Double, Option[Double], Option[Double], Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    val g1 = r("g1"); val g2 = r("g2")
+    assert(g1._3 == 0.5 && g1._4 == 0.5 && g1._5.contains(0.5) && g1._6.contains(0.5))
+    assert(g2._3 == 1.0 && g2._4 == 1.0 && g2._5.contains(1.0) && g2._6.isEmpty,
+      "FPR over zero negatives must be NULL, not 0")
+    assert(g1._7 == 0.5 && g1._8 == 0.5, "gaps are max-min over groups")
+  }
+
+  test("brierDecomposition: Murphy identity holds; perfect scorer decomposes to 0/unc/unc") {
+    val scored = docs.select(
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      (least(col("n_chars").cast("double") / 4000, lit(1.0))).as("p"))
+    val r = graft.operators.Eval.brierDecomposition(scored, "p", "y", bins = 10)
+      .select("n", "brier", "reliability", "resolution", "uncertainty")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._1 == docs.count())
+    // binned decomposition: identity holds up to the within-bin
+    // forecast variance, bounded by (bin width / 2)² = 0.0025
+    assert(math.abs(r._2 - (r._3 - r._4 + r._5)) < 0.0025,
+      s"brier ${r._2} != rel-res+unc ${r._3 - r._4 + r._5}")
+    assert(r._2 >= 0 && r._3 >= 0 && r._4 >= 0 && r._5 >= 0 && r._5 <= 0.25)
+    val perfect = docs.select(when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("y"))
+      .withColumn("p", col("y"))
+    val pr = graft.operators.Eval.brierDecomposition(perfect, "p", "y", bins = 10)
+      .select("brier", "reliability", "resolution", "uncertainty")
+      .as[(Double, Double, Double, Double)].head()
+    assert(pr._1 == 0.0 && pr._2 == 0.0)
+    assert(math.abs(pr._3 - pr._4) < 1e-9, "perfect scorer: resolution equals uncertainty")
+  }
+
   test("calibration: a perfect probability scorer has ECE 0") {
     val perfect = docs.select(
       when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("y"))
