@@ -331,11 +331,16 @@ object Graphs {
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // eager barrier — intra and degree both consume it. Stays cached
+    // until the caller clearCache()s (the labelPropagation contract):
+    // unpersisting here would CASCADE-invalidate the cached result
+    // frame (Spark uncaches dependent plans) and silently recompute
+    // the whole chain on first read.
     val el = e
       .join(labels.select(col(idCol).as("u"), col(labelCol).as("lu")), "u")
       .join(labels.select(col(idCol).as("v"), col(labelCol).as("lv")), "v")
       .persist()
-    el.count() // eager barrier — intra and degree both consume it
+    el.count()
     val m = el.agg(count(lit(1)).as("m"))
     val intra = el.filter(col("lu") === col("lv"))
       .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
@@ -360,7 +365,6 @@ object Graphs {
         .cast("double") / lit(1e12)).as("modularity"))
     val out = per.crossJoin(broadcast(q)).persist()
     out.count()
-    el.unpersist()
     out
   }
 
@@ -382,10 +386,15 @@ object Graphs {
     * one 1-row reduce. Degrees ≤ ~1e6 and m ≤ ~1e12 keep Σ j·k inside
     * int64 for any graph this engine would see. */
   def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // eager barrier — degree union and endpoint joins all consume it.
+    // Stays cached until the caller clearCache()s: an unpersist here
+    // would cascade-invalidate the cached result (see modularity).
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .persist()
+    e.count()
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val el = e
@@ -399,8 +408,11 @@ object Graphs {
     val mean = col("__ssum").cast("double") / (lit(2) * col("m"))
     val num = col("__sjk").cast("double") / col("m") - mean * mean
     val den = col("__ssq").cast("double") / (lit(2) * col("m")) - mean * mean
-    s.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+    val out = s.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_nodes"), col("m"),
         when(den =!= 0, num / den).as("assortativity"))
+      .persist()
+    out.count()
+    out
   }
 }

@@ -260,6 +260,17 @@ object Behavioral {
       .orderBy("digit")
   }
 
+  /** Poisson-bootstrap CI (Bootstrap.poissonBootstrapMean, B=50) for
+    * the mean purchase value — the distributed-native uncertainty
+    * estimate; hash-derived multiplicities make every replicate
+    * engine-identical. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.poissonBootstrapMean(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "event_id", "value", b = 50)
+      .select(col("n"), rd(col("mean"), 4).as("mean"), col("b"),
+        rd(col("ci_lo"), 4).as("ci_lo"), rd(col("ci_hi"), 4).as("ci_hi"))
+
   /** Last-touch attribution: each purchase credits the user's most
     * recent preceding non-purchase event (the classic marketing
     * attribution window). `last(..., ignoreNulls)` over ROWS UNBOUNDED
@@ -397,6 +408,7 @@ object Behavioral {
     "q_markov" -> markov,
     "q_rfm" -> rfm,
     "q_benford" -> benford,
+    "q_bootstrap_ci" -> bootstrapCi,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -477,6 +489,38 @@ object Behavioral {
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR)||CAST(f_score AS VARCHAR)||CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "q_bootstrap_ci" -> {
+      // CDF-ladder thresholds generated from the SAME Scala constants
+      val ladder = graft.operators.Bootstrap.PoissonCdf.zipWithIndex
+        .map { case (thr, k) => s"WHEN u < CAST($thr AS DOUBLE) THEN $k" }
+        .mkString(" ")
+      s"""WITH base AS (
+        |  SELECT event_id AS id, CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |reps AS (
+        |  SELECT id, c, r,
+        |    (CAST(CAST('0x'||substr(md5('boot:'||CAST(id AS VARCHAR)||':'||CAST(r AS VARCHAR)),1,13) AS BIGINT) AS DOUBLE) + 0.5)
+        |      / CAST(4503599627370496 AS DOUBLE) AS u
+        |  FROM base CROSS JOIN generate_series(1, 50) AS t(r)),
+        |mult AS (SELECT id, c, r, CASE $ladder ELSE 7 END AS m FROM reps),
+        |agg AS (
+        |  SELECT r, CAST(sum(m * c) AS BIGINT) AS s, CAST(sum(m) AS BIGINT) AS w
+        |  FROM mult GROUP BY 1 HAVING sum(m) > 0),
+        |rm AS (
+        |  SELECT r, (CAST(s AS DOUBLE) / 100) / w AS rep_mean,
+        |    row_number() OVER (ORDER BY (CAST(s AS DOUBLE) / 100) / w, r) AS rk
+        |  FROM agg),
+        |bounds AS (
+        |  SELECT min(rep_mean) AS ci_lo, max(rep_mean) AS ci_hi
+        |  FROM rm WHERE rk = 2 OR rk = 49),
+        |pt AS (
+        |  SELECT count(*) AS n, (CAST(sum(c) AS DOUBLE) / 100) / count(*) AS mean
+        |  FROM base)
+        |SELECT n, floor((mean)*10000 + 0.5)/10000 AS mean, 50 AS b,
+        |  floor((ci_lo)*10000 + 0.5)/10000 AS ci_lo,
+        |  floor((ci_hi)*10000 + 0.5)/10000 AS ci_hi
+        |FROM pt CROSS JOIN bounds""".stripMargin
+    },
     "q_benford" -> {
       // expected shares generated from the SAME Scala constants as the
       // query — literal round-trips to the identical double

@@ -703,10 +703,24 @@ object TextVector {
     * (Graphs.modularity): per-community contribution + the corpus Q —
     * "are the clusters real or random wiring?". */
   def modularityQ(s: SparkSession, dir: String): DataFrame = {
+    // canonicalize the expensive kNN chain to ONE materialized
+    // edge-pair frame; the LPA loop and the modularity joins both read
+    // the cache (Verify/Bench clearCache between queries — the
+    // simhashNearDups multi-consumer contract). LPA's symmetrized
+    // distinct edge set is identical over canonical pairs, so labels
+    // (and the oracle) are unchanged.
+    // lineage-truncated leaves: the LSH chain's logical plan is huge,
+    // and every downstream ACTION re-analyzes the full tree before the
+    // cache substitutes — a 4k-row frame was costing seconds of
+    // planning per job until cut to a checkpoint leaf
     val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
-    val labels = graft.operators.Graphs.labelPropagation(
-      knn, "query_id", "neighbor_id", iters = 2)
-    graft.operators.Graphs.modularity(knn, "query_id", "neighbor_id", labels)
+    val edges = graft.core.Lineage.truncate(knn.select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val labels = graft.core.Lineage.truncate(
+      graft.operators.Graphs.labelPropagation(edges, "a", "b", iters = 2))
+    graft.operators.Graphs.modularity(edges, "a", "b", labels)
       .select(col("label"), col("n_nodes"), col("degree_sum"), col("intra_edges"),
         rd(col("contrib"), 8).as("contrib"),
         rd(col("modularity"), 8).as("modularity"), col("m"))
@@ -728,6 +742,8 @@ object TextVector {
     * hub-to-hub vs hub-and-spoke wiring — the skew early-warning for
     * every downstream per-node join. */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
+    // operator's canonical-edge barrier still re-derives knn once; at
+    // one consumer no query-side persist is needed
     val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
     graft.operators.Graphs.degreeAssortativity(knn, "query_id", "neighbor_id")
       .select(col("n_nodes"), col("m"),
