@@ -552,15 +552,14 @@ object Dedup {
     // costs a corpus-wide shuffle just to rebuild what the expression
     // produced). Tokenization runs ONCE here; the df/candidate pass and
     // both intersection legs all derive from this frame.
-    // Eager-materialized: three consumers read it inside one final job —
-    // lazy persist would race (triangleStats lesson). Lives until caller
-    // clearCache, the tfidf cache contract.
-    val arrs = docs
+    // Eager checkpoint leaf (Lineage.truncate): materializes like the
+    // old persist+count barrier but also CUTS the logical plan, so the
+    // three consumers don't each re-analyze the tokenize chain — and
+    // there's no cache lifetime for the caller to manage.
+    val arrs = graft.core.Lineage.truncate(docs
       .withColumn("__tokens", TextAnalysis.tokens(textCol))
       .select(col(idCol), TextAnalysis.shingles("__tokens", 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    arrs.count()
+      .filter(size(col("sh")) > 0))
     // candidate pairs straight from df-bounded shingle buckets: ONE
     // groupBy computes the df filter and the per-shingle doc list
     // together, and the ordered pairs unfold from the list in codegen —
@@ -662,13 +661,12 @@ object Dedup {
                       k: Int = 8, rowsPerBand: Int = 2,
                       trueJaccard: Double = 0.5): DataFrame = {
     // one tokenize pass feeds truth discovery AND the exact verify;
-    // eager persist — multi-consumer cache contract (containmentPairs)
-    val sh = docs
+    // eager checkpoint leaf — multi-consumer barrier, plan cut, no
+    // cache lifetime to manage (containmentPairs)
+    val sh = graft.core.Lineage.truncate(docs
       .withColumn("__tokens", graft.functions.TextAnalysis.tokens(textCol))
       .select(col(idCol), graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    sh.count()
+      .filter(size(col("sh")) > 0))
     val ex = sh.select(col(idCol), size(col("sh")).as("__n"), explode(col("sh")).as("__g"))
       .select(col(idCol), col("__n"), md5(col("__g")).as("__gh"))
     val dfreq = ex.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
