@@ -45,4 +45,44 @@ object Resample {
       .withColumn("is_gap", col("v").isNull)
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
   }
+
+  /** Additive seasonal decomposition (classical-decomposition / STL-
+    * lite): x = trend + seasonal + residual over an ordered series —
+    * trend from a centered (2·halfWindow+1)-row moving mean, seasonal
+    * from the per-slot mean of the detrended values
+    * (slot = position mod `period`), residual the leftover. The
+    * monitoring prep that makes [[Anomaly.cusum]]/seasonalZ honest on
+    * strongly cyclic series.
+    *
+    * Exactness: `valueCol` must be integer-valued (counts — the series
+    * convention), so the moving-window sums are exact and the trend is
+    * one exact division; per-slot seasonal means are 1e-9 fixed-point
+    * sums over the detrended doubles; residual is two sequential
+    * subtractions of identical doubles. Edge rows average over their
+    * truncated window (standard classical-decomposition behavior).
+    *
+    * Scale contract: `series` is an ALREADY-AGGREGATED frame; the one
+    * unpartitioned window runs on those rows, never raw events. */
+  def seasonalDecompose(series: DataFrame, orderCol: String, valueCol: String,
+                        period: Int, halfWindow: Int): DataFrame = {
+    require(period >= 2 && halfWindow >= 1,
+      s"need period >= 2, halfWindow >= 1, got period=$period halfWindow=$halfWindow")
+    val wTrend = Window.orderBy(col(orderCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val wPos = Window.orderBy(col(orderCol))
+    val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val detrended = series
+      .withColumn("trend",
+        sum(col(valueCol)).over(wTrend).cast("double") /
+          count(col(valueCol)).over(wTrend))
+      .withColumn("__slot",
+        ((row_number().over(wPos) - 1) % period).cast("int"))
+      .withColumn("__dt", col(valueCol) - col("trend"))
+    val seasonal = detrended.groupBy(col("__slot"))
+      .agg(((sum(fx(col("__dt"))).cast("double") / lit(1e9)) /
+        count(lit(1))).as("seasonal"))
+    detrended.join(broadcast(seasonal), "__slot")
+      .withColumn("residual", col("__dt") - col("seasonal"))
+      .drop("__slot", "__dt")
+  }
 }

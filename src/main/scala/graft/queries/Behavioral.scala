@@ -271,6 +271,23 @@ object Behavioral {
       .select(col("n"), rd(col("mean"), 4).as("mean"), col("b"),
         rd(col("ci_lo"), 4).as("ci_lo"), rd(col("ci_hi"), 4).as("ci_hi"))
 
+  /** Additive seasonal decomposition (Resample.seasonalDecompose) of
+    * the per-minute view rate: trend (61-row centered mean) +
+    * per-slot-of-hour seasonal + residual. */
+  def seasonal(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(count(lit(1)).cast("double").as("rate"))
+    graft.operators.Resample.seasonalDecompose(series, "minute_epoch", "rate",
+        period = 60, halfWindow = 30)
+      .select(col("minute_epoch"), col("rate"),
+        rd(col("trend"), 6).as("trend"),
+        rd(col("seasonal"), 6).as("seasonal"),
+        rd(col("residual"), 6).as("residual"))
+      .orderBy("minute_epoch")
+  }
+
   /** Last-touch attribution: each purchase credits the user's most
     * recent preceding non-purchase event (the classic marketing
     * attribution window). `last(..., ignoreNulls)` over ROWS UNBOUNDED
@@ -409,6 +426,7 @@ object Behavioral {
     "q_rfm" -> rfm,
     "q_benford" -> benford,
     "q_bootstrap_ci" -> bootstrapCi,
+    "q_seasonal" -> seasonal,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -489,6 +507,27 @@ object Behavioral {
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR)||CAST(f_score AS VARCHAR)||CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "q_seasonal" ->
+      """WITH s AS (
+        |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
+        |    CAST(count(*) AS DOUBLE) AS rate
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |d AS (
+        |  SELECT minute_epoch, rate,
+        |    sum(rate) OVER (ORDER BY minute_epoch ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+        |      / count(rate) OVER (ORDER BY minute_epoch ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS trend,
+        |    CAST((row_number() OVER (ORDER BY minute_epoch) - 1) % 60 AS INT) AS slot
+        |  FROM s),
+        |d2 AS (SELECT *, rate - trend AS dt FROM d),
+        |se AS (
+        |  SELECT slot,
+        |    (CAST(sum(CAST(floor(dt*1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) / count(*) AS seasonal
+        |  FROM d2 GROUP BY 1)
+        |SELECT minute_epoch, rate,
+        |  floor((trend)*1000000 + 0.5)/1000000 AS trend,
+        |  floor((seasonal)*1000000 + 0.5)/1000000 AS seasonal,
+        |  floor((dt - seasonal)*1000000 + 0.5)/1000000 AS residual
+        |FROM d2 JOIN se USING (slot) ORDER BY minute_epoch""".stripMargin,
     "q_bootstrap_ci" -> {
       // CDF-ladder thresholds generated from the SAME Scala constants
       val ladder = graft.operators.Bootstrap.PoissonCdf.zipWithIndex

@@ -91,6 +91,28 @@ class DriftSpec extends AnyFunSuite {
     assert(flat.forall(_._1 == 0.0), "in-control series accumulates nothing positive")
   }
 
+  test("seasonalDecompose: components reconstruct the series; planted cycle lands in seasonal") {
+    import graft.operators.Resample
+    // period-4 sawtooth (0,3,0,3,...) on a flat base: seasonal should
+    // absorb the cycle, residual stays near zero
+    val xs = (0 until 64).map(i => (i.toLong, (if (i % 2 == 0) 0 else 3).toDouble))
+      .toDF("t", "x")
+    val r = Resample.seasonalDecompose(xs, "t", "x", period = 2, halfWindow = 2)
+      .select("t", "x", "trend", "seasonal", "residual")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    r.foreach { case (t, x, tr, se, res) =>
+      assert(math.abs(x - (tr + se + res)) < 1e-9, s"t=$t decomposition must reconstruct x")
+    }
+    // interior rows (full centered window): trend flat at 1.2 or 1.8
+    // depending on parity window composition; residual small
+    val interior = r.filter(x => x._1 >= 2 && x._1 < 62)
+    assert(interior.map(x => math.abs(x._5)).max < 0.7,
+      "cycle must be absorbed by the seasonal component, not the residual")
+    val slots = interior.groupBy(_._1 % 2).view.mapValues(_.map(_._4).distinct).toMap
+    assert(slots(0).forall(_ < 0) && slots(1).forall(_ > 0),
+      "even slots below trend, odd above")
+  }
+
   test("psi: identical slices score 0; a hard shift scores large; bins partition the mass") {
     val same = (1 to 200).flatMap(i => Seq(("a", (i % 20).toDouble), ("b", (i % 20).toDouble)))
       .toDF("g", "value")
