@@ -183,7 +183,18 @@ object Mixture {
         rd(col("uncertainty"), 8).as("uncertainty"))
   }
 
+  /** Robust embedding centroid (GeoMedian.geometricMedian, 2 Weiszfeld
+    * rounds): per-dim L2 mean vs geometric median — the gap is the
+    * outlier-contamination signal. */
+  def geoMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GeoMedian.geometricMedian(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", iters = 2)
+      .select(col("pos"), rd(col("mean"), 6).as("mean"),
+        rd(col("median"), 6).as("median"))
+      .orderBy("pos")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geomedian" -> geoMedian,
     "q_fairness" -> fairness,
     "q_brier" -> brier,
     "q_kanon" -> kAnon,
@@ -202,6 +213,38 @@ object Mixture {
       .mkString(" ") + " END"
 
   def oracles: Map[String, String] = Map(
+    "q_geomedian" ->
+      """WITH ex AS (
+        |  SELECT vec_id AS id, pos - 1 AS pos, x FROM (
+        |    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |           generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings)),
+        |mn AS (
+        |  SELECT pos, (CAST(sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) / count(*) AS mean
+        |  FROM ex GROUP BY pos),
+        |y0 AS (SELECT pos, mean AS y FROM mn),
+        |w1 AS (
+        |  SELECT id, CAST(1 AS DOUBLE) / dist AS w FROM (
+        |    SELECT id, sqrt(CAST(sum(CAST(floor(((x - y) * (x - y)) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS dist
+        |    FROM ex JOIN y0 USING (pos) GROUP BY id)
+        |  WHERE dist > 1e-6),
+        |ws1 AS (SELECT CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS ws FROM w1),
+        |y1 AS (
+        |  SELECT pos, (CAST(sum(CAST(floor((x * w) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) / ws AS y
+        |  FROM ex JOIN w1 USING (id) CROSS JOIN ws1 GROUP BY pos, ws),
+        |w2 AS (
+        |  SELECT id, CAST(1 AS DOUBLE) / dist AS w FROM (
+        |    SELECT id, sqrt(CAST(sum(CAST(floor(((x - y) * (x - y)) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS dist
+        |    FROM ex JOIN y1 USING (pos) GROUP BY id)
+        |  WHERE dist > 1e-6),
+        |ws2 AS (SELECT CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS ws FROM w2),
+        |y2 AS (
+        |  SELECT pos, (CAST(sum(CAST(floor((x * w) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) / ws AS y
+        |  FROM ex JOIN w2 USING (id) CROSS JOIN ws2 GROUP BY pos, ws)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  floor((mean)*1000000 + 0.5)/1000000 AS mean,
+        |  floor((y)*1000000 + 0.5)/1000000 AS median
+        |FROM mn JOIN y2 USING (pos) ORDER BY pos""".stripMargin,
     "q_fairness" ->
       ("WITH " + TextVector.logregW2Cte + """,
         |sc AS (

@@ -423,6 +423,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "m/u parameter row must broadcast")
   }
 
+  test("round-5c additions: keyed shapes only, no data-scale cartesian") {
+    // the 1-row broadcast anchors (totals/params frames) plan as
+    // BroadcastNestedLoopJoin over one row — constant cost; a
+    // CartesianProduct between data-scale frames is the failure mode
+    Seq("q_w1_drift", "q_psi_drift", "q_cusum", "q_seasonal", "q_term_mi",
+        "q_markov", "q_rfm", "q_benford", "q_bootstrap_ci", "q_kanon",
+        "q_fairness", "q_brier", "q_diversity", "q_blocklist", "q_linkage")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+  }
+
+  test("q_bootstrap_ci/q_diversity: replicate and gram aggregates keep the map-side partial") {
+    Seq("q_bootstrap_ci", "q_diversity").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lost the partial+final aggregation")
+    }
+  }
+
   test("q_pca_top: per-round state is broadcast; corpus touched by keyed aggregates only") {
     // the fit materializes through persisted frames, so pin the shape on
     // the operator's first round directly rather than the checkpoint leaf
