@@ -72,6 +72,47 @@ object Anomaly {
     * unpartitioned windows run on that frame, never on raw events.
     * `target` is typically the in-control mean, `slack` the half-shift
     * you want to detect, `h` the decision interval (4-5 σ). */
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012),
+    * the linear-time unsupervised outlier detector: per feature, the
+    * event's bin density d_f; score = Σ_f −ln(d_f) — rare feature
+    * combinations score high. Emitted as the aggregated SCORING TABLE
+    * (one row per realized bin combination with its event count and
+    * score), not per-event ranks: the combo frame is deterministic and
+    * tiny, while a per-event top-k would tie-break on ulp-level score
+    * differences across engines.
+    *
+    * Features here: the fixed-width value band (`bandWidth` in value
+    * units over exact cents), hour-of-day, and the categorical
+    * `typeCol`. Densities are exact integer ratios; the ln calls are
+    * per-DISTINCT-bin, not per row.
+    *
+    * Scale shape: three tiny marginal aggregates + one combo
+    * aggregate, broadcast-joined — the corpus is scanned once. */
+  def hbos(events: DataFrame, tsCol: String, valueCol: String, typeCol: String,
+           bandWidth: Double = 50.0): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val cents = floor(col(valueCol) * lit(100) + lit(0.5)).cast("long")
+    val banded = events.select(
+      floor(cents / lit((bandWidth * 100).toLong)).cast("long").as("value_band"),
+      hour(col(tsCol)).as("hr"),
+      col(typeCol).as("etype"))
+    val n = banded.agg(count(lit(1)).as("__n"))
+    def marginal(c: String) = banded.groupBy(col(c))
+      .agg(count(lit(1)).as(s"__n_$c"))
+    val combos = banded.groupBy(col("value_band"), col("hr"), col("etype"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(marginal("value_band")), "value_band")
+      .join(broadcast(marginal("hr")), "hr")
+      .join(broadcast(marginal("etype")), "etype")
+      .crossJoin(broadcast(n))
+    val dens = (c: String) =>
+      col(s"__n_$c").cast("double") / col("__n")
+    combos.withColumn("score",
+        -log(dens("value_band")) - log(dens("hr")) - log(dens("etype")))
+      .select(col("value_band"), col("hr"), col("etype"), col("n_events"),
+        col("score"))
+  }
+
   def cusum(series: DataFrame, orderCol: String, valueCol: String,
             target: Double, slack: Double, h: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -90,6 +90,65 @@ object Eval {
         col("abs_gap"), col("ece"))
   }
 
+  /** Split-conformal prediction interval for a 1-feature regression —
+    * the distribution-free uncertainty wrapper: fit on one hash slice,
+    * take the ⌈(n+1)·q⌉-th smallest absolute residual on a disjoint
+    * calibration slice as the interval half-width, and report the
+    * empirical coverage of ŷ ± width on a third held-out slice
+    * (finite-sample guarantee ≥ q under exchangeability — the point
+    * of conformal).
+    *
+    * The model is exact closed-form OLS: slope/intercept from integer
+    * sums (x, y integer-valued by contract), so the fit is bit-
+    * identical cross-engine; the calibration quantile is an exact
+    * order statistic (row_number over (residual, id) — ties
+    * deterministic); coverage is a ratio of counts over comparisons of
+    * identical doubles. No tolerance anywhere.
+    *
+    * Scale shape: three disjoint hash slices from ONE scan; the fit is
+    * a 1-row aggregate; the order statistic sorts only the calibration
+    * slice (swap in an approx quantile at 100 TB — the documented
+    * exact→approx trade). Returns one row: split sizes, slope,
+    * intercept, the interval half-width q_hat, and coverage. */
+  def splitConformal(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                     quantile: Double = 0.9): DataFrame = {
+    require(quantile > 0 && quantile < 1, s"quantile must be in (0,1), got $quantile")
+    val b = Sampling.hashBucket(col(idCol), 100)
+    val tagged = df.select(col(idCol).as("__id"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
+      b.as("__b"))
+    val fit = tagged.filter(col("__b") < 50).agg(
+      count(lit(1)).as("n_fit"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("slope",
+        (col("n_fit") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+          / (col("n_fit") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("intercept",
+        (col("__sy").cast("double") - col("slope") * col("__sx")) / col("n_fit"))
+      .select(col("n_fit"), col("slope"), col("intercept"))
+    val resid = (frame: DataFrame) => frame.crossJoin(broadcast(fit))
+      .withColumn("__r", abs(col("__y").cast("double")
+        - (col("intercept") + col("slope") * col("__x"))))
+    val calib = resid(tagged.filter(col("__b") >= 50 && col("__b") < 75))
+    val nCalib = calib.agg(count(lit(1)).as("n_calib"))
+    val w = Window.orderBy(col("__r"), col("__id"))
+    val qhat = calib.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(nCalib))
+      .filter(col("__rk") === least(
+        ceil((col("n_calib") + 1) * quantile).cast("long"), col("n_calib")))
+      .select(col("n_calib"), col("__r").as("q_hat"))
+    val test = resid(tagged.filter(col("__b") >= 75))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("q_hat"), 1L).otherwise(0L)).as("__cov"))
+      .withColumn("coverage", col("__cov").cast("double") / col("n_test"))
+    fit.crossJoin(broadcast(qhat)).crossJoin(broadcast(test))
+      .select(col("n_fit"), col("n_calib"), col("n_test"),
+        col("slope"), col("intercept"), col("q_hat"), col("coverage"))
+  }
+
   /** Group-fairness report for a binary classifier — demographic
     * parity and equalized-odds diagnostics per protected group:
     * per-group selection rate, TPR, FPR (NULL where the class is

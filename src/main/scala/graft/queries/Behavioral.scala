@@ -288,6 +288,16 @@ object Behavioral {
       .orderBy("minute_epoch")
   }
 
+  /** HBOS outlier scoring table (Anomaly.hbos): rarity score per
+    * realized (value-band, hour, type) combination — the linear-time
+    * unsupervised outlier detector over the event feed. */
+  def hbosScores(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.hbos(t(s, dir, "events"), "ts", "value", "event_type",
+        bandWidth = 50.0)
+      .select(col("value_band"), col("hr"), col("etype"), col("n_events"),
+        rd(col("score"), 6).as("score"))
+      .orderBy("value_band", "hr", "etype")
+
   /** Last-touch attribution: each purchase credits the user's most
     * recent preceding non-purchase event (the classic marketing
     * attribution window). `last(..., ignoreNulls)` over ROWS UNBOUNDED
@@ -427,6 +437,7 @@ object Behavioral {
     "q_benford" -> benford,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_seasonal" -> seasonal,
+    "q_hbos" -> hbosScores,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -507,6 +518,20 @@ object Behavioral {
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR)||CAST(f_score AS VARCHAR)||CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "q_hbos" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(CAST(floor(value*100 + 0.5) AS BIGINT) / 5000) AS BIGINT) AS value_band,
+        |    CAST(hour(ts) AS INT) AS hr, event_type AS etype
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM b),
+        |mv AS (SELECT value_band, count(*) AS nv FROM b GROUP BY 1),
+        |mh AS (SELECT hr, count(*) AS nh FROM b GROUP BY 1),
+        |mt AS (SELECT etype, count(*) AS nt FROM b GROUP BY 1),
+        |cb AS (SELECT value_band, hr, etype, count(*) AS n_events FROM b GROUP BY 1, 2, 3)
+        |SELECT cb.value_band, cb.hr, cb.etype, cb.n_events,
+        |  floor((-ln(CAST(nv AS DOUBLE)/n) - ln(CAST(nh AS DOUBLE)/n) - ln(CAST(nt AS DOUBLE)/n))*1000000 + 0.5)/1000000 AS score
+        |FROM cb JOIN mv USING (value_band) JOIN mh USING (hr) JOIN mt USING (etype) CROSS JOIN n
+        |ORDER BY value_band, hr, etype""".stripMargin,
     "q_seasonal" ->
       """WITH s AS (
         |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,

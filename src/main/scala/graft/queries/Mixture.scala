@@ -193,7 +193,22 @@ object Mixture {
         rd(col("median"), 6).as("median"))
       .orderBy("pos")
 
+  /** Split-conformal interval (Eval.splitConformal, q=0.9): exact OLS
+    * of n_chars on token count, calibration-slice residual quantile,
+    * held-out coverage — distribution-free uncertainty for the length
+    * model. */
+  def conformal(s: SparkSession, dir: String): DataFrame =
+    Eval.splitConformal(
+        docs(s, dir).withColumn("n_toks", size(TextAnalysis.tokens("text"))),
+        "doc_id", "n_toks", "n_chars", quantile = 0.9)
+      .select(col("n_fit"), col("n_calib"), col("n_test"),
+        rd(col("slope"), 8).as("slope"),
+        rd(col("intercept"), 6).as("intercept"),
+        rd(col("q_hat"), 6).as("q_hat"),
+        rd(col("coverage"), 6).as("coverage"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal" -> conformal,
     "q_geomedian" -> geoMedian,
     "q_fairness" -> fairness,
     "q_brier" -> brier,
@@ -213,6 +228,43 @@ object Mixture {
       .mkString(" ") + " END"
 
   def oracles: Map[String, String] = Map(
+    "q_conformal" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS x,
+        |    CAST(n_chars AS BIGINT) AS y,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 100 AS b
+        |  FROM documents),
+        |fit AS (
+        |  SELECT count(*) AS n_fit,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM t WHERE b < 50),
+        |f2 AS (
+        |  SELECT n_fit,
+        |    CAST(n_fit*sxy - sx*sy AS DOUBLE) / CAST(n_fit*sxx - sx*sx AS DOUBLE) AS slope,
+        |    (CAST(sy AS DOUBLE) - (CAST(n_fit*sxy - sx*sy AS DOUBLE) / CAST(n_fit*sxx - sx*sx AS DOUBLE)) * sx) / n_fit AS intercept
+        |  FROM fit),
+        |calib AS (
+        |  SELECT id, abs(CAST(y AS DOUBLE) - (intercept + slope * x)) AS r
+        |  FROM t CROSS JOIN f2 WHERE b >= 50 AND b < 75),
+        |nc AS (SELECT count(*) AS n_calib FROM calib),
+        |qh AS (
+        |  SELECT n_calib, r AS q_hat FROM (
+        |    SELECT id, r, row_number() OVER (ORDER BY r, id) AS rk FROM calib)
+        |  CROSS JOIN nc
+        |  WHERE rk = least(CAST(ceil((n_calib + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT), n_calib)),
+        |tst AS (
+        |  SELECT count(*) AS n_test,
+        |    CAST(sum(CASE WHEN abs(CAST(y AS DOUBLE) - (intercept + slope * x)) <= q_hat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cov
+        |  FROM t CROSS JOIN f2 CROSS JOIN qh WHERE b >= 75)
+        |SELECT n_fit, n_calib, n_test,
+        |  floor((slope)*100000000 + 0.5)/100000000 AS slope,
+        |  floor((intercept)*1000000 + 0.5)/1000000 AS intercept,
+        |  floor((q_hat)*1000000 + 0.5)/1000000 AS q_hat,
+        |  floor((CAST(cov AS DOUBLE) / n_test)*1000000 + 0.5)/1000000 AS coverage
+        |FROM f2 CROSS JOIN qh CROSS JOIN tst""".stripMargin,
     "q_geomedian" ->
       """WITH ex AS (
         |  SELECT vec_id AS id, pos - 1 AS pos, x FROM (

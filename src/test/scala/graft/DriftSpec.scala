@@ -113,6 +113,49 @@ class DriftSpec extends AnyFunSuite {
       "even slots below trend, odd above")
   }
 
+  test("hbos: rarity ordering and hand-computed score on a planted grid") {
+    import graft.operators.Anomaly
+    // 90 common events (value 10, hour 1, type a) + 10 rare (900, 23, b)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 23:00:00")
+    val rows = Seq.fill(90)((ts0, 10.0, "a")) ++ Seq.fill(10)((ts1, 900.0, "b"))
+    val r = Anomaly.hbos(rows.toDF("ts", "v", "k"), "ts", "v", "k", bandWidth = 50.0)
+      .select("etype", "n_events", "score").as[(String, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a")._2 == 90 && r("b")._2 == 10)
+    assert(r("b")._3 > r("a")._3, "rare combination must outscore the common one")
+    // all three features share the same 90/10 marginals here:
+    // score(common) = 3·(−ln 0.9), score(rare) = 3·(−ln 0.1)
+    assert(math.abs(r("a")._3 - 3 * -math.log(0.9)) < 1e-12)
+    assert(math.abs(r("b")._3 - 3 * -math.log(0.1)) < 1e-12)
+  }
+
+  test("splitConformal: noise-free line recovered exactly, full coverage, zero width") {
+    import graft.operators.Eval
+    val d = (1 to 400).map(i => (i.toLong, i.toLong % 97, 3 * (i % 97) + 7)).toDF("id", "x", "y")
+    val r = Eval.splitConformal(d, "id", "x", "y", quantile = 0.9)
+      .select("n_fit", "n_calib", "n_test", "slope", "intercept", "q_hat", "coverage")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(r._1 + r._2 + r._3 == 400, "hash slices partition the data")
+    assert(math.abs(r._4 - 3.0) < 1e-9 && math.abs(r._5 - 7.0) < 1e-9,
+      s"exact OLS must recover y = 3x + 7, got slope=${r._4} intercept=${r._5}")
+    assert(r._6 < 1e-9, "noise-free: calibration quantile is zero width")
+    assert(r._7 == 1.0, "noise-free: full held-out coverage")
+  }
+
+  test("splitConformal: noisy relation still covers at ~the nominal rate") {
+    import graft.operators.Eval
+    // deterministic pseudo-noise in [-20, 20]
+    val d = (1 to 600).map { i =>
+      val noise = (i * 2654435761L % 41).toInt - 20
+      (i.toLong, (i % 97).toLong, 3 * (i % 97) + 7 + noise)
+    }.toDF("id", "x", "y")
+    val r = Eval.splitConformal(d, "id", "x", "y", quantile = 0.9)
+      .select("q_hat", "coverage").as[(Double, Double)].head()
+    assert(r._1 > 0, "noise produces a positive interval width")
+    assert(r._2 >= 0.8 && r._2 <= 1.0, s"coverage ${r._2} should sit near the 0.9 target")
+  }
+
   test("psi: identical slices score 0; a hard shift scores large; bins partition the mass") {
     val same = (1 to 200).flatMap(i => Seq(("a", (i % 20).toDouble), ("b", (i % 20).toDouble)))
       .toDF("g", "value")
