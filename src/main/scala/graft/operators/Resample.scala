@@ -63,6 +63,49 @@ object Resample {
     *
     * Scale contract: `series` is an ALREADY-AGGREGATED frame; the one
     * unpartitioned window runs on those rows, never raw events. */
+  /** Autocorrelation function of an ordered series — the
+    * periodicity/memory diagnostic that tells a monitoring pipeline
+    * which seasonal period to decompose at and whether residuals are
+    * white: for each lag k in 1..maxLag,
+    *
+    *   r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * (the standard biased-normalization ACF — denominator over the
+    * full series). Integer-valued series (counts) keep x̄ an exact
+    * ratio; cross-products are 1e-9 fixed-point summed, the final
+    * division is one IEEE op per lag.
+    *
+    * Scale contract: `series` is pre-aggregated; the lag alignment is
+    * ONE window pass producing all maxLag leads, so cost is
+    * O(rows·maxLag) on the small series frame. */
+  def acf(series: DataFrame, orderCol: String, valueCol: String,
+          maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.orderBy(col(orderCol))
+    val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val stats = series.agg(
+      count(lit(1)).as("__n"), sum(col(valueCol).cast("long")).as("__s"))
+      .select((col("__s").cast("double") / col("__n")).as("__mean"))
+    val lagged = (1 to maxLag).foldLeft(
+      series.select(col(orderCol), col(valueCol).cast("double").as("__x"))) {
+      case (df, k) => df.withColumn(s"__lead_$k", lead(col("__x"), k).over(w))
+    }.crossJoin(broadcast(stats))
+    val denom = lagged.agg(
+      (sum(fx((col("__x") - col("__mean")) * (col("__x") - col("__mean"))))
+        .cast("double") / lit(1e9)).as("__d"))
+    val numExprs = (1 to maxLag).map { k =>
+      (sum(fx(when(col(s"__lead_$k").isNotNull,
+        (col("__x") - col("__mean")) * (col(s"__lead_$k") - col("__mean")))
+        .otherwise(lit(0.0)))).cast("double") / lit(1e9)).as(s"__num_$k")
+    }
+    val nums = lagged.agg(numExprs.head, numExprs.tail: _*)
+    val acfCols = (1 to maxLag).map(k =>
+      struct(lit(k).as("lag"), (col(s"__num_$k") / col("__d")).as("acf")))
+    nums.crossJoin(broadcast(denom))
+      .select(explode(array(acfCols: _*)).as("r"))
+      .select(col("r.lag"), col("r.acf"))
+  }
+
   def seasonalDecompose(series: DataFrame, orderCol: String, valueCol: String,
                         period: Int, halfWindow: Int): DataFrame = {
     require(period >= 2 && halfWindow >= 1,

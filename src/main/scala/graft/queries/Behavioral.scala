@@ -288,6 +288,18 @@ object Behavioral {
       .orderBy("minute_epoch")
   }
 
+  /** ACF of the per-minute view rate (Resample.acf, lags 1..10): the
+    * periodicity/memory diagnostic feeding the seasonal-period choice. */
+  def acfSeries(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(count(lit(1)).as("rate"))
+    graft.operators.Resample.acf(series, "minute_epoch", "rate", maxLag = 10)
+      .select(col("lag"), rd(col("acf"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
   /** HBOS outlier scoring table (Anomaly.hbos): rarity score per
     * realized (value-band, hour, type) combination — the linear-time
     * unsupervised outlier detector over the event feed. */
@@ -438,6 +450,7 @@ object Behavioral {
     "q_bootstrap_ci" -> bootstrapCi,
     "q_seasonal" -> seasonal,
     "q_hbos" -> hbosScores,
+    "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
     "q_paths" -> paths,
     "q_resample" -> resampleFill,
@@ -518,6 +531,38 @@ object Behavioral {
         |  r_score, f_score, m_score,
         |  CAST(r_score AS VARCHAR)||CAST(f_score AS VARCHAR)||CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "q_acf" -> {
+      val leads = (1 to 10)
+        .map(k => s"lead(CAST(rate AS DOUBLE), $k) OVER (ORDER BY minute_epoch) AS l$k")
+        .mkString(",\n      |    ")
+      val nums = (1 to 10)
+        .map(k => s"CAST(sum(CAST(floor((CASE WHEN l$k IS NOT NULL THEN (x - mean)*(l$k - mean) ELSE 0.0 END)*1e9 + 0.5) AS BIGINT)) AS DOUBLE)/1e9 AS n$k")
+        .mkString(",\n      |    ")
+      val unions = (1 to 10)
+        .map(k => s"SELECT $k AS lag, n$k AS nv FROM nk")
+        .mkString("\n      |  UNION ALL ")
+      s"""WITH s AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
+      |    CAST(count(*) AS BIGINT) AS rate
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |m AS (SELECT CAST(sum(rate) AS DOUBLE) / count(*) AS mean FROM s),
+      |L AS (
+      |  SELECT CAST(rate AS DOUBLE) AS x,
+      |    $leads
+      |  FROM s),
+      |Lm AS (SELECT * FROM L CROSS JOIN m),
+      |d AS (
+      |  SELECT CAST(sum(CAST(floor(((x - mean)*(x - mean))*1e9 + 0.5) AS BIGINT)) AS DOUBLE)/1e9 AS den
+      |  FROM Lm),
+      |nk AS (
+      |  SELECT
+      |    $nums
+      |  FROM Lm),
+      |u AS (
+      |  $unions)
+      |SELECT lag, floor((nv / den)*1000000 + 0.5)/1000000 AS acf
+      |FROM u CROSS JOIN d ORDER BY lag""".stripMargin
+    },
     "q_hbos" ->
       """WITH b AS (
         |  SELECT CAST(floor(CAST(floor(value*100 + 0.5) AS BIGINT) / 5000) AS BIGINT) AS value_band,

@@ -156,6 +156,18 @@ class DriftSpec extends AnyFunSuite {
     assert(r._2 >= 0.8 && r._2 <= 1.0, s"coverage ${r._2} should sit near the 0.9 target")
   }
 
+  test("acf: period-4 cycle peaks at its own lag, alternates at half-period") {
+    import graft.operators.Resample
+    val xs = (0 until 200).map(i => (i.toLong, (i % 4 match {
+      case 0 => 10L; case 1 => 2L; case 2 => 10L; case 3 => 2L
+    }))).toDF("t", "x")
+    // x alternates 10,2,10,2 → perfect period 2: r2 ≈ 1, r1 ≈ -1
+    val r = Resample.acf(xs, "t", "x", maxLag = 4)
+      .select("lag", "acf").as[(Int, Double)].collect().toMap
+    assert(r(2) > 0.95 && r(4) > 0.95, s"even lags must correlate strongly: $r")
+    assert(r(1) < -0.95 && r(3) < -0.95, s"odd lags must anti-correlate: $r")
+  }
+
   test("psi: identical slices score 0; a hard shift scores large; bins partition the mass") {
     val same = (1 to 200).flatMap(i => Seq(("a", (i % 20).toDouble), ("b", (i % 20).toDouble)))
       .toDF("g", "value")
