@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
   * JASA 1969) over a BLOCKED candidate-pair set — the entity-
@@ -84,5 +85,44 @@ object Linkage {
       .select(Seq(col("id_a"), col("id_b")) ++
         fields.map(f => col(s"agree_$f")) ++
         Seq(col("score"), col("decision")): _*)
+  }
+
+  /** Blocked sorted-neighborhood candidate generation (Hernández &
+    * Stolfo 1995) — the third blocking family next to LSH banding
+    * (probabilistic) and equality blocking (exact): sort records by a
+    * normalized key and pair each record with its `w` successors, so
+    * NEAR-equal keys (typo'd prefixes, padded ids) become candidates
+    * without any shared exact token.
+    *
+    * Distributed form: the sort is confined to BLOCKS keyed by the
+    * first `blockLen` chars of the key — windows partition by block,
+    * so every block sorts independently in parallel (the classic
+    * single-machine SNM's global sort is a one-reducer anti-pattern).
+    * Pairs whose members straddle a block boundary are out of reach —
+    * the standard blocked-SNM tradeoff, tuned by `blockLen` (shorter =
+    * bigger blocks = more recall, more skew). Emits (id_a, id_b,
+    * key_a, key_b, w_dist ∈ 1..w); candidates only — score with
+    * [[fellegiSunter]] or a string-similarity verify downstream. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         w: Int, blockLen: Int = 1): DataFrame = {
+    require(w >= 1, s"window w must be >= 1, got $w")
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    val blocked = df
+      .select(col(idCol).as("id_a"), col(keyCol).as("key_a"))
+      .withColumn("__blk", substring(col("key_a"), 1, blockLen))
+    val win = Window.partitionBy(col("__blk"))
+      .orderBy(col("key_a"), col("id_a"))
+    val withLeads = (1 to w).foldLeft(blocked) { (acc, d) =>
+      acc.withColumn(s"__id_$d", lead(col("id_a"), d).over(win))
+        .withColumn(s"__key_$d", lead(col("key_a"), d).over(win))
+    }
+    val pairs = expr(
+      (1 to w).map(d =>
+        s"IF(__id_$d IS NOT NULL, struct(__id_$d AS id_b, __key_$d AS key_b, $d AS w_dist), NULL)")
+        .mkString("filter(array(", ", ", "), p -> p IS NOT NULL)"))
+    withLeads
+      .select(col("id_a"), col("key_a"), explode(pairs).as("p"))
+      .select(col("id_a"), col("p.id_b"), col("key_a"), col("p.key_b"),
+        col("p.w_dist"))
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Privacy-risk audit for a release candidate — k-anonymity and
   * l-diversity (Sweeney 2002; Machanavajjhala et al. 2007) over a
@@ -46,5 +47,63 @@ object Privacy {
           .as("frac_rows_at_risk"),
         col("min_class_size"))
     classes.crossJoin(broadcast(totals))
+  }
+
+  /** t-closeness (Li, Li & Venkatasubramanian 2007) — the gate
+    * k-anonymity and l-diversity both miss: a class can be large AND
+    * diverse yet still leak because its sensitive-attribute
+    * DISTRIBUTION differs from the corpus's (skewness attack). For an
+    * ORDERED sensitive attribute the distance is the Earth Mover's
+    * Distance with unit ground distance between adjacent values,
+    * normalized by the value range:
+    *   EMD(p, q) = (1/(m−1)) · Σ_{j<m} |CumP(j) − CumQ(j)|.
+    *
+    * The sensitive value is bucketed into fixed-width ordered bins
+    * (`binWidth`) first — the standard practical move that bounds the
+    * per-class distribution vector at m ≤ range/binWidth regardless of
+    * corpus size. `violates_t` compares the 6-decimal-rounded EMD so
+    * the boolean is engine-stable.
+    *
+    * Scale shape: one (class, bin) hash aggregate; the zero-filled
+    * grid comes from a broadcast cross of the TINY distinct-bin frame
+    * (≤ m rows at any scale) against per-class sizes; cumulatives are
+    * windows PARTITIONED BY CLASS (parallel, m-bounded). No global
+    * sort, no per-row window. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 binWidth: Long, t: Double = 0.2): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val qc = quasiCols.map(col)
+    val binned = df.withColumn("__bin",
+      floor(col(sensitiveCol).cast("double") / binWidth).cast("long"))
+    // global per-bin counts (q) + the ordered bin universe
+    val global = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cq"))
+    val nTotal = binned.agg(count(lit(1)).as("n_total"))
+    // per-(class, bin) counts (p), zero-filled over the bin universe
+    val perClassBin = binned.groupBy(qc :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("cp"))
+    val classes = binned.groupBy(qc: _*).agg(count(lit(1)).as("class_size"))
+    val grid = classes
+      .crossJoin(broadcast(global))
+      .join(perClassBin, quasiCols :+ "__bin", "left")
+      .withColumn("cp", coalesce(col("cp"), lit(0L)))
+    val wCum = Window.partitionBy(qc: _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCls = Window.partitionBy(qc: _*)
+    val emd = grid.crossJoin(broadcast(nTotal))
+      .withColumn("cum_p", sum(col("cp")).over(wCum))
+      .withColumn("cum_q", sum(col("cq")).over(wCum))
+      .withColumn("m", count(lit(1)).over(wCls))
+      .withColumn("last_bin", max(col("__bin")).over(wCls))
+      // the final cumulative is 1−1 by construction: exclude it
+      .filter(col("__bin") < col("last_bin"))
+      .groupBy(qc :+ col("class_size"): _*)
+      .agg((sum(abs(col("cum_p").cast("double") / col("class_size")
+          - col("cum_q").cast("double") / col("n_total")))
+        / (max(col("m")).cast("double") - 1.0)).as("emd"))
+    val p = math.pow(10, 6)
+    emd.withColumn("emd", floor(col("emd") * p + lit(0.5)) / p)
+      .withColumn("violates_t", col("emd") > t)
+      .select(qc ++ Seq(col("class_size"), col("emd"), col("violates_t")): _*)
   }
 }

@@ -270,4 +270,32 @@ object Sampling {
         col("p_raw"), col("weight"), col("expected_tokens"),
         (col("expected_tokens") / col("n_tokens").cast("double")).as("epochs"))
   }
+
+  /** Deterministic per-epoch shuffle key: md5 of (seed, epoch, id) —
+    * a fresh pseudo-random total order per epoch that is identical on
+    * every run, engine, and partitioning (the property training-data
+    * reproducibility actually needs; `rand()` has none of it). Ordering
+    * compares the hex STRING — no numeric conversion to disagree on. */
+  def epochShuffleKey(id: Column, seed: String, epoch: Int): Column =
+    md5(concat_ws(":", lit(seed), lit(epoch), id.cast("string")))
+
+  /** Stratified epoch ordering — the "in what order does the trainer
+    * see the data" operator. Within each stratum rows are ranked by
+    * `orderCol` (a difficulty score for curriculum, an
+    * [[epochShuffleKey]] for a shuffled epoch), and the global epoch
+    * order is (rn, stratum): one row from each stratum round-robin —
+    * no source ever dominates a training window, which is the failure
+    * mode of concatenated-source epochs.
+    *
+    * Returns the input plus `rn` (1-based rank within stratum). The
+    * consumer materializes the epoch by sorting on (rn, stratum) —
+    * a range-partitioned distributed sort at scale, never a single
+    * reducer; for a bounded head (the usual inspection/smoke path)
+    * Catalyst folds it to TakeOrderedAndProject. Windows partition by
+    * the STRATUM, so ranking parallelizes per source and no global
+    * row-number is ever computed. */
+  def stratifiedInterleave(df: DataFrame, strataCol: String,
+                           orderCol: Column, tieCol: String): DataFrame =
+    df.withColumn("rn", row_number().over(
+      Window.partitionBy(col(strataCol)).orderBy(orderCol, col(tieCol))))
 }

@@ -300,6 +300,27 @@ object Behavioral {
       .orderBy("lag")
   }
 
+  /** Holt linear-trend smoothing (Forecast.holtLinear, α=0.5, β=0.25)
+    * of the per-hour event rate, one series per event_type, with the
+    * 1/2/3-hour-ahead forecasts — the trend-aware step past q_ema_decay.
+    * The fold runs in one codegen'd `aggregate` over the time-sorted
+    * per-key array (fixed operation order → bit-equal to the oracle's
+    * recursive CTE); α/β are exactly representable so 1−α matches the
+    * SQL literal. */
+  def holt(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).cast("double").as("rate"))
+    graft.operators.Forecast.holtLinear(series, "event_type", "hour_epoch", "rate",
+        alpha = 0.5, beta = 0.25, horizon = 3)
+      .select(col("event_type"), col("n"),
+        rd(col("level"), 6).as("level"), rd(col("trend"), 6).as("trend"),
+        rd(col("fc_1"), 6).as("fc_1"), rd(col("fc_2"), 6).as("fc_2"),
+        rd(col("fc_3"), 6).as("fc_3"))
+      .orderBy("event_type")
+  }
+
   /** HBOS outlier scoring table (Anomaly.hbos): rarity score per
     * realized (value-band, hour, type) combination — the linear-time
     * unsupervised outlier detector over the event feed. */
@@ -449,6 +470,7 @@ object Behavioral {
     "q_benford" -> benford,
     "q_bootstrap_ci" -> bootstrapCi,
     "q_seasonal" -> seasonal,
+    "q_holt" -> holt,
     "q_hbos" -> hbosScores,
     "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
@@ -655,6 +677,40 @@ object Behavioral {
     },
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
+    // the recursion recomputes l_new inside b_new exactly as the Spark
+    // fold's lambda does (no lateral binding there either) — same ops,
+    // same order, bit-equal doubles
+    "q_holt" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, x,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS i
+        |      FROM s0),
+        |nn AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n FROM s GROUP BY 1),
+        |init AS (
+        |  SELECT s1.event_type, CAST(1 AS BIGINT) AS i, s1.x AS l, s2.x - s1.x AS b
+        |  FROM s s1 JOIN s s2 ON s2.event_type = s1.event_type AND s2.i = 2
+        |  WHERE s1.i = 1),
+        |rec(event_type, i, l, b) AS (
+        |  SELECT event_type, i, l, b FROM init
+        |  UNION ALL
+        |  SELECT r.event_type, r.i + 1,
+        |    CAST(0.5 AS DOUBLE) * s.x + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+        |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * s.x + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+        |      + CAST(0.75 AS DOUBLE) * r.b
+        |  FROM rec r JOIN s ON s.event_type = r.event_type AND s.i = r.i + 1),
+        |fin AS (
+        |  SELECT r.event_type, nn.n, r.l AS level, r.b AS trend
+        |  FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n)
+        |SELECT event_type, n,
+        |  floor((level)*1000000 + 0.5)/1000000 AS level,
+        |  floor((trend)*1000000 + 0.5)/1000000 AS trend,
+        |  floor((level + 1.0*trend)*1000000 + 0.5)/1000000 AS fc_1,
+        |  floor((level + 2.0*trend)*1000000 + 0.5)/1000000 AS fc_2,
+        |  floor((level + 3.0*trend)*1000000 + 0.5)/1000000 AS fc_3
+        |FROM fin ORDER BY event_type""".stripMargin,
     "q_cusum" ->
       """WITH s AS (
         |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Drift, Eval, Linkage, LogReg, Raking, Sampling}
@@ -207,7 +208,79 @@ object Mixture {
         rd(col("q_hat"), 6).as("q_hat"),
         rd(col("coverage"), 6).as("coverage"))
 
+  /** Per-source Gini concentration of document mass
+    * (RankStats.giniByGroup over n_chars): "is this source a few huge
+    * docs or many small ones". Ranks are group-partitioned windows
+    * (parallel, group-bounded sorts); Σr·x stays in exact longs, the
+    * one division rounds at 6. */
+  def gini(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.giniByGroup(docs(s, dir), "source", "n_chars", "doc_id")
+      .select(col("source"), col("n"), col("total"), rd(col("gini"), 6).as("gini"))
+      .orderBy("source")
+
+  /** Theil T decomposition of the same mass (RankStats.theilByGroup):
+    * t_total = t_between + Σ share·t_within — tells a mix designer
+    * whether size skew lives ACROSS sources (rebalance the mix) or
+    * INSIDE them (cap within-source). Pure aggregation, no ranks. */
+  def theil(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.theilByGroup(docs(s, dir), "source", "n_chars")
+      .select(col("source"), col("n_k"), col("mass_k").cast("long").as("mass_k"),
+        rd(col("share"), 6).as("share"),
+        rd(col("t_within"), 6).as("t_within"),
+        rd(col("t_total"), 6).as("t_total"),
+        rd(col("t_between_k"), 6).as("t_between_k"))
+      .orderBy("source")
+
+  /** t-closeness audit (Privacy.tCloseness, 250-char bins, t = 0.2)
+    * over quasi-identifiers (source, lang) with n_chars as the ordered
+    * sensitive attribute — the distributional leak k-anonymity and
+    * l-diversity both miss (skewness attack). */
+  def tClose(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tCloseness(
+        docs(s, dir), Seq("source", "lang"), "n_chars", binWidth = 250L, t = 0.2)
+      .orderBy("source", "lang")
+
+  /** Stratified epoch ordering (Sampling.stratifiedInterleave): the
+    * first 100 positions of a curriculum epoch — within-source rank by
+    * difficulty (n_chars ascending, easy-first), sources interleaved
+    * round-robin so no source dominates a training window — plus the
+    * rank each doc would take in a seeded SHUFFLED epoch
+    * (Sampling.epochShuffleKey, epoch 1) for contrast. The head is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * position stamp is a window over the already-limited 100 rows. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val c1 = Sampling.stratifiedInterleave(d, "source", col("n_chars"), "doc_id")
+      .withColumn("rn_curr", col("rn").cast("long")).drop("rn")
+    val c2 = Sampling.stratifiedInterleave(c1, "source",
+        Sampling.epochShuffleKey(col("doc_id"), "ep", 1), "doc_id")
+      .withColumn("rn_shuffle", col("rn").cast("long")).drop("rn")
+    c2.orderBy(col("rn_curr"), col("source")).limit(100)
+      .withColumn("position",
+        row_number().over(Window.orderBy(col("rn_curr"), col("source"))).cast("long"))
+      .select(col("position"), col("doc_id"), col("source"), col("n_chars"),
+        col("rn_curr"), col("rn_shuffle"))
+      .orderBy("position")
+  }
+
+  /** Blocked sorted-neighborhood candidates (Linkage.sortedNeighborhood,
+    * w = 2) over a normalized text-prefix key — the third blocking
+    * family (LSH banding and equality blocking being q_lsh_pairs and
+    * q_linkage's): near-equal sort keys pair up with no shared exact
+    * token. Block-partitioned windows, no global sort. */
+  def sortedBlocking(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 16).as("k"))
+    Linkage.sortedNeighborhood(keyed, "doc_id", "k", w = 2, blockLen = 1)
+      .orderBy("id_a", "w_dist")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> curriculum,
+    "q_sorted_blocking" -> sortedBlocking,
+    "q_tcloseness" -> tClose,
+    "q_gini" -> gini,
+    "q_theil" -> theil,
     "q_conformal" -> conformal,
     "q_geomedian" -> geoMedian,
     "q_fairness" -> fairness,
@@ -228,6 +301,91 @@ object Mixture {
       .mkString(" ") + " END"
 
   def oracles: Map[String, String] = Map(
+    "q_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn_curr,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('ep:1:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn_shuffle
+        |  FROM documents),
+        |h AS (SELECT * FROM r ORDER BY rn_curr, source LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY rn_curr, source) AS BIGINT) AS position,
+        |  doc_id, source, n_chars, rn_curr, rn_shuffle
+        |FROM h ORDER BY position""".stripMargin,
+    "q_sorted_blocking" ->
+      """WITH k AS (
+        |  SELECT doc_id AS id_a,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS key_a
+        |  FROM documents),
+        |l AS (
+        |  SELECT id_a, key_a,
+        |    lead(id_a, 1) OVER w AS id1, lead(key_a, 1) OVER w AS k1,
+        |    lead(id_a, 2) OVER w AS id2, lead(key_a, 2) OVER w AS k2
+        |  FROM k WINDOW w AS (PARTITION BY substr(key_a, 1, 1) ORDER BY key_a, id_a))
+        |SELECT id_a, id1 AS id_b, key_a, k1 AS key_b, 1 AS w_dist
+        |FROM l WHERE id1 IS NOT NULL
+        |UNION ALL
+        |SELECT id_a, id2 AS id_b, key_a, k2 AS key_b, 2 AS w_dist
+        |FROM l WHERE id2 IS NOT NULL
+        |ORDER BY id_a, w_dist""".stripMargin,
+    "q_tcloseness" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |    CAST(floor(CAST(n_chars AS DOUBLE)/250) AS BIGINT) AS bin
+        |  FROM documents),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS cq FROM b GROUP BY bin),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+        |cls AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS class_size
+        |        FROM b GROUP BY 1, 2),
+        |pcb AS (SELECT source, lang, bin, CAST(count(*) AS BIGINT) AS cp
+        |        FROM b GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT c.source, c.lang, c.class_size, g.bin, g.cq,
+        |    coalesce(p.cp, 0) AS cp, nt.n_total
+        |  FROM cls c CROSS JOIN g CROSS JOIN nt
+        |  LEFT JOIN pcb p ON p.source = c.source AND p.lang = c.lang AND p.bin = g.bin),
+        |cum AS (
+        |  SELECT source, lang, class_size, bin, n_total,
+        |    sum(cp) OVER (PARTITION BY source, lang ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+        |    sum(cq) OVER (PARTITION BY source, lang ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+        |    count(*) OVER (PARTITION BY source, lang) AS m,
+        |    max(bin) OVER (PARTITION BY source, lang) AS last_bin
+        |  FROM grid),
+        |e AS (
+        |  SELECT source, lang, class_size,
+        |    sum(abs(CAST(cum_p AS DOUBLE)/class_size - CAST(cum_q AS DOUBLE)/n_total))
+        |      / (max(m) - 1.0) AS emd
+        |  FROM cum WHERE bin < last_bin GROUP BY 1, 2, 3)
+        |SELECT source, lang, class_size,
+        |  floor(emd*1000000 + 0.5)/1000000 AS emd,
+        |  floor(emd*1000000 + 0.5)/1000000 > 0.2 AS violates_t
+        |FROM e ORDER BY source, lang""".stripMargin,
+    "q_gini" ->
+      """WITH ranked AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |  floor((2.0*CAST(sum(r*x) AS DOUBLE)/(CAST(count(*) AS DOUBLE)*CAST(sum(x) AS DOUBLE))
+        |         - (CAST(count(*) AS DOUBLE)+1.0)/CAST(count(*) AS DOUBLE))*1000000 + 0.5)/1000000 AS gini
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+    "q_theil" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_k,
+        |    sum(CAST(n_chars AS DOUBLE)) AS mass_k,
+        |    sum(CAST(n_chars AS DOUBLE)*ln(CAST(n_chars AS DOUBLE))) AS xlnx_k
+        |  FROM documents WHERE n_chars > 0 GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(n_k) AS BIGINT) AS n, sum(mass_k) AS mass, sum(xlnx_k) AS xlnx
+        |  FROM g)
+        |SELECT source, n_k, CAST(mass_k AS BIGINT) AS mass_k,
+        |  floor((mass_k/mass)*1000000 + 0.5)/1000000 AS share,
+        |  floor((xlnx_k/mass_k - ln(mass_k/n_k))*1000000 + 0.5)/1000000 AS t_within,
+        |  floor((xlnx/mass - ln(mass/n))*1000000 + 0.5)/1000000 AS t_total,
+        |  floor(((mass_k/mass)*ln((mass_k/n_k)/(mass/n)))*1000000 + 0.5)/1000000 AS t_between_k
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     "q_conformal" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

@@ -156,6 +156,17 @@ object Relational {
       rd(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
       rd(stddev_samp(col("l_quantity")), 6).as("std_qty"))
 
+  /** Spearman rank correlation (RankStats.spearman) between quantity
+    * and extended price — the monotone-robust twin of q_corr's
+    * Pearson. Quantity is integer-valued (massive ties → exercises
+    * average-tie ranks); price is near-distinct. Ranks come from the
+    * two-level distributed prefix sum (no global row sort); only the
+    * final corr aggregate is summation-order sensitive → rd6. */
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.spearman(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+      .select(col("n"), rd(col("rho"), 6).as("rho"))
+
   /** J7: scalar-subquery battery — one row of independent counts
     * (reference grain-acceptance query rt_video_metrics_serving.sql:191-196).
     * Built as broadcast cross-joins of 1-row aggregates. */
@@ -446,6 +457,7 @@ object Relational {
     "q_semi_join" -> semiJoin,
     "q_bloom_prune" -> bloomPrune,
     "q_corr" -> corrBattery,
+    "q_spearman" -> spearmanCorr,
     "q_scalar_subqueries" -> scalarSubqueries,
     "q_latest_per_key" -> latestPerKey,
     "q_dup_grains" -> dupGrains,
@@ -602,6 +614,19 @@ object Relational {
         |  floor((covar_samp(l_quantity, l_extendedprice))*10000 + 0.5)/10000 AS covar_qty_price,
         |  floor((stddev_samp(l_quantity))*1000000 + 0.5)/1000000 AS std_qty
         |FROM lineitem""".stripMargin,
+    // average-tie ranks direct: rank() (= #below + 1) plus half the tie
+    // block — identical half-integers to the Spark two-level prefix sum
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT
+        |    rank() OVER (ORDER BY CAST(floor(l_quantity*100 + 0.5) AS BIGINT))
+        |      + (count(*) OVER (PARTITION BY CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) - 1)/2.0 AS rank_x,
+        |    rank() OVER (ORDER BY CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+        |      + (count(*) OVER (PARTITION BY CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) - 1)/2.0 AS rank_y
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  floor((corr(rank_x, rank_y))*1000000 + 0.5)/1000000 AS rho
+        |FROM r""".stripMargin,
     "q_scalar_subqueries" ->
       """SELECT
         | (SELECT count(*) FROM lineitem) AS n_lineitem,

@@ -63,4 +63,27 @@ class LinkageSpec extends AnyFunSuite {
       .select("score").as[Double].collect()
     r.foreach(s => assert(!s.isInfinite && !s.isNaN))
   }
+
+  test("sortedNeighborhood: w successors in key order within a block, never across blocks") {
+    // block 'a': keys aaa < aab < aac < aad; block 'b': bzz
+    val df = Seq((1L, "aab"), (2L, "aaa"), (3L, "aad"), (4L, "aac"), (5L, "bzz"))
+      .toDF("id", "k")
+    val got = Linkage.sortedNeighborhood(df, "id", "k", w = 2, blockLen = 1)
+      .select("id_a", "id_b", "w_dist").as[(Long, Long, Int)].collect().toSet
+    // sorted block a: (2,aaa) (1,aab) (4,aac) (3,aad)
+    val expect = Set(
+      (2L, 1L, 1), (2L, 4L, 2),
+      (1L, 4L, 1), (1L, 3L, 2),
+      (4L, 3L, 1))
+    assert(got == expect, s"got $got")
+    // 5 (block b) pairs with nothing — boundary pairs are out of scope by design
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("sortedNeighborhood: equal keys fall back to id order (deterministic)") {
+    val df = Seq((9L, "xx"), (3L, "xx"), (7L, "xx")).toDF("id", "k")
+    val got = Linkage.sortedNeighborhood(df, "id", "k", w = 1, blockLen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 7L), (7L, 9L)), s"got $got")
+  }
 }

@@ -131,4 +131,32 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids1 == ids2, "sample membership must be deterministic")
   }
+
+  test("stratifiedInterleave: epoch order (rn, stratum) round-robins the strata") {
+    val df = Seq(
+      ("web", 10L, 1L), ("web", 20L, 2L), ("web", 30L, 3L),
+      ("book", 5L, 4L), ("book", 15L, 5L),
+      ("code", 1L, 6L)).toDF("src", "difficulty", "id")
+    val epoch = Sampling.stratifiedInterleave(df, "src", col("difficulty"), "id")
+      .orderBy(col("rn"), col("src"))
+      .select("src", "rn", "id").as[(String, Int, Long)].collect().toSeq
+    // rank-1 block first (one row per stratum, stratum-alphabetical),
+    // then rank-2, …: no source ever appears twice before all others
+    // with remaining rows appeared once
+    assert(epoch.map(_._1) ==
+      Seq("book", "code", "web", "book", "web", "web"), s"order $epoch")
+    // within-stratum order is by difficulty: web is 10 -> 20 -> 30
+    assert(epoch.filter(_._1 == "web").map(_._3) == Seq(1L, 2L, 3L))
+  }
+
+  test("epochShuffleKey: deterministic per epoch, different across epochs") {
+    val df = (1L to 50L).map(i => ("s", i)).toDF("src", "id")
+    def order(epoch: Int) = Sampling.stratifiedInterleave(
+        df, "src", Sampling.epochShuffleKey(col("id"), "seed", epoch), "id")
+      .orderBy("rn").select("id").as[Long].collect().toSeq
+    val e1a = order(1); val e1b = order(1); val e2 = order(2)
+    assert(e1a == e1b, "same epoch must reproduce exactly")
+    assert(e1a != e2, "different epochs must reshuffle")
+    assert(e1a.sorted == e2.sorted, "reshuffle is a permutation, not a resample")
+  }
 }
