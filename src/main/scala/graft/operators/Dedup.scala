@@ -575,18 +575,22 @@ object Dedup {
         "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), " +
           "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
-    // the exact intersection runs over xxhash64'd shingle arrays: the
-    // per-pair hash set works on primitive longs instead of ~30-char
-    // strings (~5x less CPU in the hot loop). transform preserves array
-    // length, so n_a/n_b are exact; only n_inter could drift, on a
-    // 64-bit collision WITHIN one candidate pair's ~100-element union —
+    // the exact intersection runs over SORTED xxhash64'd shingle
+    // arrays: primitive longs instead of ~30-char strings, sorted ONCE
+    // per doc (amortized over that doc's candidate pairs) so the
+    // per-pair count is a zero-allocation two-pointer merge in codegen
+    // (plans.SortedIntersectCount) — vs array_intersect's per-pair
+    // hash-set + result-array build. transform preserves array length,
+    // so n_a/n_b are exact; only n_inter could drift, on a 64-bit
+    // collision WITHIN one candidate pair's ~100-element union —
     // p ≈ 100²/2⁶⁴ ≈ 5e-16 per pair, below any operational concern.
     val hashed = arrs.select(col(idCol),
-      expr("transform(sh, s -> xxhash64(s))").as("hs"), size(col("sh")).as("n"))
+      expr("sort_array(transform(sh, s -> xxhash64(s)))").as("hs"), size(col("sh")).as("n"))
     cand
       .join(hashed.select(col(idCol).as("id_a"), col("hs").as("__sa"), col("n").as("__na")), "id_a")
       .join(hashed.select(col(idCol).as("id_b"), col("hs").as("__sb"), col("n").as("__nb")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("n_inter",
+        graft.plans.SetExpressions.sortedIntersectCount(col("__sa"), col("__sb")))
       .withColumn("n_a", col("__na").cast("long"))
       .withColumn("n_b", col("__nb").cast("long"))
       .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
@@ -690,12 +694,16 @@ object Dedup {
         col("__lb") >= ceil(col("__la") * trueJaccard) &&
         col("__lb") * trueJaccard <= col("__la"))
       .select("id_a", "id_b").distinct()
+    // sorted-hash arrays + two-pointer merge count — same exact-verify
+    // speedup as containmentPairs (sort once per doc, zero-allocation
+    // per-pair count in codegen)
     val hashed = sh.select(col(idCol),
-      expr("transform(sh, s -> xxhash64(s))").as("hs"), size(col("sh")).as("n"))
+      expr("sort_array(transform(sh, s -> xxhash64(s)))").as("hs"), size(col("sh")).as("n"))
     val truth = sharing
       .join(hashed.select(col(idCol).as("id_a"), col("hs").as("__sa"), col("n").as("__na")), "id_a")
       .join(hashed.select(col(idCol).as("id_b"), col("hs").as("__sb"), col("n").as("__nb")), "id_b")
-      .withColumn("__ni", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__ni",
+        graft.plans.SetExpressions.sortedIntersectCount(col("__sa"), col("__sb")))
       .filter(col("__ni").cast("double") /
         (col("__na") + col("__nb") - col("__ni")) >= trueJaccard)
       .select("id_a", "id_b")
