@@ -415,4 +415,43 @@ object Graphs {
     out.count()
     out
   }
+
+  /** Multi-source BFS hop distance with a fixed round budget:
+    * dist(v) = min #edges from ANY seed, for every node reached within
+    * `maxHops` (unreached nodes are absent — the caller left-joins and
+    * fills if it wants ∞). The reachability/blast-radius primitive the
+    * scoring loops (pageRank/LPA) don't provide.
+    *
+    * Frontier algorithm, one round per hop: newly-reached nodes =
+    * (frontier ⋈ edges on src).dst MINUS already-settled — an
+    * equi-join plus a left-anti join, both keyed shuffles; per-round
+    * state is the settled (id, dist) frame, |V|-bounded at any scale.
+    * A node is assigned its FIRST discovery depth, which is minimal —
+    * so no min-merge pass is needed. Lineage is truncated every round
+    * (the kCorePeel lesson: per-round planning cost, not data, is what
+    * grows otherwise); the final frame is a truncated leaf, no cache
+    * lifetime to manage.
+    *
+    * Determinism: the settled set after round r is exactly
+    * {v : dist(v) ≤ r} — set-valued, order-free, engine-independent;
+    * the oracle mirrors it with a depth-bounded recursive CTE + GROUP
+    * BY min(d). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var settled = Lineage.truncate(
+      seeds.select(col(seedCol).as("id")).distinct().withColumn("dist", lit(0L)))
+    var frontier = settled
+    for (r <- 1 to maxHops) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+      frontier = Lineage.truncate(next)
+      settled = Lineage.truncate(settled.union(frontier))
+    }
+    settled
+  }
 }

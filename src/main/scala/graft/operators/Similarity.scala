@@ -527,6 +527,42 @@ object Similarity {
       .select(col("train_id"), col("eval_id"), col("cosine"))
   }
 
+  /** Simplified silhouette of a centroid partition (the centroid-based
+    * form: a = cosine distance to the OWN centroid, b = to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]) — the
+    * cluster-quality gate for the IVF quantizer that
+    * [[quantizationScore]]'s raw objective doesn't give: objective
+    * always improves with more centroids, silhouette penalizes
+    * centroids that don't separate.
+    *
+    * Full silhouette is O(n²) pairwise; the centroid form is the
+    * standard large-scale substitute (one broadcast of k centroids,
+    * one per-vector top-2 window — same shape as [[ivfAssign]]).
+    * Per-vector s is rounded to 1e-9 fixed point and summed in exact
+    * longs, so the per-bucket mean is engine-exact (the modularity
+    * recipe). Returns one row per bucket: (bucket, n_vectors,
+    * mean_sil). */
+  def silhouette(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineExpr(vecCol, "centroid_vec"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))
+    val per = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(max(when(col("__rn") === 1, col("centroid_id"))).as("bucket"),
+        max(when(col("__rn") === 1, col("sim"))).as("__s1"),
+        max(when(col("__rn") === 2, col("sim"))).as("__s2"))
+      .withColumn("a", lit(1.0) - col("__s1"))
+      .withColumn("b", lit(1.0) - col("__s2"))
+      .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)))
+    per.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_vectors"),
+      (sum(floor(col("sil") * lit(1e9) + lit(0.5)).cast("long")).cast("double")
+        / lit(1e9) / count(lit(1))).as("mean_sil"))
+  }
+
   /** Seeded ±1 sign matrix for [[jlProject]] — a compile-time LCG
     * walk, so the SAME literals are interpolated into the Spark
     * expression and the DuckDB oracle (the generated-constants

@@ -297,6 +297,27 @@ object Relational {
       .orderBy("id")
   }
 
+  /** Multi-source BFS hop distance (Graphs.bfsHops, 3 hops) over the
+    * same symmetrized customer–supplier graph as q_pagerank, seeded at
+    * customers 1..5 — blast-radius / reachability: "how many hops does
+    * influence travel from these accounts". Frontier equi-join + anti
+    * join per round, lineage-truncated; oracle is a depth-bounded
+    * recursive CTE with min(d). */
+  def bfsHopsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
+      .orderBy("id")
+  }
+
   /** As-of join (J8 analog, beyond the reference's equi-joins): every
     * non-purchase event matched to the same user's latest purchase at
     * or before it. Union-tag + single window pass (operators/AsofJoin)
@@ -467,6 +488,7 @@ object Relational {
     "q_topk" -> topK,
     "q_set_ops" -> setOps,
     "q_pagerank" -> pagerank,
+    "q_bfs_hops" -> bfsHopsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -699,5 +721,19 @@ object Relational {
         |       FROM n CROSS JOIN cnt LEFT JOIN c2 ON n.id = c2.id)
         |SELECT id, floor((rank)*10000000000 + 0.5)/10000000000 AS rank
         |FROM r2 ORDER BY id""".stripMargin,
+    // UNION-dedup recursion terminates on cycles; min(d) over all
+    // depth-bounded discoveries = BFS distance, matching the frontier
+    // algorithm's first-discovery depth
+    "q_bfs_hops" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |seeds AS (SELECT c_custkey * 2 AS id FROM customer WHERE c_custkey <= 5),
+        |reach(id, d) AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS d FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY id ORDER BY id""".stripMargin,
   )
 }

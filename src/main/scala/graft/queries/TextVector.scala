@@ -630,6 +630,19 @@ object TextVector {
       .orderBy("query_id", "rank")
   }
 
+  /** Centroid-form silhouette of the stride-100 IVF partition
+    * (Similarity.silhouette) — "do these coarse cells actually
+    * separate the corpus": per-bucket mean of (b−a)/max(a,b) with a/b
+    * the own/nearest-other centroid cosine distances; 1e-9 fixed-point
+    * mean, engine-exact. */
+  def silhouetteQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.silhouette(e,
+        Similarity.strideCentroids(e, "vec_id", "embedding", stride = 100),
+        "vec_id", "embedding")
+      .orderBy("bucket")
+  }
+
   /** Training-free LSH ANN (difference-plane sign bands + exact
     * re-rank) — candidate generation is a band equi-join, no quantizer
     * fit, no cross join. */
@@ -1229,6 +1242,7 @@ object TextVector {
       .select(col("id_a"), col("id_b"), rd(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")),
     "q_embed_ivf" -> embedIvf,
+    "q_silhouette" -> silhouetteQ,
     "q_embed_pq" -> pqTopK,
     "q_embed_ivfpq" -> ivfPqTopK,
     "q_embed_lsh" -> embedLsh,
@@ -2500,6 +2514,31 @@ object TextVector {
         |      FROM scored)
         |SELECT query_id, bucket, CAST(rank AS INTEGER) AS rank, neighbor_id, floor((cosine)*10000 + 0.5)/10000 AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "q_silhouette" ->
+      ("WITH " + ivfAssignCte.replace("assign AS (",
+        """sc AS (
+          |  SELECT c.vec_id, ct.centroid_id,
+          |    list_dot_product(c.v, ct.centroid_vec) /
+          |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ct.centroid_vec, ct.centroid_vec))) AS sim
+          |  FROM corpus c CROSS JOIN cent ct),
+          |r AS (
+          |  SELECT vec_id, centroid_id, sim,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          |  FROM sc),
+          |per AS (
+          |  SELECT vec_id,
+          |    max(CASE WHEN rn = 1 THEN centroid_id END) AS bucket,
+          |    1.0 - max(CASE WHEN rn = 1 THEN sim END) AS a,
+          |    1.0 - max(CASE WHEN rn = 2 THEN sim END) AS b
+          |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+          |sil AS (
+          |  SELECT bucket,
+          |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+          |  FROM per),
+          |assign AS (""".stripMargin) + """
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CAST(floor(s*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000/count(*) AS mean_sil
+        |FROM sil GROUP BY bucket ORDER BY bucket""".stripMargin),
     "q_quantile_norm" ->
       """WITH x AS (
         |  SELECT vec_id, pos - 1 AS pos, x

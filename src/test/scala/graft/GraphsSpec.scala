@@ -212,4 +212,23 @@ class GraphsSpec extends AnyFunSuite {
       .select("assortativity").as[Option[Double]].head()
     assert(rp.get < 0, "path-of-4 ends pull r negative")
   }
+
+  test("bfsHops: path distances, hop budget cutoff, unreached absent") {
+    // 1 -> 2 -> 3 -> 4 -> 5, seed {1}, budget 3: node 5 out of reach
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Graphs.bfsHops(path, "s", "d", seeds, "id", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $got")
+  }
+
+  test("bfsHops: cycles terminate, multi-seed takes the minimum, revisits keep first depth") {
+    // triangle 1-2-3 (directed cycle) plus 3 -> 4; seeds {1, 4}
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val got = Graphs.bfsHops(g, "s", "d", seeds, "id", maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    // 4 is a seed (dist 0), NOT 1's 3-hop discovery; cycle nodes settle once
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L), s"got $got")
+  }
 }

@@ -42,4 +42,26 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(multiRecall >= fittedRecall - 1e-9, "multi-probe must not lose recall")
     assert(fittedHits.nonEmpty)
   }
+
+  test("silhouette: separated axis clusters score near 1, overlapping centroids score lower") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster A hugs e1, cluster B hugs e2 — centroids on the axes
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.05f)), (2L, Seq(1.0f, -0.05f)), (3L, Seq(0.95f, 0.0f)),
+      (11L, Seq(0.05f, 1.0f)), (12L, Seq(-0.05f, 1.0f)), (13L, Seq(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val goodCent = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("centroid_id", "centroid_vec")
+    val good = Similarity.silhouette(vecs, goodCent, "vec_id", "embedding")
+      .select("mean_sil").as[Double].collect()
+    good.foreach(s => assert(s > 0.8, s"separated clusters: mean_sil $s"))
+    // both centroids in cluster A's direction: B's members sit between
+    // them -> near-zero or negative silhouette somewhere
+    val badCent = Seq((0L, Seq(1.0f, 0.1f)), (1L, Seq(1.0f, -0.1f)))
+      .toDF("centroid_id", "centroid_vec")
+    val bad = Similarity.silhouette(vecs, badCent, "vec_id", "embedding")
+      .select("mean_sil").as[Double].collect()
+    assert(bad.exists(_ < 0.5), s"overlapping centroids should drop silhouette, got ${bad.toSeq}")
+  }
 }
