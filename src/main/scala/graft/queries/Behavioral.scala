@@ -321,6 +321,38 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** Rolling 60-minute Pearson correlation between the view and
+    * purchase per-minute rates — "are these streams still coupled"
+    * (decoupling flags instrumentation loss or funnel breakage).
+    * Closed-form corr from exact integer window sums (n, Σx, Σy, Σx²,
+    * Σy², Σxy over the pre-aggregated series frame) — no engine
+    * corr() and its merge-formula drift; every value up to the final
+    * divide is a long, so rho is bit-identical cross-engine. Windows
+    * are over REALIZED minutes (ROWS, not a zero-filled spine);
+    * emitted only when the window is full (n = 60) and both variances
+    * are positive (NULL otherwise — undefined, not zero). */
+  def rollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val rates = t(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy(col("minute_epoch")).rowsBetween(-59, 0)
+    val d = rates
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .filter(col("n") === 60)
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    d.select(col("minute_epoch"), col("x"), col("y"),
+        rd(when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))), 6).as("rho"))
+      .orderBy("minute_epoch")
+  }
+
   /** HBOS outlier scoring table (Anomaly.hbos): rarity score per
     * realized (value-band, hour, type) combination — the linear-time
     * unsupervised outlier detector over the event feed. */
@@ -471,6 +503,7 @@ object Behavioral {
     "q_bootstrap_ci" -> bootstrapCi,
     "q_seasonal" -> seasonal,
     "q_holt" -> holt,
+    "q_rolling_corr" -> rollingCorr,
     "q_hbos" -> hbosScores,
     "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
@@ -677,6 +710,25 @@ object Behavioral {
     },
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
+    "q_rolling_corr" ->
+      """WITH r AS (
+        |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT minute_epoch, x, y,
+        |    count(*) OVER win AS n,
+        |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+        |    sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy,
+        |    sum(x*y) OVER win AS sxy
+        |  FROM r WINDOW win AS (ORDER BY minute_epoch ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+        |SELECT minute_epoch, x, y,
+        |  floor((CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+        |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |    END)*1000000 + 0.5)/1000000 AS rho
+        |FROM w WHERE n = 60 ORDER BY minute_epoch""".stripMargin,
     // the recursion recomputes l_new inside b_new exactly as the Spark
     // fold's lambda does (no lateral binding there either) — same ops,
     // same order, bit-equal doubles

@@ -888,6 +888,45 @@ object TextVector {
       .select(col("n"), col("r_levels"), col("c_levels"), col("dof"),
         rd(col("chi2"), 6).as("chi2"))
 
+  /** Cramér's V effect size on the same lang×source contingency grid
+    * as q_chi2 — the magnitude the chi² statistic doesn't give (chi²
+    * grows with n even for trivial association; V = sqrt(chi²/(n·min
+    * (r−1, c−1))) ∈ [0,1] doesn't). Built from the SAME 1e-9
+    * fixed-point chi², so the sqrt input is bit-equal cross-engine. */
+  def cramersV(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.chiSquareIndependence(docs(s, dir), "lang", "source")
+      .withColumn("v", sqrt(col("chi2") /
+        (col("n").cast("double") *
+          least(col("r_levels") - 1, col("c_levels") - 1).cast("double"))))
+      .select(col("n"), col("dof"), rd(col("chi2"), 6).as("chi2"),
+        rd(col("v"), 6).as("cramers_v"))
+
+  /** kNN label-agreement audit (mislabel detection, the Confident-
+    * Learning-style neighborhood check): for every vector, the share
+    * of its k=3 LSH-graph neighbors carrying the same label; a vector
+    * whose neighborhood disagrees (< 2/3) is flagged `suspect`. The
+    * flag compares exact integers (n_same·3 < n_neighbors·2) — no
+    * tolerance. Reuses Similarity.knnGraph's banded candidate
+    * generation; labels attach via two hash joins. */
+  def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val knn = Similarity.knnGraph(e, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val lab = e.select(col("vec_id"), col("label"))
+    knn
+      .join(lab.select(col("vec_id").as("query_id"), col("label")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("agree_frac",
+        rd(col("n_same").cast("double") / col("n_neighbors"), 6))
+      .withColumn("suspect", col("n_same") * 3 < col("n_neighbors") * 2)
+      .select(col("query_id").as("vec_id"), col("label"), col("n_neighbors"),
+        col("n_same"), col("agree_frac"), col("suspect"))
+      .orderBy("vec_id")
+  }
+
   /** ANN retrieval-quality gate: MRR@3 and recall@3 of the LSH index
     * against brute-force ground truth, per query — the eval any ANN
     * deployment runs before trusting the index. rr = 1/first relevant
@@ -1265,6 +1304,8 @@ object TextVector {
     "q_embed_dims" -> embedDimStats,
     "q_retrieval_eval" -> retrievalEval,
     "q_chi2" -> chiSquare,
+    "q_cramers_v" -> cramersV,
+    "q_label_noise" -> labelNoise,
     "q_quantile_norm" -> quantileNorm,
     "q_padding_waste" -> paddingWaste,
     "q_logreg" -> logregFit,
@@ -2594,6 +2635,45 @@ object TextVector {
         |  (r_levels - 1) * (c_levels - 1) AS dof,
         |  floor((CAST(s AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS chi2
         |FROM ag""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT rt.a, ct.b, rt.ra, ct.cb, coalesce(cells.o, 0) AS obs, tt.n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+        |  CROSS JOIN tt),
+        |tm AS (
+        |  SELECT n, a, b,
+        |    CAST(floor((((CAST(obs AS DOUBLE) - CAST(ra * cb AS DOUBLE) / n)
+        |      * (CAST(obs AS DOUBLE) - CAST(ra * cb AS DOUBLE) / n))
+        |      / (CAST(ra * cb AS DOUBLE) / n)) * 1e9 + 0.5) AS BIGINT) AS fx
+        |  FROM grid),
+        |ag AS (
+        |  SELECT n, count(DISTINCT a) AS r_levels, count(DISTINCT b) AS c_levels,
+        |    CAST(sum(fx) AS BIGINT) AS s
+        |  FROM tm GROUP BY 1)
+        |SELECT n, (r_levels - 1) * (c_levels - 1) AS dof,
+        |  floor((CAST(s AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS chi2,
+        |  floor((sqrt((CAST(s AS DOUBLE) / 1e9) /
+        |    (CAST(n AS DOUBLE) * least(r_levels - 1, c_levels - 1))))*1000000 + 0.5)/1000000 AS cramers_v
+        |FROM ag""".stripMargin,
+    "q_label_noise" ->
+      (s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |j AS (
+        |  SELECT k.query_id, ql.label, nl.label AS nlabel
+        |  FROM knn k JOIN lab ql ON ql.vec_id = k.query_id
+        |             JOIN lab nl ON nl.vec_id = k.neighbor_id)
+        |SELECT query_id AS vec_id, label,
+        |  CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |  floor((CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS agree_frac,
+        |  sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END)*3 < count(*)*2 AS suspect
+        |FROM j GROUP BY 1, 2 ORDER BY vec_id""".stripMargin),
     "q_embed_dims" ->
       """WITH x AS (
         |  SELECT pos - 1 AS pos, x, CAST(floor(x * 1e7 + 0.5) AS BIGINT) AS f
