@@ -106,6 +106,63 @@ object Resample {
       .select(col("r.lag"), col("r.acf"))
   }
 
+  /** Cross-correlation function between two integer-valued series on
+    * the same order column, lags −maxLag..maxLag:
+    *   ccf(k) = Σ(x_t−μx)(y_{t+k}−μy) / √(Σ(x−μx)²·Σ(y−μy)²)
+    * (negative k shifts x instead). The lead-lag diagnostic ACF can't
+    * give: "purchases trail views by k minutes" shows up as the argmax
+    * lag. Same exactness recipe as [[acf]]: means from exact integer
+    * sums, every product rounded to 1e-9 fixed point and summed as
+    * longs — engine-exact with no tolerance; one window pass builds
+    * all 2·maxLag lead columns over the pre-aggregated series frame
+    * (bounded by the time span, never raw events). */
+  def ccf(series: DataFrame, orderCol: String, xCol: String, yCol: String,
+          maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.orderBy(col(orderCol))
+    val fx = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val stats = series.agg(
+      count(lit(1)).as("__n"),
+      sum(col(xCol).cast("long")).as("__sx"),
+      sum(col(yCol).cast("long")).as("__sy"))
+      .select((col("__sx").cast("double") / col("__n")).as("__mx"),
+        (col("__sy").cast("double") / col("__n")).as("__my"))
+    val base = series.select(col(orderCol),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val lagged = (1 to maxLag).foldLeft(base) { case (df, k) =>
+      df.withColumn(s"__ly_$k", lead(col("__y"), k).over(w))
+        .withColumn(s"__lx_$k", lead(col("__x"), k).over(w))
+    }.crossJoin(broadcast(stats))
+    val dx = col("__x") - col("__mx")
+    val dy = col("__y") - col("__my")
+    val denoms = lagged.agg(
+      (sum(fx(dx * dx)).cast("double") / lit(1e9)).as("__dx"),
+      (sum(fx(dy * dy)).cast("double") / lit(1e9)).as("__dy"))
+    val numExprs =
+      (1 to maxLag).map { k =>
+        (sum(fx(when(col(s"__lx_$k").isNotNull,
+          (col(s"__lx_$k") - col("__mx")) * dy).otherwise(lit(0.0))))
+          .cast("double") / lit(1e9)).as(s"__num_n$k")
+      } ++ Seq(
+        (sum(fx(dx * dy)).cast("double") / lit(1e9)).as("__num_0")) ++
+      (1 to maxLag).map { k =>
+        (sum(fx(when(col(s"__ly_$k").isNotNull,
+          dx * (col(s"__ly_$k") - col("__my"))).otherwise(lit(0.0))))
+          .cast("double") / lit(1e9)).as(s"__num_p$k")
+      }
+    val nums = lagged.agg(numExprs.head, numExprs.tail: _*)
+    val den = sqrt(col("__dx")) * sqrt(col("__dy"))
+    val ccfCols =
+      (1 to maxLag).map(k =>
+        struct(lit(-k).as("lag"), (col(s"__num_n$k") / den).as("ccf"))) ++
+      Seq(struct(lit(0).as("lag"), (col("__num_0") / den).as("ccf"))) ++
+      (1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), (col(s"__num_p$k") / den).as("ccf")))
+    nums.crossJoin(broadcast(denoms))
+      .select(explode(array(ccfCols: _*)).as("r"))
+      .select(col("r.lag"), col("r.ccf"))
+  }
+
   def seasonalDecompose(series: DataFrame, orderCol: String, valueCol: String,
                         period: Int, halfWindow: Int): DataFrame = {
     require(period >= 2 && halfWindow >= 1,

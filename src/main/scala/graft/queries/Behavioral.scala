@@ -321,6 +321,65 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  private val CcfMaxLag = 5
+
+  /** Lead-lag cross-correlation (Resample.ccf, lags −5..5) between the
+    * view and purchase per-minute rates — "purchases trail views by k
+    * minutes" shows up as the argmax lag, which the symmetric ACF and
+    * the lag-0 rolling corr can't see. 1e-9 fixed-point sums,
+    * engine-exact; oracle is GENERATED from the same CcfMaxLag. */
+  def ccfSeries(s: SparkSession, dir: String): DataFrame = {
+    val rates = t(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("minute_epoch"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    graft.operators.Resample.ccf(rates, "minute_epoch", "x", "y", maxLag = CcfMaxLag)
+      .select(col("lag"), rd(col("ccf"), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB mirror of [[ccfSeries]], generated from CcfMaxLag so the
+    * lag set can't drift (the langIdOracle anti-drift pattern). Every
+    * arithmetic step mirrors the Spark association order. */
+  private def ccfOracleSql: String = {
+    val L = CcfMaxLag
+    def fxs(e: String) =
+      s"CAST(sum(CAST(floor(($e)*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000"
+    val leads = (1 to L).map(k =>
+      s"lead(y, $k) OVER win AS ly_$k, lead(x, $k) OVER win AS lx_$k").mkString(",\n    ")
+    val nums = (
+      (1 to L).map(k => fxs(s"CASE WHEN lx_$k IS NOT NULL THEN (lx_$k - mx)*(y - my) ELSE 0.0 END") + s" AS num_n$k") ++
+      Seq(fxs("(x - mx)*(y - my)") + " AS num_0") ++
+      (1 to L).map(k => fxs(s"CASE WHEN ly_$k IS NOT NULL THEN (x - mx)*(ly_$k - my) ELSE 0.0 END") + s" AS num_p$k")
+    ).mkString(",\n    ")
+    val sel = (
+      (1 to L).map(k => s"SELECT ${-k} AS lag, num_n$k / (sqrt(dx) * sqrt(dy)) AS c FROM s") ++
+      Seq(s"SELECT 0 AS lag, num_0 / (sqrt(dx) * sqrt(dy)) AS c FROM s") ++
+      (1 to L).map(k => s"SELECT $k AS lag, num_p$k / (sqrt(dx) * sqrt(dy)) AS c FROM s")
+    ).mkString("\nUNION ALL ")
+    s"""WITH r AS (
+       |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS me,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS xi,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS yi
+       |  FROM events GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS sx,
+       |             CAST(sum(yi) AS BIGINT) AS sy FROM r),
+       |b AS (
+       |  SELECT CAST(xi AS DOUBLE) AS x, CAST(yi AS DOUBLE) AS y,
+       |    CAST(sx AS DOUBLE)/n AS mx, CAST(sy AS DOUBLE)/n AS my,
+       |    $leads
+       |  FROM r CROSS JOIN m WINDOW win AS (ORDER BY me)),
+       |s AS (
+       |  SELECT
+       |    ${fxs("(x - mx)*(x - mx)")} AS dx,
+       |    ${fxs("(y - my)*(y - my)")} AS dy,
+       |    $nums
+       |  FROM b)
+       |SELECT lag, floor((c)*1000000 + 0.5)/1000000 AS ccf FROM (
+       |$sel
+       |) ORDER BY lag""".stripMargin
+  }
+
   /** Rolling 60-minute Pearson correlation between the view and
     * purchase per-minute rates — "are these streams still coupled"
     * (decoupling flags instrumentation loss or funnel breakage).
@@ -504,6 +563,7 @@ object Behavioral {
     "q_seasonal" -> seasonal,
     "q_holt" -> holt,
     "q_rolling_corr" -> rollingCorr,
+    "q_ccf" -> ccfSeries,
     "q_hbos" -> hbosScores,
     "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
@@ -710,6 +770,7 @@ object Behavioral {
     },
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
+    "q_ccf" -> ccfOracleSql,
     "q_rolling_corr" ->
       """WITH r AS (
         |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,

@@ -40,4 +40,17 @@ class ResampleSpec extends AnyFunSuite {
       .select("k", "v_filled").as[(String, Double)].collect().toSet
     assert(got == Set(("a", 5.0), ("b", 9.0)), s"unexpected fill: $got")
   }
+
+  test("ccf: a planted y = x-shifted-by-2 series peaks at lag +2, symmetric range emitted") {
+    // x is a noisy-ish integer pattern; y copies x two steps later
+    val xs = Seq(5L, 9L, 2L, 8L, 1L, 7L, 3L, 9L, 0L, 6L, 4L, 8L, 2L, 7L, 1L)
+    val ys = Seq(0L, 0L) ++ xs.dropRight(2)
+    val df = xs.indices.map(i => (i.toLong, xs(i), ys(i))).toDF("t", "x", "y")
+    val r = Resample.ccf(df, "t", "x", "y", maxLag = 3)
+      .as[(Int, Double)].collect().toMap
+    assert(r.keySet == (-3 to 3).toSet, s"lags ${r.keySet}")
+    val best = r.maxBy(_._2)
+    assert(best._1 == 2, s"planted shift must peak at +2, got $r")
+    assert(best._2 > 0.8, s"peak correlation weak: $best")
+  }
 }
