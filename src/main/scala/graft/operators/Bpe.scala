@@ -87,4 +87,29 @@ object Bpe {
     }
     ledger.reduce(_ union _)
   }
+
+  /** ENCODE with a fitted merge ledger — the apply half of the
+    * tokenizer loop ([[fitMerges]] being the fit half): every corpus
+    * word segmented by replaying the merges in rank order. The whole
+    * replay is ONE codegen'd `aggregate` fold of the (tiny, broadcast)
+    * sorted merge array over each word's symbol string — the same
+    * `replace` trick as the fit, so greedy left-to-right application
+    * is preserved and the oracle mirrors it with the fit's own CTE
+    * chain. No driver-side merge list, no per-merge pass over the
+    * vocab.
+    *
+    * Returns one row per distinct word: (word, freq, n_symbols,
+    * encoded) with `encoded` the `|`-joined symbol segmentation. */
+  def encode(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val ms = merges
+      .select(struct(col("round"), col("merge_a").as("a"), col("merge_b").as("b")).as("m"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+    vocab(docs, textCol).crossJoin(broadcast(ms))
+      .withColumn("syms", expr(
+        "aggregate(ms, syms, (s, m) -> replace(s, '|' || m.a || '|' || m.b, '|' || m.a || m.b))"))
+      .select(col("word"), col("freq"),
+        (length(col("syms")) - length(expr("replace(syms, '|', '')")))
+          .cast("long").as("n_symbols"),
+        expr("substr(syms, 2)").as("encoded"))
+  }
 }

@@ -441,16 +441,19 @@ object Graphs {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = Lineage.truncate(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    var settled = Lineage.truncate(
+    var frontier = Lineage.truncate(
       seeds.select(col(seedCol).as("id")).distinct().withColumn("dist", lit(0L)))
-    var frontier = settled
+    // settled is a UNION of already-truncated frontier leaves — plan
+    // depth stays O(maxHops) trivially, so only the (shrinking) frontier
+    // needs a checkpoint per round, not the whole settled set
+    var settled = frontier
     for (r <- 1 to maxHops) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(r.toLong))
       frontier = Lineage.truncate(next)
-      settled = Lineage.truncate(settled.union(frontier))
+      settled = settled.union(frontier)
     }
     settled
   }

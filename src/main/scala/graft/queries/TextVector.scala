@@ -200,6 +200,18 @@ object TextVector {
     graft.operators.Bpe.fitMerges(docs(s, dir), "text", rounds = 3)
       .orderBy("round")
 
+  /** BPE ENCODE (Bpe.encode) — the apply half of the tokenizer loop:
+    * the 20 most frequent corpus words segmented by replaying the
+    * 3-round fitted merges as one `aggregate` fold per word. Oracle
+    * reads the fit chain's own final vocab CTE (shared text — can't
+    * drift). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Bpe.encode(d, "text",
+        graft.operators.Bpe.fitMerges(d, "text", rounds = 3))
+      .orderBy(col("freq").desc, col("word")).limit(20)
+  }
+
   /** PMI collocation mining (Collocations.pmiBigrams): top-30 adjacent
     * bigrams by the P(x,y)/(P(x)P(y)) ratio, min count 5 — the ratio
     * (not its log2) so the oracle arithmetic is libm-free. */
@@ -1314,6 +1326,7 @@ object TextVector {
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_bpe_merges" -> bpeMerges,
+    "q_bpe_encode" -> bpeEncode,
     "q_pmi_bigrams" -> pmiBigrams,
     "q_lm_xent" -> lmXent,
     "q_lm_bigram" -> lmBigram,
@@ -1513,7 +1526,10 @@ object TextVector {
     * Bpe.fitMerges' pair-count → argmax → `replace`-apply loop for the
     * same round count; `replace`'s left-to-right non-overlapping scan
     * is the shared greedy-apply trick on both engines). */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** Shared fit-chain CTEs (v0..v`rounds`, b1..b`rounds`, t1..): both
+    * the merge-ledger oracle and the encode oracle read from it, so
+    * the SQL replay and the Spark fit can't drift apart. */
+  private def bpeChainSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH toks AS (
              |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
@@ -1540,12 +1556,22 @@ object TextVector {
                 |    AS vocab_symbols
                 |  FROM v$r)""".stripMargin
     }
-    sb ++= "\n" + (1 to rounds).map(r =>
+    sb.toString
+  }
+
+  private def bpeOracleSql(rounds: Int): String =
+    bpeChainSql(rounds) + "\n" + (1 to rounds).map(r =>
         s"SELECT CAST($r AS INTEGER) AS round, a AS merge_a, b AS merge_b, " +
           s"pair_count, vocab_symbols FROM b$r, t$r")
       .mkString("", "\nUNION ALL\n", "\nORDER BY round")
-    sb.toString
-  }
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeChainSql(rounds) +
+      s"""
+         |SELECT word, freq,
+         |  CAST(length(syms) - length(replace(syms, '|', '')) AS BIGINT) AS n_symbols,
+         |  substr(syms, 2) AS encoded
+         |FROM v$rounds ORDER BY freq DESC, word LIMIT 20""".stripMargin
 
   private val cosineCtes =
     """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -2162,6 +2188,7 @@ object TextVector {
         |ORDER BY id_a, id_b""".stripMargin),
     "q_mmr" -> mmrOracleSql(k = 5, lambda = 0.7),
     "q_bpe_merges" -> bpeOracleSql(rounds = 3),
+    "q_bpe_encode" -> bpeEncodeOracleSql(rounds = 3),
     // sign matrix interpolated from the SAME jlSignRows constants the
     // Spark expression compiles; folds run in identical element order
     // on both engines, so the gate needs no tolerance

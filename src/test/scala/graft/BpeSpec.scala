@@ -39,6 +39,28 @@ class BpeSpec extends AnyFunSuite {
     assert(out._5 == 2L, s"greedy apply must leave aa|aa = 2 symbols, got ${out._5}")
   }
 
+  test("encode: replays the fitted merges in rank order, per-word fold") {
+    // corpus: "low" ×3, "lower" ×2 → r1 merges (l,o), r2 (lo,w)
+    val docs = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val merges = Bpe.fitMerges(docs, "text", rounds = 2)
+    val enc = Bpe.encode(docs, "text", merges)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // low → |low (1 symbol); lower → |low|e|r (3 symbols)
+    assert(enc("low") == (("low", 3L, 1L, "low")), s"${enc("low")}")
+    assert(enc("lower") == (("lower", 2L, 3L, "low|e|r")), s"${enc("lower")}")
+  }
+
+  test("encode: word untouched by any merge stays fully split") {
+    val docs = Seq((1L, "ab ab xyz")).toDF("doc_id", "text")
+    val merges = Bpe.fitMerges(docs, "text", rounds = 1) // merges (a,b)
+    val enc = Bpe.encode(docs, "text", merges)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(enc("xyz") == "x|y|z", s"got ${enc("xyz")}")
+    assert(enc("ab") == "ab", s"got ${enc("ab")}")
+  }
+
   test("fitMerges: deterministic under repartitioning (tie-break is total)") {
     val docs = Seq((1L, "ab ab cd cd"), (2L, "cd ab"), (3L, "ef ef ef")).toDF("doc_id", "text")
     val a = Bpe.fitMerges(docs, "text", rounds = 3).orderBy("round")
