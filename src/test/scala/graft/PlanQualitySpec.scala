@@ -443,6 +443,42 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("round-5d additions: keyed shapes only, no data-scale cartesian") {
+    // q_silhouette's broadcast-centroid cross plans as
+    // BroadcastNestedLoopJoin (constant k rows) — allowed; a
+    // CartesianProduct between data-scale frames is the failure mode
+    Seq("q_spearman", "q_gini", "q_theil", "q_tcloseness", "q_holt",
+        "q_curriculum", "q_sorted_blocking", "q_cramers_v", "q_label_noise",
+        "q_rolling_corr", "q_ccf", "q_silhouette", "q_bpe_encode")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+  }
+
+  test("q_curriculum head folds to TakeOrderedAndProject (no global sort before the limit)") {
+    assert(plan("q_curriculum").contains("TakeOrderedAndProject"))
+  }
+
+  test("containment/blocking exact-verify uses the sorted-merge intersect expression") {
+    // regression guard for the round-5d hot-loop fix: a fallback to
+    // array_intersect (per-pair hash set + result array) would pass
+    // correctness and silently double the two slowest bench queries
+    Seq("q_containment", "q_blocking_eval").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(p.contains("sortedintersectcount"),
+        s"$q lost the SortedIntersectCount expression")
+      assert(!p.contains("array_intersect"), s"$q reintroduced array_intersect")
+    }
+  }
+
+  test("q_spearman: rank maps attach via equi-joins; no row-level global window") {
+    val p = plan("q_spearman")
+    // the only windows allowed are over the per-distinct-value frames
+    // (two-level prefix sum); the row-scale frame must join, not sort
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "rank attach join missing")
+  }
+
   test("q_pca_top: per-round state is broadcast; corpus touched by keyed aggregates only") {
     // the fit materializes through persisted frames, so pin the shape on
     // the operator's first round directly rather than the checkpoint leaf
