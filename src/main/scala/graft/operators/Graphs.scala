@@ -416,6 +416,90 @@ object Graphs {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) with a fixed round
+    * budget, UNNORMALIZED: a_i = Σ_{j→i} h_j then h_j = Σ_{j→i} a_i
+    * per round, h⁰ ≡ 1. Dropping the per-round normalization keeps
+    * every score an exact INTEGER (sums of products of counts) — for
+    * a fixed-round diagnostic ranking that is strictly better than
+    * floats: hash-stable on any engine, and the RANKING is identical
+    * to normalized HITS (normalization is a positive scalar per
+    * round). Overflow headroom: scores grow like (d_max)^{2·iters};
+    * at iters = 2 a graph needs d_max ≈ 2¹⁵ average-degree to
+    * threaten int64 — far beyond any real bipartite fact graph.
+    * The complement to [[pageRank]] on DIRECTED bipartite graphs
+    * (customer→supplier): hubs score the pointing side, authorities
+    * the pointed-to side; PageRank on the symmetrized graph can't
+    * separate the two roles.
+    *
+    * Per round: two edge⋈score equi-joins + two keyed sums — the
+    * pageRank shuffle budget exactly; |V|-row state, lineage-truncated
+    * per round. Nodes missing a role score 0 (zero-filled from the
+    * node universe). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = Lineage.truncate(
+      e.select(col("src").as("id")).union(e.select(col("dst"))).distinct())
+    var h = nodes.withColumn("h", lit(1L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      a = Lineage.truncate(
+        e.join(h.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a")))
+      h = Lineage.truncate(
+        e.join(a.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("a")).as("h")))
+    }
+    nodes
+      .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("authority"))
+  }
+
+  /** Link prediction over an undirected simple graph: for every
+    * NON-edge 2-hop pair, the common-neighbor count and the
+    * Adamic-Adar score Σ_{z∈N(a)∩N(b)} 1/ln(deg z) (rare shared
+    * neighbors weigh more) — the classic "which edge appears next"
+    * features for recommendation / graph densification. A common
+    * neighbor has degree ≥ 2 by construction, so 1/ln(deg) is always
+    * finite; each term rounds to 1e-9 fixed point and sums in exact
+    * longs (engine-exact, the term_mi recipe).
+    *
+    * Shape: one wedge self-join on the shared endpoint + one anti-join
+    * against the existing edges + one keyed aggregate, then a top-k
+    * (TakeOrderedAndProject). Wedge count is Σ deg² — built for
+    * BOUNDED-DEGREE graphs (kNN graphs: deg ≤ 2k); for power-law
+    * graphs cap or orient by degree first (the triangleStatsOriented
+    * treatment). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val canon = Lineage.truncate(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val und = canon.select(col("u").as("z"), col("v").as("nb"))
+      .union(canon.select(col("v").as("z"), col("u").as("nb")))
+    val deg = und.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val wedges = und.select(col("z"), col("nb").as("a"))
+      .join(und.select(col("z"), col("nb").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val cand = wedges
+      .join(canon.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+    cand.join(deg, "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        (sum(floor((lit(1.0) / log(col("d").cast("double"))) * lit(1e9) + lit(0.5))
+          .cast("long")).cast("double") / lit(1e9)).as("adamic_adar"))
+      .orderBy(col("common_neighbors").desc, col("adamic_adar").desc,
+        col("a"), col("b"))
+      .limit(topK)
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("common_neighbors"), col("adamic_adar"))
+  }
+
   /** Multi-source BFS hop distance with a fixed round budget:
     * dist(v) = min #edges from ANY seed, for every node reached within
     * `maxHops` (unreached nodes are absent — the caller left-joins and

@@ -318,6 +318,20 @@ object Relational {
       .orderBy("id")
   }
 
+  /** HITS hubs/authorities (Graphs.hits, 2 rounds, unnormalized —
+    * integer-exact) on the DIRECTED customer→supplier purchase graph:
+    * hub = how broadly a customer buys from strong suppliers,
+    * authority = how strongly a supplier is bought by broad customers.
+    * The role separation pageRank-on-symmetrized-edges can't give. */
+  def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graphs.hits(edges, "src", "dst", iters = 2)
+      .orderBy("id")
+  }
+
   /** As-of join (J8 analog, beyond the reference's equi-joins): every
     * non-purchase event matched to the same user's latest purchase at
     * or before it. Union-tag + single window pass (operators/AsofJoin)
@@ -489,6 +503,7 @@ object Relational {
     "q_set_ops" -> setOps,
     "q_pagerank" -> pagerank,
     "q_bfs_hops" -> bfsHopsQ,
+    "q_hits" -> hitsQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,5 +750,23 @@ object Relational {
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // 2 rounds unrolled; h0 = 1 so a1 is the in-degree; every score an
+    // exact integer (unnormalized fixed-round HITS)
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT e.src AS id, CAST(sum(a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+        |a2 AS (SELECT e.dst AS id, CAST(sum(h1.h) AS BIGINT) AS a
+        |       FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+        |h2 AS (SELECT e.src AS id, CAST(sum(a2.a) AS BIGINT) AS h
+        |       FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1)
+        |SELECT n.id AS id, coalesce(h2.h, CAST(0 AS BIGINT)) AS hub,
+        |  coalesce(a2.a, CAST(0 AS BIGINT)) AS authority
+        |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
+        |ORDER BY n.id""".stripMargin,
   )
 }

@@ -674,6 +674,18 @@ object TextVector {
     graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
   }
 
+  /** Link prediction on the LSH 3-NN graph (Graphs.linkPrediction):
+    * top-20 NON-edges by common-neighbor count with the Adamic-Adar
+    * tiebreak — "which near-duplicate relation is the index about to
+    * discover". Degree is k-bounded, so the wedge join is safe by
+    * construction. */
+  def linkPred(s: SparkSession, dir: String): DataFrame = {
+    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    graft.operators.Graphs.linkPrediction(knn, "query_id", "neighbor_id", topK = 20)
+      .select(col("id_a"), col("id_b"), col("common_neighbors"),
+        rd(col("adamic_adar"), 6).as("adamic_adar"))
+  }
+
   /** The same census through [[Graphs.triangleStatsOriented]] — the
     * degree-oriented, skew-proof variant: identical n_triangles (each
     * triangle counted once at its ≺-smallest corner), n_wedges bounded
@@ -1298,6 +1310,7 @@ object TextVector {
     "q_embed_ivfpq" -> ivfPqTopK,
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
+    "q_link_pred" -> linkPred,
     "q_kcore" -> kcorePeel,
     "q_triangles_oriented" -> trianglesOriented,
     "q_label_prop" -> labelProp,
@@ -2309,6 +2322,26 @@ object TextVector {
         |       FROM w LEFT JOIN edges e2 ON w.a = e2.u AND w.c = e2.v),
         |tri AS (SELECT count(*) AS n_wedges, count(closed) AS n_triangles FROM cl)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles FROM nn, ne, tri""".stripMargin,
+    "q_link_pred" ->
+      (s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |edges AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |und AS (SELECT u AS z, v AS nb FROM edges UNION ALL SELECT v AS z, u AS nb FROM edges),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        |w AS (SELECT x.z, x.nb AS a, y.nb AS b
+        |      FROM und x JOIN und y ON x.z = y.z WHERE x.nb < y.nb),
+        |lp_cand AS (
+        |  SELECT w.z, w.a, w.b FROM w
+        |  LEFT JOIN edges e2 ON e2.u = w.a AND e2.v = w.b WHERE e2.u IS NULL),
+        |sc AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(CAST(floor((1.0/ln(CAST(d AS DOUBLE)))*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000 AS aa
+        |  FROM lp_cand JOIN deg USING (z) GROUP BY 1, 2)
+        |SELECT a AS id_a, b AS id_b, common_neighbors,
+        |  floor((aa)*1000000 + 0.5)/1000000 AS adamic_adar
+        |FROM sc ORDER BY common_neighbors DESC, aa DESC, a, b LIMIT 20""".stripMargin),
     // the full PQ chain mirrored, GENERATED from the same PqM/PqCodes/
     // PqStride constants the Spark query uses: stride codebooks →
     // argmin encode (row_number over (dist, code) = Spark's

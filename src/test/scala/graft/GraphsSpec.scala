@@ -213,6 +213,29 @@ class GraphsSpec extends AnyFunSuite {
     assert(rp.get < 0, "path-of-4 ends pull r negative")
   }
 
+  test("hits: hand-unrolled 2 rounds on a tiny directed bipartite graph") {
+    // 1→3, 2→3, 2→4: a1 = in-degree (3:2, 4:1); h1 (1:2, 2:3);
+    // a2 (3:5, 4:3); h2 (1:5, 2:8). Pure-role nodes score 0 on the other.
+    val g = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("s", "d")
+    val got = Graphs.hits(g, "s", "d", iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (5L, 0L), 2L -> (8L, 0L), 3L -> (0L, 5L), 4L -> (0L, 3L)), s"got $got")
+  }
+
+  test("linkPrediction: square graph predicts exactly the two diagonals") {
+    // cycle 1-2-3-4: non-edges (1,3) and (2,4), each with 2 common
+    // neighbors of degree 2 → adamic_adar = 2·fx(1/ln 2) = 2.885390082
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graphs.linkPrediction(g, "s", "d", topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)).toSet ==
+      Set((1L, 3L, 2L), (2L, 4L, 2L)), s"got $got")
+    got.foreach(r => assert(r._4 == 2.885390082, s"adamic_adar ${r._4}"))
+    // existing edges must never appear
+    assert(!got.exists(r => r._1 == 1L && r._2 == 2L))
+  }
+
   test("bfsHops: path distances, hop budget cutoff, unreached absent") {
     // 1 -> 2 -> 3 -> 4 -> 5, seed {1}, budget 3: node 5 out of reach
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
