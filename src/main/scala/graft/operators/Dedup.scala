@@ -600,6 +600,45 @@ object Dedup {
         col("cont_a"), col("cont_b"))
   }
 
+  /** Incremental connected components — the production maintenance
+    * path [[connectedComponents]] alone doesn't give: a nightly batch
+    * adds `newPairs` without re-clustering the whole corpus. The
+    * trick is the QUOTIENT graph: map each new pair's endpoints to
+    * their current labels, keep only pairs that BRIDGE two labels,
+    * run full CC on that label-level graph (its size is bounded by
+    * the new-pair count — typically millions vs the corpus's
+    * billions), and remap. Endpoints unseen before enter as their own
+    * label, exactly as a fresh singleton would.
+    *
+    * Precondition: `labels` must be min-id labelings (what
+    * [[connectedComponents]] emits) — then the merged label is the
+    * min over the union and the result is IDENTICAL to a full
+    * recompute over old ∪ new edges (IncrementalCcSpec pins this).
+    *
+    * Shape: two hash joins to attach labels, one CC run over the
+    * quotient frame, one broadcast-size relabel join back. The corpus
+    * labels frame is touched by exactly one join — never iterated. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            idCol: String = "id", labelCol: String = "cluster_id",
+                            aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val lab = labels.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+    val newcomers = newPairs.select(col(aCol).as("id"))
+      .union(newPairs.select(col(bCol).as("id"))).distinct()
+      .join(lab, Seq("id"), "left_anti")
+      .withColumn("lbl", col("id"))
+    val all = lab.union(newcomers)
+    val quotient = newPairs
+      .join(all.select(col("id").as(aCol), col("lbl").as("__la")), aCol)
+      .join(all.select(col("id").as(bCol), col("lbl").as("__lb")), bCol)
+      .filter(col("__la") =!= col("__lb"))
+      .select(col("__la").as("id_a"), col("__lb").as("id_b")).distinct()
+    val relabel = connectedComponents(quotient)
+      .select(col("id").as("lbl"), col("cluster_id").as("__nl"))
+    all.join(relabel, Seq("lbl"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__nl"), col("lbl")).as(labelCol))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-prune,
     * SemDeDup: Abbas et al., arXiv:2303.09540): assign every vector to
     * its argmax-cosine coarse centroid (broadcast — Similarity

@@ -321,6 +321,23 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** WOE/IV feature screen (Encoding.woeIv): the 50-wide value bands
+    * scored against the purchase-vs-view label — "how separating is
+    * the value band", with the IV headline (< 0.02 useless, > 0.5
+    * leakage-suspicious). Add-half smoothing keeps empty cells
+    * finite; IV sums in 1e-9 fixed point. */
+  def woeIvQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(floor(col("value") / 50).cast("long").as("band"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    graft.operators.Encoding.woeIv(e, "band", "y")
+      .select(col("bin"), col("n_good"), col("n_bad"),
+        rd(col("woe"), 6).as("woe"), rd(col("contrib"), 6).as("contrib"),
+        rd(col("iv"), 6).as("iv"))
+      .orderBy("bin")
+  }
+
   private val CcfMaxLag = 5
 
   /** Lead-lag cross-correlation (Resample.ccf, lags −5..5) between the
@@ -564,6 +581,7 @@ object Behavioral {
     "q_holt" -> holt,
     "q_rolling_corr" -> rollingCorr,
     "q_ccf" -> ccfSeries,
+    "q_woe_iv" -> woeIvQ,
     "q_hbos" -> hbosScores,
     "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
@@ -771,6 +789,28 @@ object Behavioral {
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
     "q_ccf" -> ccfOracleSql,
+    "q_woe_iv" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |b AS (SELECT bin, CAST(sum(y) AS BIGINT) AS n_good,
+        |             CAST(sum(1 - y) AS BIGINT) AS n_bad FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg, CAST(sum(n_bad) AS BIGINT) AS tb,
+        |             CAST(count(*) AS BIGINT) AS m FROM b),
+        |s AS (
+        |  SELECT bin, n_good, n_bad,
+        |    (CAST(n_good AS DOUBLE) + 0.5) / (CAST(tg AS DOUBLE) + 0.5 * CAST(m AS DOUBLE)) AS pg,
+        |    (CAST(n_bad AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * CAST(m AS DOUBLE)) AS pb
+        |  FROM b CROSS JOIN t),
+        |w AS (SELECT bin, n_good, n_bad, ln(pg/pb) AS woe,
+        |             (pg - pb) * ln(pg/pb) AS contrib FROM s),
+        |i AS (SELECT CAST(sum(CAST(floor(contrib*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000 AS iv FROM w)
+        |SELECT bin, n_good, n_bad,
+        |  floor(woe*1000000 + 0.5)/1000000 AS woe,
+        |  floor(contrib*1000000 + 0.5)/1000000 AS contrib,
+        |  floor(iv*1000000 + 0.5)/1000000 AS iv
+        |FROM w CROSS JOIN i ORDER BY bin""".stripMargin,
     "q_rolling_corr" ->
       """WITH r AS (
         |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,

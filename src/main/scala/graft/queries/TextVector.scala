@@ -558,6 +558,24 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Incremental CC maintenance (Dedup.incrementalComponents): the
+    * nightly-batch path — four new duplicate edges merged into the
+    * existing LSH cluster labeling via the label-quotient graph,
+    * WITHOUT re-clustering the corpus. The oracle recomputes CC from
+    * scratch over old ∪ new edges, so the row proves
+    * incremental ≡ full recompute. */
+  def ccIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= 0.5)
+    val base = Dedup.connectedComponents(pairs)
+    val newEdges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (100L, 200L)).toDF("id_a", "id_b")
+    Dedup.incrementalComponents(base, newEdges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical selection: per duplicate cluster, KEEP THE BEST document
     * by quality score (ties to the smallest id) — real curation keeps
     * the best copy, not the first-seen one. Argmax folds into one
@@ -1311,6 +1329,7 @@ object TextVector {
     "q_embed_lsh" -> embedLsh,
     "q_knn_triangles" -> knnTriangles,
     "q_link_pred" -> linkPred,
+    "q_cc_incremental" -> ccIncremental,
     "q_kcore" -> kcorePeel,
     "q_triangles_oriented" -> trianglesOriented,
     "q_label_prop" -> labelProp,
@@ -1943,6 +1962,28 @@ object TextVector {
         |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= 0.5
         |  UNION
         |  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= 0.5),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin),
+    // full CC recompute over old ∪ new edges — proving the Spark side's
+    // label-quotient incremental merge is exactly equivalent
+    "q_cc_incremental" ->
+      ("WITH RECURSIVE " + lshPairsCte.replace("WITH ", "") + """,
+        |nedges(src, dst) AS (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT)), (CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT)), (CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(100 AS BIGINT), CAST(200 AS BIGINT)), (CAST(200 AS BIGINT), CAST(100 AS BIGINT))),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= 0.5
+        |  UNION
+        |  SELECT src, dst FROM nedges),
         |reach(src, dst) AS (
         |  SELECT src, dst FROM edges
         |  UNION

@@ -33,4 +33,22 @@ class EncodingSpec extends AnyFunSuite {
     val freqs = small.select("id", "freq").as[(Long, Double)].collect().toMap
     assert(freqs.values.forall(_ == 0.5), s"each category is half the corpus: $freqs")
   }
+
+  test("woeIv: hand-computed two-bin table; antisymmetric WOE; IV sums both contributions") {
+    // bin A: 3 good / 1 bad, bin B: 1 good / 3 bad; add-half, m = 2:
+    // pgA = 3.5/5 = 0.7, pbA = 1.5/5 = 0.3 → woeA = ln(7/3)
+    // B mirrors → woeB = ln(3/7); IV = 0.4·ln(7/3) + (−0.4)·ln(3/7) = 0.8·ln(7/3)
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 0L),
+      ("B", 1L), ("B", 0L), ("B", 0L), ("B", 0L)).toDF("bin", "y")
+    val r = Encoding.woeIv(df, "bin", "y")
+      .select("bin", "n_good", "n_bad", "woe", "contrib", "iv")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    val expWoe = math.log(7.0 / 3.0)
+    assert(r("A")._2 == 3L && r("A")._3 == 1L)
+    assert(math.abs(r("A")._4 - expWoe) < 1e-12, s"woeA ${r("A")._4}")
+    assert(math.abs(r("B")._4 + expWoe) < 1e-12, s"woeB ${r("B")._4}")
+    assert(math.abs(r("A")._6 - 0.8 * expWoe) < 2e-9, s"iv ${r("A")._6}")
+    assert(r("A")._6 == r("B")._6, "iv is repeated on every row")
+  }
 }
