@@ -321,6 +321,19 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** Kaplan-Meier churn curve (Survival.churnCurve, 3-day silence
+    * rule): per-duration at-risk/event/censored counts and the
+    * survival estimate — retention WITH right-censoring, which naive
+    * retention curves get wrong for users still active at the corpus
+    * boundary. One corpus-scale shuffle (per-user span); everything
+    * after runs on the ≤|window-days| duration frame. */
+  def survivalQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Survival.churnCurve(t(s, dir, "events"), "user_id", "ts",
+        silenceDays = 3)
+      .select(col("duration"), col("n_risk"), col("n_events"), col("n_censored"),
+        rd(col("survival"), 6).as("survival"))
+      .orderBy("duration")
+
   /** WOE/IV feature screen (Encoding.woeIv): the 50-wide value bands
     * scored against the purchase-vs-view label — "how separating is
     * the value band", with the IV headline (< 0.02 useless, > 0.5
@@ -582,6 +595,7 @@ object Behavioral {
     "q_rolling_corr" -> rollingCorr,
     "q_ccf" -> ccfSeries,
     "q_woe_iv" -> woeIvQ,
+    "q_survival" -> survivalQ,
     "q_hbos" -> hbosScores,
     "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
@@ -789,6 +803,36 @@ object Behavioral {
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
     "q_ccf" -> ccfOracleSql,
+    "q_survival" ->
+      """WITH d AS (SELECT user_id AS subject, CAST(ts AS DATE) AS dd FROM events),
+        |span AS (SELECT subject, min(dd) AS first_d, max(dd) AS last_d FROM d GROUP BY 1),
+        |ce AS (SELECT max(dd) AS end_d FROM d),
+        |subj AS (
+        |  SELECT subject,
+        |    CAST(datediff('day', first_d, last_d) AS BIGINT) AS duration,
+        |    CAST(CASE WHEN datediff('day', last_d, end_d) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS observed
+        |  FROM span CROSS JOIN ce),
+        |per AS (SELECT duration, CAST(sum(observed) AS BIGINT) AS n_events,
+        |        CAST(sum(1 - observed) AS BIGINT) AS n_censored,
+        |        CAST(count(*) AS BIGINT) AS n_total FROM subj GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_total) AS BIGINT) AS alln FROM per),
+        |km AS (
+        |  SELECT duration, n_events, n_censored,
+        |    CAST(alln - coalesce(sum(n_total) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM per CROSS JOIN t),
+        |k2 AS (
+        |  SELECT duration, n_risk, n_events, n_censored,
+        |    CAST(floor(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / n_risk, 1e-12))*1000000000 + 0.5) AS BIGINT) AS lnterm
+        |  FROM km),
+        |k3 AS (
+        |  SELECT duration, n_risk, n_events, n_censored,
+        |    exp(CAST(sum(lnterm) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/1000000000) AS survival
+        |  FROM k2)
+        |SELECT duration, n_risk, n_events, n_censored,
+        |  floor(survival*1000000 + 0.5)/1000000 AS survival
+        |FROM k3 ORDER BY duration""".stripMargin,
     "q_woe_iv" ->
       """WITH e AS (
         |  SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
