@@ -106,6 +106,56 @@ object Resample {
       .select(col("r.lag"), col("r.acf"))
   }
 
+  /** Robust trend per series key: the Mann-Kendall monotone-trend
+    * test (S = Σ_{i<j} sign(xⱼ − xᵢ), tie-corrected variance,
+    * continuity-corrected z) plus the Theil-Sen slope (median of all
+    * pairwise slopes) — the outlier-proof replacement for OLS slope
+    * on dirty operational series. Everything except the final z
+    * division is exact integer arithmetic; pairwise slopes are single
+    * IEEE divisions and the median picks the lower-middle element
+    * under a total (slope, i, j) order — deterministic cross-engine
+    * with no tolerance.
+    *
+    * Shape: the pre-aggregated series self-joins per key (i < j) —
+    * O(len²) PER KEY on the tiny per-key series frame (bounded by the
+    * observation window, never raw events), all keys in parallel. */
+  def robustTrend(series: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val idx = series.select(col(keyCol).as("k"),
+      col(orderCol).as("t"), col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("t"))))
+    val pairs = idx.select(col("k"), col("i"), col("x"))
+      .join(idx.select(col("k"), col("i").as("j"), col("x").as("xj")), "k")
+      .filter(col("i") < col("j"))
+      .withColumn("sgn", signum((col("xj") - col("x")).cast("double")).cast("long"))
+      .withColumn("slope",
+        (col("xj") - col("x")).cast("double") / (col("j") - col("i")).cast("double"))
+    val s = pairs.groupBy(col("k")).agg(
+      sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"))
+    val n = idx.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    // tie correction: Σ t(t−1)(2t+5) over tied-value group sizes
+    val ties = idx.groupBy(col("k"), col("x")).agg(count(lit(1)).as("tt"))
+      .groupBy(col("k"))
+      .agg(sum(col("tt") * (col("tt") - 1) * (lit(2) * col("tt") + 5)).as("tie_sum"))
+    // lower-middle median of the pairwise slopes under (slope, i, j)
+    val wSlope = Window.partitionBy(col("k")).orderBy(col("slope"), col("i"), col("j"))
+    val med = pairs.withColumn("rn", row_number().over(wSlope))
+      .join(s.select(col("k"), col("n_pairs")), "k")
+      .filter(col("rn") === ((col("n_pairs") + 1) / 2).cast("long"))
+      .select(col("k"), col("slope").as("theil_sen_slope"))
+    val varS = (col("n").cast("double") * (col("n") - 1).cast("double")
+      * (lit(2) * col("n") + 5).cast("double")
+      - col("tie_sum").cast("double")) / lit(18.0)
+    s.join(n, "k").join(ties, "k").join(med, "k")
+      .withColumn("var_s", varS)
+      .withColumn("z", when(col("var_s") > 0,
+        (col("s_stat").cast("double") - signum(col("s_stat").cast("double")))
+          / sqrt(col("var_s"))).otherwise(lit(0.0)))
+      .select(col("k").as(keyCol), col("n"), col("s_stat"),
+        col("var_s"), col("z"), col("theil_sen_slope"))
+  }
+
   /** Cross-correlation function between two integer-valued series on
     * the same order column, lags −maxLag..maxLag:
     *   ccf(k) = Σ(x_t−μx)(y_{t+k}−μy) / √(Σ(x−μx)²·Σ(y−μy)²)

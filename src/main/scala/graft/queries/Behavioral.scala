@@ -321,6 +321,22 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** Robust trend (Resample.robustTrend) of each event type's DAILY
+    * rate: Mann-Kendall S/z (monotone-trend significance, tie-
+    * corrected, continuity-corrected) + Theil-Sen slope (median
+    * pairwise slope) — the outlier-proof OLS replacement. Pairwise
+    * over the ≤31-row per-type daily frame only. */
+  def trendRobust(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Resample.robustTrend(daily, "event_type", "day", "n_events")
+      .select(col("event_type"), col("n"), col("s_stat"),
+        rd(col("var_s"), 4).as("var_s"), rd(col("z"), 6).as("z"),
+        rd(col("theil_sen_slope"), 6).as("theil_sen_slope"))
+      .orderBy("event_type")
+  }
+
   /** Kaplan-Meier churn curve (Survival.churnCurve, 3-day silence
     * rule): per-duration at-risk/event/censored counts and the
     * survival estimate — retention WITH right-censoring, which naive
@@ -596,6 +612,7 @@ object Behavioral {
     "q_ccf" -> ccfSeries,
     "q_woe_iv" -> woeIvQ,
     "q_survival" -> survivalQ,
+    "q_trend_robust" -> trendRobust,
     "q_hbos" -> hbosScores,
     "q_acf" -> acfSeries,
     "q_group_topk" -> groupTopK,
@@ -803,6 +820,44 @@ object Behavioral {
     // sequential window cumulatives mirror left-to-right exactly; the
     // running-min/max closed form replaces the CUSUM recursion
     "q_ccf" -> ccfOracleSql,
+    "q_trend_robust" ->
+      """WITH srs AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT k, x,
+        |          CAST(row_number() OVER (PARTITION BY k ORDER BY t) AS INTEGER) AS i
+        |        FROM srs),
+        |pr AS (
+        |  SELECT a.k, a.i, b.i AS j,
+        |    CAST(sign(b.x - a.x) AS BIGINT) AS sgn,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+        |  FROM idx a JOIN idx b ON a.k = b.k AND a.i < b.i),
+        |s AS (SELECT k, CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |             CAST(count(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1),
+        |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY 1),
+        |ties AS (
+        |  SELECT k, CAST(sum(tt * (tt - 1) * (2*tt + 5)) AS BIGINT) AS tie_sum
+        |  FROM (SELECT k, x, CAST(count(*) AS BIGINT) AS tt FROM idx GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |med AS (
+        |  SELECT r.k, r.slope AS theil_sen_slope
+        |  FROM (SELECT k, slope,
+        |          row_number() OVER (PARTITION BY k ORDER BY slope, i, j) AS rn
+        |        FROM pr) r JOIN s ON s.k = r.k
+        |  WHERE r.rn = (s.n_pairs + 1) // 2),
+        |v AS (
+        |  SELECT s.k, nn.n, s.s_stat,
+        |    (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE) * CAST(2*nn.n + 5 AS DOUBLE)
+        |      - CAST(ties.tie_sum AS DOUBLE)) / 18.0 AS var_s,
+        |    med.theil_sen_slope
+        |  FROM s JOIN nn ON nn.k = s.k JOIN ties ON ties.k = s.k JOIN med ON med.k = s.k)
+        |SELECT k AS event_type, n, s_stat,
+        |  floor(var_s*10000 + 0.5)/10000 AS var_s,
+        |  floor((CASE WHEN var_s > 0
+        |    THEN (CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE))) / sqrt(var_s)
+        |    ELSE 0.0 END)*1000000 + 0.5)/1000000 AS z,
+        |  floor(theil_sen_slope*1000000 + 0.5)/1000000 AS theil_sen_slope
+        |FROM v ORDER BY event_type""".stripMargin,
     "q_survival" ->
       """WITH d AS (SELECT user_id AS subject, CAST(ts AS DATE) AS dd FROM events),
         |span AS (SELECT subject, min(dd) AS first_d, max(dd) AS last_d FROM d GROUP BY 1),

@@ -41,6 +41,27 @@ class ResampleSpec extends AnyFunSuite {
     assert(got == Set(("a", 5.0), ("b", 9.0)), s"unexpected fill: $got")
   }
 
+  test("robustTrend: strictly increasing series — S = C(n,2), positive z, exact Theil-Sen slope") {
+    // x = 3t: every pairwise sign +1, every pairwise slope exactly 3
+    val df = (1 to 10).map(t => ("k", t.toLong, 3L * t)).toDF("key", "t", "x")
+    val r = Resample.robustTrend(df, "key", "t", "x")
+      .select("n", "s_stat", "z", "theil_sen_slope")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._1 == 10L && r._2 == 45L, s"S must be C(10,2) = 45: $r")
+    assert(r._3 > 2.5, s"monotone trend must be significant: z = ${r._3}")
+    assert(r._4 == 3.0, s"Theil-Sen slope ${r._4}")
+  }
+
+  test("robustTrend: constant series — S = 0, z = 0, slope 0; tie correction keeps var finite") {
+    val df = (1 to 8).map(t => ("k", t.toLong, 7L)).toDF("key", "t", "x")
+    val r = Resample.robustTrend(df, "key", "t", "x")
+      .select("s_stat", "var_s", "z", "theil_sen_slope")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 0L && r._3 == 0.0 && r._4 == 0.0, s"$r")
+    // all values tied: tie_sum = n(n-1)(2n+5) -> var_s = 0 exactly
+    assert(r._2 == 0.0, s"fully-tied series must zero the variance: ${r._2}")
+  }
+
   test("ccf: a planted y = x-shifted-by-2 series peaks at lag +2, symmetric range emitted") {
     // x is a noisy-ish integer pattern; y copies x two steps later
     val xs = Seq(5L, 9L, 2L, 8L, 1L, 7L, 3L, 9L, 0L, 6L, 4L, 8L, 2L, 7L, 1L)
