@@ -642,9 +642,77 @@ object Behavioral {
     "q_user_sequences" -> userSequences,
     "q_type_entropy" -> typeEntropy,
     "q_churn_labels" -> churnLabels,
+    "q_welch_ttest" -> welchTtest,
+    "q_mann_whitney" -> mannWhitneyQ,
   )
 
+  /** Welch's t-test over every pair of event types on `value` — the
+    * experiment-readout twin of the drift gates (HypothesisTests
+    * scaladoc). 10 pairs from 5 arms; one scan, G-row broadcast pair
+    * join. df rounds at 2 (it is O(n), float-stable to far more). */
+  def welchTtest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HypothesisTests.welchPairs(t(s, dir, "events"), "event_type", "value")
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        rd(col("mean_diff"), 6).as("mean_diff"), rd(col("t_stat"), 6).as("t_stat"),
+        rd(col("df_welch"), 2).as("df_welch"), col("significant_05"))
+      .orderBy("grp_a", "grp_b")
+
+  /** Mann–Whitney U, purchase vs view on `value` — the rank-based
+    * (outlier-proof) complement to q_welch_ttest on the same slice
+    * pair as q_ks_drift/q_w1_drift. u_stat is an exact half-integer
+    * (no rounding needed); only z is summation-closing → rd6. */
+  def mannWhitneyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HypothesisTests.mannWhitney(t(s, dir, "events"), "event_type", "value",
+        a = "purchase", b = "view")
+      .select(col("n_a"), col("n_b"), col("u_stat"), rd(col("z"), 6).as("z"),
+        col("significant_05"))
+
   val oracles: Map[String, String] = Map(
+    // identical double-op chain over identical exact cent sums — see
+    // HypothesisTests scaladoc for the bit-exactness argument
+    "q_welch_ttest" ->
+      """WITH s AS (
+        |  SELECT event_type AS g, count(*) AS n,
+        |    sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS s1,
+        |    sum(CAST(floor(value*100 + 0.5) AS BIGINT) * CAST(floor(value*100 + 0.5) AS BIGINT)) AS s2
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT g, n, CAST(s1 AS DOUBLE)/n AS mean_c, CAST(s2 AS DOUBLE)/n AS ex2 FROM s),
+        |v AS (SELECT g, n, mean_c,
+        |        ((ex2 - mean_c*mean_c) * n / (n - 1.0)) / n AS q FROM d),
+        |p AS (SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+        |        a.mean_c AS ma, b.mean_c AS mb, a.q AS qa, b.q AS qb
+        |      FROM v a JOIN v b ON a.g < b.g)
+        |SELECT grp_a, grp_b, n_a, n_b,
+        |  floor(((ma - mb)/100.0)*1000000 + 0.5)/1000000 AS mean_diff,
+        |  floor(((ma - mb)/sqrt(qa + qb))*1000000 + 0.5)/1000000 AS t_stat,
+        |  floor(((qa + qb)*(qa + qb) / (qa*qa/(n_a - 1.0) + qb*qb/(n_b - 1.0)))*100 + 0.5)/100 AS df_welch,
+        |  abs((ma - mb)/sqrt(qa + qb)) > 1.96 AS significant_05
+        |FROM p ORDER BY grp_a, grp_b""".stripMargin,
+    // global-window average-tie ranks mirror the bucketed prefix sum
+    // (exact longs, so the two forms are identical); 2·rank_avg stays
+    // integer so the rank-sum is exact on both engines
+    "q_mann_whitney" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |pv AS (SELECT c, count(*) AS ct, CAST(sum(is_a) AS BIGINT) AS ct_a FROM g GROUP BY 1),
+        |r AS (SELECT *, CAST(coalesce(sum(ct) OVER (ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM pv),
+        |agg AS (SELECT CAST(sum(ct_a) AS BIGINT) AS n_a, CAST(sum(ct) AS BIGINT) AS n,
+        |          CAST(sum(ct_a*(2*below + ct + 1)) AS BIGINT) AS r2_a,
+        |          CAST(sum(ct*ct*ct - ct) AS BIGINT) AS ties FROM r),
+        |f AS (SELECT n_a, n - n_a AS n_b, n, ties,
+        |        CAST(r2_a - n_a*(n_a + 1) AS DOUBLE)/2.0 AS u_stat FROM agg),
+        |z AS (SELECT n_a, n_b, u_stat,
+        |        (u_stat - (n_a*n_b)/2.0) /
+        |          sqrt(CAST(n_a*n_b AS DOUBLE)/12.0 *
+        |               ((n + 1.0) - CAST(ties AS DOUBLE)/(CAST(n AS DOUBLE)*(n - 1.0)))) AS zval
+        |      FROM f)
+        |SELECT n_a, n_b, u_stat,
+        |  floor(zval*1000000 + 0.5)/1000000 AS z,
+        |  abs(zval) > 1.96 AS significant_05
+        |FROM z""".stripMargin,
     // global-window ECDF mirror of the two-level prefix sum (exact
     // integers, so the bucketed and global forms are identical)
     "q_ks_drift" ->

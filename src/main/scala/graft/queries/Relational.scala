@@ -477,7 +477,31 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Jaro–Winkler fuzzy linkage over part names (plans.JaroWinkler —
+    * codegen'd native expression, bit-identical to DuckDB's
+    * `jaro_winkler_similarity`, see its scaladoc): candidate pairs come
+    * from (p_brand, p_size) equi-join BLOCKING — never all-pairs — then
+    * the transposition-tolerant score keeps likely same-item pairs.
+    * The 0.85 cut runs on the unrounded score (same bits both engines);
+    * only the emitted column is rounded. */
+  def jaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val jw = graft.plans.JaroWinkler.jaroWinkler(col("name_a"), col("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(jw > lit(0.85))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        rd(jw, 6).as("jw"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaro_winkler" -> jaroWinklerPairs,
     "q_conditional_agg" -> conditionalAgg,
     "q_moments" -> moments,
     "q_salted_join" -> saltedJoinBrand,
@@ -507,6 +531,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's builtin IS the spec the Spark expression mirrors
+    // bit-for-bit (plans.JaroWinkler scaladoc); same unrounded cut
+    "q_jaro_winkler" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  floor(jaro_winkler_similarity(a.p_name, b.p_name)*1000000 + 0.5)/1000000 AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.85
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_moments" ->
       """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
         |s AS (
