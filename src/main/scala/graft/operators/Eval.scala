@@ -235,4 +235,47 @@ object Eval {
         (col("__res") / col("n")).as("resolution"),
         (col("__yb") * (lit(1.0) - col("__yb"))).as("uncertainty"))
   }
+
+  /** 1e-9 fixed-point NDCG rank discounts: disc(i) = round(1e9/log₂(i+1)).
+    * Shared by [[ndcgBinaryAtK]] and any oracle SQL generated against it
+    * — both engines consume the SAME integer literals, so DCG/IDCG are
+    * exact integer sums with no float-log or float-sum-order hazard. */
+  def ndcgDiscountsFp(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** NDCG@k with binary relevance over an already-ranked candidate
+    * list (one row per (query, rank ≤ k)): DCG = Σ rel·disc(rank),
+    * IDCG = the ideal ranking's DCG = Σ_{i ≤ min(k, total_relevant)}
+    * disc(i), NDCG = DCG/IDCG (0 when the query has no relevant
+    * candidates at all). `totalRelCol` must carry the query's TOTAL
+    * relevant-candidate count in the corpus — normalizing only against
+    * relevant-found would gift every recall miss a perfect score.
+    *
+    * Engine-exactness: discounts are the [[ndcgDiscountsFp]] integer
+    * table, so both DCG and IDCG accumulate in int64 and the single
+    * final division is the only float op. Shape: pure projection +
+    * one groupBy(query) — queries-row output, no joins. */
+  def ndcgBinaryAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+                    relCol: String, totalRelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    val disc = ndcgDiscountsFp(k)
+    val prefix = disc.scanLeft(0L)(_ + _)
+    val discAtRank = disc.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (d, i)) => when(col(rankCol) === (i + 1), lit(d)).otherwise(acc)
+    }
+    val idcgFp = (0 until k).foldLeft(lit(prefix(k))) {
+      (acc, j) => when(col(totalRelCol) === j, lit(prefix(j))).otherwise(acc)
+    }
+    ranked
+      .groupBy(col(queryCol))
+      .agg(
+        sum(when(col(relCol), discAtRank).otherwise(lit(0L))).as("dcg_fp"),
+        max(idcgFp).as("idcg_fp"),
+        sum(when(col(relCol), 1L).otherwise(0L)).as("n_hits"),
+        max(col(totalRelCol)).as("total_rel"),
+        count(lit(1)).as("n_returned"))
+      .select(col(queryCol), col("n_hits"), col("total_rel"), col("n_returned"),
+        when(col("idcg_fp") > 0, col("dcg_fp").cast("double") / col("idcg_fp"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
 }

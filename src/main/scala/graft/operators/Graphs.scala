@@ -541,4 +541,93 @@ object Graphs {
     }
     settled
   }
+
+  /** Single-source(s) WEIGHTED shortest paths with a fixed round
+    * budget — bounded Bellman-Ford: after round r, dist(v) is exactly
+    * the cheapest path from any seed using ≤ r edges (so `rounds` is
+    * both the iteration count AND the hop bound, which makes the
+    * result oracle-mirrorable by a depth-bounded recursive CTE +
+    * min(d)). The weighted complement to [[bfsHops]]: hop counts can't
+    * rank routes when edges carry a cost.
+    *
+    * Contract: weights must be NON-NEGATIVE (Bellman-Ford relaxation
+    * with a fixed budget is still well-defined for negative weights,
+    * but "≤ r edges" then stops being a useful distance) and should
+    * live in an exactly-summable domain (integers / integer-valued
+    * doubles) if the caller wants engine-stable results. Parallel
+    * edges collapse to the cheapest up front — relaxation only ever
+    * uses the min, so the rest is dead weight in every join.
+    *
+    * Per round: one dist⋈edges equi-join on src + one min-groupBy on
+    * the reached node — two keyed shuffles, state is the (reached,
+    * dist) frame, |V|-bounded. Unreached nodes are absent. Lineage is
+    * truncated every other round (dist shrinks to a |V|-row leaf;
+    * rounds is small, so plan depth never exceeds ~4 joins between
+    * truncations). */
+  def sssp(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+           seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = Lineage.truncate(
+      edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(min(col(weightCol)).as("w")))
+    var dist = Lineage.truncate(
+      seeds.select(col(seedCol).as("id")).distinct()
+        .withColumn("dist", lit(0).cast(e.schema("w").dataType)))
+    for (r <- 1 to rounds) {
+      val relax = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relax).groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      if (r % 2 == 0 || r == rounds) dist = Lineage.truncate(dist)
+    }
+    dist
+  }
+
+  /** PageRank over a WEIGHTED edge list: contributions split
+    * proportionally to edge weight (rank·w / Σ_out w) instead of
+    * uniformly — the TextRank/co-occurrence-graph form, where an edge
+    * seen 50 times should pull 50× the rank of an edge seen once.
+    * Same contract and shuffle budget as [[pageRank]] (fixed rounds,
+    * every node needs an out-edge, one persisted weight-degree-joined
+    * edge frame, |V|-row rank state, the rank frame AQE-broadcasts
+    * into the cached edges each round); parallel edges SUM their
+    * weights (a repeated co-occurrence is signal, not a duplicate —
+    * note the deliberate contrast with pageRank's distinct()). */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 2,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(col(weightCol).cast("double")).as("w"))
+    val withDeg = e0
+      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("out_w")), "src")
+      .persist()
+    withDeg.count()
+    val nodes = withDeg.select(col("src").as("id"))
+      .union(withDeg.select(col("dst").as("id"))).distinct()
+      .persist()
+    val deg = withDeg.groupBy(col("src")).agg(first(col("out_w")).as("out_w"))
+    val Array(nl, dangling) = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .agg(count(lit(1)), count(when(col("src").isNull, 1))).head().toSeq.toArray
+      .map(_.asInstanceOf[Long])
+    require(dangling == 0L,
+      "weightedPageRank contract: every node needs an out-edge " +
+        "(feed symmetric edges for undirected graphs)")
+    val n = nl.toDouble
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") * col("w") / col("out_w")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+      if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
+    }
+    val result = ranks.persist()
+    result.count()
+    nodes.unpersist()
+    withDeg.unpersist()
+    result
+  }
 }

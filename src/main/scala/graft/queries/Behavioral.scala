@@ -596,7 +596,63 @@ object Behavioral {
         rd(col("contrib"), 8).as("contrib"), rd(col("psi"), 8).as("psi"))
       .orderBy("bin")
 
+  /** Association rules (Assoc.associationRules) over the implicit
+    * market basket: user → the distinct `props.k` item ids they
+    * touched. Top-20 rules by lift (exact integer-count divisions on
+    * both engines, so the ordering key is bit-stable), tie-broken by
+    * pair id. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    graft.operators.Assoc.associationRules(e, "user_id", "item", minPairSupport = 30)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        rd(col("support"), 6).as("support"), rd(col("conf_ab"), 6).as("conf_ab"),
+        rd(col("conf_ba"), 6).as("conf_ba"), rd(col("lift"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** Item–item collaborative-filtering cosine (Assoc.itemItemCosine)
+    * over per-(user, item) event counts — "users who touched a also
+    * touched b" with magnitude. Top-20 by cosine (integer dot and
+    * norms², identical float op order both engines), tie-broken by
+    * pair id. */
+  def itemCosineQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+    graft.operators.Assoc.itemItemCosine(e, "user_id", "item", minCommon = 20)
+      .select(col("item_a"), col("item_b"), col("n_common"), col("dot"),
+        rd(col("cosine"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** 2-D Pareto frontier (Skyline.skyline2D): users maximizing
+    * purchase spend while minimizing error-event count. Spend
+    * accumulates as exact cents (int64) so frontier membership is a
+    * pure integer comparison — no float-sum order hazard — and the
+    * oracle cross-checks the whole two-level machinery with an
+    * independent NOT EXISTS dominance formulation. */
+  def skylineQ(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L))
+          .as("spend_cents"))
+    graft.operators.Skyline.skyline2D(pts, "errors", "spend_cents")
+      .select(col("user_id"), col("errors"),
+        (col("spend_cents").cast("double") / 100).as("spend"))
+      .orderBy("errors", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> assocRules,
+    "q_item_cosine" -> itemCosineQ,
+    "q_skyline" -> skylineQ,
     "q_anomaly" -> anomalies,
     "q_ks_drift" -> ksDrift,
     "q_w1_drift" -> w1Drift,
@@ -668,6 +724,63 @@ object Behavioral {
         col("significant_05"))
 
   val oracles: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT user_id AS b, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        |ic AS (SELECT item, count(*) AS n_item FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |r AS (
+        |  SELECT p.item_a, p.item_b, p.n_ab, a.n_item AS n_a, b.n_item AS n_b,
+        |    floor((CAST(p.n_ab AS DOUBLE) / nb.n_baskets)*1000000 + 0.5)/1000000 AS support,
+        |    floor((CAST(p.n_ab AS DOUBLE) / a.n_item)*1000000 + 0.5)/1000000 AS conf_ab,
+        |    floor((CAST(p.n_ab AS DOUBLE) / b.n_item)*1000000 + 0.5)/1000000 AS conf_ba,
+        |    floor((CAST(p.n_ab * nb.n_baskets AS DOUBLE) / (a.n_item * b.n_item))*1000000 + 0.5)/1000000 AS lift
+        |  FROM p
+        |  JOIN ic a ON a.item = p.item_a
+        |  JOIN ic b ON b.item = p.item_b
+        |  CROSS JOIN nb)
+        |SELECT * FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q_item_cosine" ->
+      """WITH r AS (
+        |  SELECT user_id AS u, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    count(*) AS cnt
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT item, sum(cnt * cnt) AS sq FROM r GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b,
+        |    sum(x.cnt * y.cnt) AS dot, count(*) AS n_common
+        |  FROM r x JOIN r y ON x.u = y.u AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |sc AS (
+        |  SELECT p.item_a, p.item_b, CAST(p.n_common AS BIGINT) AS n_common,
+        |    CAST(p.dot AS BIGINT) AS dot,
+        |    floor((CAST(p.dot AS DOUBLE) /
+        |      (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE))))*1000000 + 0.5)/1000000 AS cosine
+        |  FROM p
+        |  JOIN norms a ON a.item = p.item_a
+        |  JOIN norms b ON b.item = p.item_b)
+        |SELECT * FROM sc ORDER BY cosine DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS spend_cents
+        |  FROM events GROUP BY 1)
+        |SELECT p.user_id, CAST(p.errors AS BIGINT) AS errors,
+        |  CAST(p.spend_cents AS DOUBLE) / 100 AS spend
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.errors <= p.errors AND q.spend_cents >= p.spend_cents
+        |    AND (q.errors < p.errors OR q.spend_cents > p.spend_cents))
+        |ORDER BY errors, user_id""".stripMargin,
     // identical double-op chain over identical exact cent sums — see
     // HypothesisTests scaladoc for the bit-exactness argument
     "q_welch_ttest" ->

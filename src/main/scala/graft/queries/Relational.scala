@@ -332,6 +332,32 @@ object Relational {
       .orderBy("id")
   }
 
+  /** Weighted single-source shortest paths (Graphs.sssp — bounded
+    * Bellman-Ford, 3 rounds = cheapest ≤3-hop route) from 5 seed
+    * customers over the symmetrized customer↔supplier purchase graph
+    * restricted to one ship month (keeps the oracle's depth-bounded
+    * recursive CTE tractable at sf0.1). Edge cost = the pair's minimum
+    * l_quantity — integer-valued, so every path sum is an exact int64
+    * and the min-merge is engine-stable. The weighted complement of
+    * q_bfs_hops: hop counts can't rank routes once edges carry cost. */
+  def ssspQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+    val o = t(s, dir, "orders")
+    val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"),
+        col("l_quantity").cast("long").as("w"))
+    val edges = base.select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst"), col("w")),
+        struct(col("sp").as("src"), col("c").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.sssp(edges, "src", "dst", "w", seeds, "id", rounds = 3)
+      .orderBy("id")
+  }
+
   /** As-of join (J8 analog, beyond the reference's equi-joins): every
     * non-purchase event matched to the same user's latest purchase at
     * or before it. Union-tag + single window pass (operators/AsofJoin)
@@ -528,6 +554,7 @@ object Relational {
     "q_pagerank" -> pagerank,
     "q_bfs_hops" -> bfsHopsQ,
     "q_hits" -> hitsQ,
+    "q_sssp" -> ssspQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -784,6 +811,24 @@ object Relational {
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // depth-bounded weighted recursion: rows are (node, path-cost, hops)
+    // triples, UNION-deduped; h < 3 bounds the depth so cycles
+    // terminate, and min(d) over all ≤3-hop discoveries IS the
+    // 3-round Bellman-Ford distance the operator computes
+    "q_sssp" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM pe UNION ALL SELECT dst AS src, src AS dst, w FROM pe),
+        |seeds AS (SELECT c_custkey * 2 AS id FROM customer WHERE c_custkey <= 5),
+        |reach(id, d, h) AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS d, 0 AS h FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.d + e.w, r.h + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.h < 3)
+        |SELECT id, min(d) AS dist FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // 2 rounds unrolled; h0 = 1 so a1 is the in-degree; every score an
     // exact integer (unnormalized fixed-round HITS)
     "q_hits" ->

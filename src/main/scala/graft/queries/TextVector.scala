@@ -1277,7 +1277,63 @@ object TextVector {
       scoredDocs(s, dir).withColumn("is_en", col("lang") === "en"),
       "score", "is_en")
 
+  /** NDCG@3 retrieval-quality eval (Eval.ndcgBinaryAtK) over the
+    * exact-cosine top-3 per query, binary relevance = "neighbor shares
+    * the query's label", ideal normalized against the query's TOTAL
+    * same-label population (minus itself) — the graded complement of
+    * q_retrieval_eval's MRR/recall. DCG/IDCG accumulate the 1e-9
+    * fixed-point discount table (Eval.ndcgDiscountsFp — the oracle's
+    * CASE literals are generated from the same constants), so the one
+    * float op is the final division. */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val ranked = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+    val qLab = q.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val labCnt = e.groupBy(col("label")).agg(count(lit(1)).as("n_label_total"))
+    val withRel = ranked
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .join(broadcast(qLab), "query_id")
+      .join(broadcast(labCnt), col("label") === col("q_label"))
+      .select(col("query_id"), col("rank"),
+        (col("n_label") === col("q_label")).as("rel"),
+        (col("n_label_total") - 1).as("total_rel"))
+    graft.operators.Eval.ndcgBinaryAtK(withRel, "query_id", "rank", "rel", "total_rel", k = 3)
+      .select(col("query_id"), col("n_hits"), col("total_rel"), col("n_returned"),
+        rd(col("ndcg"), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** TextRank keyword extraction: corpus-wide word co-occurrence graph
+    * (adjacent-token pairs, symmetrized, weight = co-occurrence count,
+    * singleton edges pruned) scored by Graphs.weightedPageRank — rank
+    * flows proportionally to co-occurrence strength, so structurally
+    * central vocabulary outranks merely frequent vocabulary (the TF-IDF
+    * complement that needs no document frequency at all). Top-20 terms
+    * by ROUNDED rank (1e-10 — the q_pagerank quantum) with a term
+    * tiebreak, so float-sum ulp drift can't reorder the cut. */
+  def textrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "term")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val adj = toks
+      .withColumn("next", lead(col("term"), 1).over(byDoc))
+      .filter(col("next").isNotNull && col("term") =!= col("next"))
+    val edges = adj.select(col("term").as("src"), col("next").as("dst"))
+      .union(adj.select(col("next").as("src"), col("term").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val ranks = graft.operators.Graphs.weightedPageRank(edges, "src", "dst", "w", iters = 2)
+    ranks
+      .select(col("id").as("term"), rd(col("rank"), 10).as("rank"))
+      .orderBy(col("rank").desc, col("term"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndcg" -> ndcgEval,
+    "q_textrank" -> textrank,
     "q_auc" -> qualityAuc,
     "q_matryoshka" -> matryoshka,
     "q_incr_dedup" -> incrDedup,
@@ -1668,6 +1724,74 @@ object TextVector {
       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // NDCG discount/prefix literals are GENERATED from the same
+    // Eval.ndcgDiscountsFp constants the Spark side sums — the 1e-9
+    // fixed-point table keeps DCG/IDCG in exact int64 on both engines
+    "q_ndcg" -> {
+      val disc = graft.operators.Eval.ndcgDiscountsFp(3)
+      val prefix = disc.scanLeft(0L)(_ + _)
+      s"""WITH $cosineCtes,
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM scored),
+        |cnd AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |lc AS (SELECT label, count(*) AS n_label_total FROM lab GROUP BY 1),
+        |j AS (
+        |  SELECT c.query_id, c.rank, nl.label = ql.label AS rel,
+        |    lc.n_label_total - 1 AS total_rel
+        |  FROM cnd c
+        |  JOIN lab nl ON nl.vec_id = c.neighbor_id
+        |  JOIN lab ql ON ql.vec_id = c.query_id
+        |  JOIN lc ON lc.label = ql.label),
+        |g AS (
+        |  SELECT query_id,
+        |    sum(CASE WHEN rel THEN
+        |          CASE rank WHEN 1 THEN ${disc(0)} WHEN 2 THEN ${disc(1)}
+        |               WHEN 3 THEN ${disc(2)} ELSE 0 END
+        |        ELSE 0 END) AS dcg_fp,
+        |    max(CASE WHEN total_rel >= 3 THEN ${prefix(3)}
+        |             WHEN total_rel = 2 THEN ${prefix(2)}
+        |             WHEN total_rel = 1 THEN ${prefix(1)} ELSE 0 END) AS idcg_fp,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_hits,
+        |    max(total_rel) AS total_rel, count(*) AS n_returned
+        |  FROM j GROUP BY 1)
+        |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(total_rel AS BIGINT) AS total_rel, CAST(n_returned AS BIGINT) AS n_returned,
+        |  floor((CASE WHEN idcg_fp > 0 THEN CAST(dcg_fp AS DOUBLE) / idcg_fp ELSE 0.0 END)*1000000 + 0.5)/1000000 AS ndcg
+        |FROM g ORDER BY query_id""".stripMargin
+    },
+    // weighted PR unrolled 2 rounds (the q_pagerank recipe with
+    // w/Σw contribution splits); contribution op order (rank·w)/Σw
+    // mirrors the Spark projection exactly
+    "q_textrank" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS pos FROM tk),
+        |adj AS (
+        |  SELECT doc_id, term,
+        |    lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM pos),
+        |ap AS (SELECT term, next FROM adj WHERE next IS NOT NULL AND term <> next),
+        |sym AS (SELECT term AS src, next AS dst FROM ap
+        |        UNION ALL SELECT next AS src, term AS dst FROM ap),
+        |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM sym
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+        |wd AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/nn AS rank FROM n, cnt),
+        |c1 AS (SELECT e.dst AS id, sum((r.rank * e.w) / wd.ow) AS inflow
+        |       FROM e JOIN wd USING (src) JOIN r0 r ON e.src = r.id GROUP BY 1),
+        |r1 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/cnt.nn + CAST(0.85 AS DOUBLE)*coalesce(c1.inflow, 0.0) AS rank
+        |       FROM n CROSS JOIN cnt LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum((r.rank * e.w) / wd.ow) AS inflow
+        |       FROM e JOIN wd USING (src) JOIN r1 r ON e.src = r.id GROUP BY 1),
+        |r2 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/cnt.nn + CAST(0.85 AS DOUBLE)*coalesce(c2.inflow, 0.0) AS rank
+        |       FROM n CROSS JOIN cnt LEFT JOIN c2 ON n.id = c2.id)
+        |SELECT id AS term, floor((rank)*10000000000 + 0.5)/10000000000 AS rank
+        |FROM r2 ORDER BY rank DESC, term LIMIT 20""".stripMargin,
     // Mann-Whitney AUC from per-score (pos, neg) counts — the x2-scaled
     // integer numerator keeps the single division as the only IEEE op
     "q_auc" ->

@@ -254,4 +254,51 @@ class GraphsSpec extends AnyFunSuite {
     // 4 is a seed (dist 0), NOT 1's 3-hop discovery; cycle nodes settle once
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L), s"got $got")
   }
+
+  test("sssp: round budget is a hop bound — the cheap 2-edge path needs round 2") {
+    // a->b->c cheap (1+1), a->c direct but expensive (5)
+    val g = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 5L)).toDF("s", "d", "w")
+    val seeds = Seq(Tuple1("a")).toDF("id")
+    val r1 = Graphs.sssp(g, "s", "d", "w", seeds, "id", rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 0L, "b" -> 1L, "c" -> 5L), s"round 1: $r1")
+    val r2 = Graphs.sssp(g, "s", "d", "w", seeds, "id", rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L), s"round 2: $r2")
+  }
+
+  test("sssp: parallel edges collapse to the cheapest; multi-seed takes the min") {
+    val g = Seq(("a", "b", 7L), ("a", "b", 3L), ("b", "c", 1L), ("z", "c", 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq("a", "z").toDF("id")
+    val got = Graphs.sssp(g, "s", "d", "w", seeds, "id", rounds = 3)
+      .as[(String, Long)].collect().toMap
+    // c: via z (cost 1), not via a (3+1); b: the 3-cost parallel edge
+    assert(got == Map("a" -> 0L, "z" -> 0L, "b" -> 3L, "c" -> 1L), s"got $got")
+  }
+
+  test("weightedPageRank: uniform weights reproduce pageRank exactly") {
+    val u = path.withColumn("w", lit(1.0))
+    val wr = Graphs.weightedPageRank(u, "src", "dst", "w", iters = 2)
+      .as[(String, Double)].collect().toMap
+    val pr = Graphs.pageRank(path, "src", "dst", iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(wr == pr, s"weighted(uniform)=$wr vs plain=$pr")
+  }
+
+  test("weightedPageRank: heavier edge pulls more rank; mass conserved; parallel edges sum") {
+    // star: b links to a (weight 9) and c (weight 1)
+    val g = Seq(("b", "a", 9.0), ("b", "c", 1.0), ("a", "b", 1.0), ("c", "b", 1.0))
+      .toDF("src", "dst", "w")
+    val r = Graphs.weightedPageRank(g, "src", "dst", "w", iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(r("a") > r("c"), s"the weight-9 target must outrank the weight-1 target: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "rank mass must be conserved")
+    // splitting b->a into two parallel halves must be identical
+    val split = Seq(("b", "a", 4.5), ("b", "a", 4.5), ("b", "c", 1.0),
+      ("a", "b", 1.0), ("c", "b", 1.0)).toDF("src", "dst", "w")
+    val r2 = Graphs.weightedPageRank(split, "src", "dst", "w", iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(r2 == r, s"parallel-edge sum contract: $r2 vs $r")
+  }
 }
