@@ -278,4 +278,88 @@ object Eval {
         when(col("idcg_fp") > 0, col("dcg_fp").cast("double") / col("idcg_fp"))
           .otherwise(lit(0.0)).as("ndcg"))
   }
+
+  /** Mean-average-precision@k with binary relevance over an
+    * already-ranked candidate list: AP = Σ_{rel hits} P@rank /
+    * min(k, total_relevant), P@i = hits-so-far/i. Every P@i is
+    * rationalized by lcm(1..k) — hits·(lcm/i) is an exact integer, so
+    * the numerator accumulates in int64 and the single closing
+    * division is the only float op (the ndcg recipe without even a
+    * discount table). Same normalization stance as [[ndcgBinaryAtK]]:
+    * ideal = TOTAL relevant (capped at k), so recall misses cost. */
+  def mapBinaryAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+                   relCol: String, totalRelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to k.toLong).foldLeft(1L)((a, i) => a / gcd(a, i) * i)
+    val mult = (1 to k).foldLeft(lit(0L)) {
+      (acc, i) => when(col(rankCol) === i, lit(lcm / i)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
+    val idealDen = when(col(totalRelCol) >= k, lit(k.toLong))
+      .otherwise(col(totalRelCol).cast("long"))
+    ranked
+      .withColumn("__h", sum(when(col(relCol), 1L).otherwise(0L)).over(w))
+      .groupBy(col(queryCol))
+      .agg(
+        sum(when(col(relCol), col("__h") * mult).otherwise(lit(0L))).as("ap_num_fp"),
+        max(idealDen).as("ideal_den"),
+        sum(when(col(relCol), 1L).otherwise(0L)).as("n_hits"),
+        count(lit(1)).as("n_returned"))
+      .select(col(queryCol), col("n_hits"), col("n_returned"),
+        when(col("ideal_den") > 0,
+          col("ap_num_fp").cast("double") / (lit(lcm) * col("ideal_den")))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
+  /** EXACT KNN-Shapley data valuation (Jia et al., VLDB 2019): the
+    * Shapley value of every training point for a K-NN proxy classifier
+    * evaluated on a probe test set — the data-selection signal "which
+    * examples actually help" that heuristic quality scores
+    * approximate. The O(N!)-looking Shapley collapses, for KNN, to a
+    * closed recursion over the distance-sorted training list:
+    *   s_(N) = rel_(N)/N,
+    *   s_(j) = s_(j+1) + (rel_(j) − rel_(j+1)) · min(K,j)/(K·j),
+    * i.e. a SUFFIX SUM of per-rank terms — one window pass, no
+    * simulation. Each term rounds to 1e-12 fixed point and the suffix
+    * sum runs in exact int64 (the adamic-adar/modularity recipe), so
+    * the valuation is bit-identical on any engine despite the float
+    * divisions inside each term.
+    *
+    * Shape: probe×train broadcast cross (the probe set is CONTRACTUALLY
+    * small — valuation cost is O(|probe|·|train|)), one per-probe
+    * ranking window + one suffix-sum window on the same key (one
+    * shuffle), one keyed mean over probes. The per-probe window scans
+    * |train| rows in one task — for very large train sets, value a
+    * train SAMPLE per probe (the standard estimator) rather than
+    * widening the window. */
+  def knnShapley(train: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      col(labelCol).as("p_label")))
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      col(labelCol).as("t_label"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+    val asc = byProbe.orderBy(col("d"), col("train_id"))
+    val ranked = t.crossJoin(p)
+      .withColumn("d", lit(1.0) - graft.plans.VectorExpressions.cosine(col("tv"), col("pv")))
+      .withColumn("rel", (col("t_label") === col("p_label")).cast("int"))
+      .withColumn("rank", row_number().over(asc))
+      .withColumn("rel_next", lead(col("rel"), 1).over(asc))
+      .withColumn("n", count(lit(1)).over(byProbe))
+    val term = when(col("rel_next").isNull, // rank N: the recursion base
+      col("rel").cast("double") / col("n"))
+      .otherwise((col("rel") - col("rel_next")).cast("double")
+        * least(lit(k), col("rank")).cast("double")
+        / (lit(k) * col("rank")).cast("double"))
+    val suffix = byProbe.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("term_fp", floor(term * lit(1e12) + lit(0.5)).cast("long"))
+      .withColumn("s_fp", sum(col("term_fp")).over(suffix))
+      .groupBy(col("train_id"))
+      .agg(((sum(col("s_fp")).cast("double") / count(lit(1))) / lit(1e12)).as("shapley"),
+        count(lit(1)).as("n_probes"))
+  }
 }

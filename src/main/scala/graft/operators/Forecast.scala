@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Holt linear-trend exponential smoothing (double exponential
@@ -71,5 +72,50 @@ object Forecast {
     (1 to horizon).foldLeft(base) { (acc, h) =>
       acc.withColumn(s"fc_$h", col("level") + lit(h.toDouble) * col("trend"))
     }
+  }
+
+  /** Per-key ordinary-least-squares linear trend: slope, intercept, r²
+    * from the closed-form moment solution — the parametric complement
+    * to the Theil–Sen robust slope (exact CIs and r² when the noise is
+    * well-behaved; Theil–Sen when it isn't).
+    *
+    * Engine-exactness: t is RE-BASED to the key's min (small offsets),
+    * x accumulates as 1e-2 fixed-point int64, so all six moment sums
+    * (n, Σt, Σt², Σx, Σx², Σtx) are exact integers under any row
+    * order; cov = nΣtx−ΣtΣx and the two variances stay in int64 (the
+    * re-basing is what keeps Σt² small — audit the headroom for >10⁶
+    * observations·spans per key), and the closing slope/intercept/r²
+    * divisions are the only float ops, in one mirrored order. Keys
+    * with zero t-variance (single timestamp) emit NULL slope/r²
+    * (undefined, not zero).
+    *
+    * Shape: one window-min over the key (re-base) + one keyed
+    * aggregate — the window and the aggregate share the same shuffle
+    * key, so the exchange is reused. */
+  def olsTrend(df: DataFrame, keyCol: String, tCol: String, xCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val based = df
+      .withColumn("__tb", (col(tCol) - min(col(tCol)).over(w)).cast("long"))
+      .withColumn("__fx", floor(col(xCol) * 100 + lit(0.5)).cast("long"))
+    val m = based.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__tb")).as("st"),
+      sum(col("__tb") * col("__tb")).as("st2"),
+      sum(col("__fx")).as("sx"),
+      sum(col("__fx") * col("__fx")).as("sx2"),
+      sum(col("__tb") * col("__fx")).as("stx"))
+    m.withColumn("cov", col("n") * col("stx") - col("st") * col("sx"))
+      .withColumn("vart", col("n") * col("st2") - col("st") * col("st"))
+      .withColumn("varx", col("n") * col("sx2") - col("sx") * col("sx"))
+      .select(col(keyCol), col("n"),
+        when(col("vart") > 0,
+          col("cov").cast("double") / col("vart") / 100).as("slope"),
+        when(col("vart") > 0,
+          (col("sx").cast("double") / 100) / col("n")
+            - (col("cov").cast("double") / col("vart") / 100)
+              * (col("st").cast("double") / col("n"))).as("intercept"),
+        when(col("vart") > 0 && col("varx") > 0,
+          (col("cov").cast("double") * col("cov").cast("double"))
+            / (col("vart").cast("double") * col("varx").cast("double"))).as("r2"))
   }
 }

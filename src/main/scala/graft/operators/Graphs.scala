@@ -582,6 +582,101 @@ object Graphs {
     dist
   }
 
+  /** PERSONALIZED PageRank: teleport lands on the SEED set (uniformly)
+    * instead of the whole graph, so rank measures proximity *to the
+    * seeds* — the "related to these items/users" recommendation score,
+    * where global PageRank can only say "important overall". Same
+    * fixed-round/oracle-unrollable stance, same every-node-needs-an-
+    * out-edge contract, same per-round shuffle budget as [[pageRank]];
+    * r₀ = teleport (mass starts on the seeds and diffuses out).
+    * Nodes the seeds can't reach in `iters` hops hold rank 0 — exact
+    * zero, not epsilon, which downstream top-k filters rely on. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val withDeg = e0
+      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .persist()
+    withDeg.count()
+    val nodes = withDeg.select(col("src").as("id"))
+      .union(withDeg.select(col("dst").as("id"))).distinct()
+      .persist()
+    val sd = seeds.select(col(seedCol).as("id")).distinct()
+    val deg = withDeg.groupBy(col("src")).agg(first(col("out_deg")).as("out_deg"))
+    val Array(dangling, nSeeds) = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .join(sd.withColumn("is_seed", lit(1)), Seq("id"), "left")
+      .agg(count(when(col("src").isNull, 1)), count(col("is_seed")))
+      .head().toSeq.toArray.map(_.asInstanceOf[Long])
+    require(dangling == 0L,
+      "personalizedPageRank contract: every node needs an out-edge " +
+        "(feed symmetric edges for undirected graphs)")
+    require(nSeeds > 0L, "personalizedPageRank needs at least one seed present in the graph")
+    // teleport(v) = 1/|S| on seeds, 0 elsewhere — joined once, reused
+    // every round (|V|-row frame)
+    val teleport = nodes.join(sd.withColumn("t", lit(1.0 / nSeeds)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))
+      .persist()
+    var ranks = teleport.select(col("id"), col("t").as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      ranks = teleport.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("t")
+            + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
+    }
+    val result = ranks.persist()
+    result.count()
+    nodes.unpersist()
+    withDeg.unpersist()
+    teleport.unpersist()
+    result
+  }
+
+  /** HyperANF-style neighborhood function: for every node, an
+    * HLL-sketch ESTIMATE of |{u : dist(v→u) ≤ h}| for h = 1..maxHops —
+    * the per-node reach curve that exact BFS cannot deliver at scale
+    * (materializing every reach SET is Θ(Σ|N_h(v)|), quadratic on
+    * dense graphs; the sketch state is a fixed few KB per node,
+    * mergeable, and each round is ONE edge⋈state join + ONE keyed
+    * hll_union_agg — Boldi/Rosa/Vigna, WWW 2011). Round invariant:
+    * sketch_{h+1}(v) = sketch_h(v) ∪ ⋃_{v→u} sketch_h(u), state
+    * lineage-truncated per round.
+    *
+    * Determinism: HLL register updates are order-free set unions, so
+    * the estimate is identical on any partitioning/engine ingesting the
+    * same ids — but it IS an estimate: gate it with a tolerance
+    * (relative ~1.04/√2^lgK), never equality, and mirror `lgK` on both
+    * sides of any comparison. Returns (id, hop, est_reach) for hop ≥ 1,
+    * est includes the node itself. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String, dstCol: String,
+                           maxHops: Int, lgK: Int = 12): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
+    var state = Lineage.truncate(
+      nodes.groupBy(col("id")).agg(expr(s"hll_sketch_agg(id, $lgK)").as("sk")))
+    var out: DataFrame = null
+    for (h <- 1 to maxHops) {
+      val nbr = e.join(state.select(col("id").as("dst"), col("sk").as("nsk")), "dst")
+        .groupBy(col("src").as("id")).agg(expr("hll_union_agg(nsk)").as("usk"))
+      state = Lineage.truncate(
+        state.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            when(col("usk").isNull, col("sk"))
+              .otherwise(expr("hll_union(sk, usk)")).as("sk")))
+      val est = state.select(col("id"), lit(h).as("hop"),
+        expr("hll_sketch_estimate(sk)").as("est_reach"))
+      out = if (out == null) est else out.union(est)
+    }
+    out
+  }
+
   /** PageRank over a WEIGHTED edge list: contributions split
     * proportionally to edge weight (rank·w / Σ_out w) instead of
     * uniformly — the TextRank/co-occurrence-graph form, where an edge

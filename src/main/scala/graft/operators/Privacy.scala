@@ -106,4 +106,45 @@ object Privacy {
       .withColumn("violates_t", col("emd") > t)
       .select(qc ++ Seq(col("class_size"), col("emd"), col("violates_t")): _*)
   }
+
+  /** ε-differentially-private group counts (Laplace mechanism,
+    * b = sensitivity/ε) with SEEDED hash-derived noise: the 52-bit
+    * md5-uniform (the weightedSample recipe) through the Laplace
+    * inverse CDF, −b·sign(u−½)·ln(1−2|u−½|). Determinism is a feature
+    * twice over: (1) re-running a release must NOT draw fresh noise —
+    * averaging independent draws of the same statistic washes the
+    * mechanism out, so one fixed (seed, statistic) → one noise value is
+    * the correct noise-reuse discipline; (2) it makes the mechanism
+    * auditable cross-engine (the oracle reproduces the exact release).
+    * u ∈ (0,1) strictly (the +0.5 offset), so the log argument is in
+    * (0,1] and the noise is always finite.
+    *
+    * Sensitivity contract: `sensitivity` must bound one protected
+    * unit's contribution to ONE group's count (=1 when each unit
+    * appears at most once per group — pre-aggregate to unit level
+    * first) — and ε composes across every released statistic on the
+    * same data; the caller owns the budget ledger.
+    *
+    * Emits n_true alongside n_dp: this is the CALIBRATION/audit view
+    * (inspect the realized noise before publishing); a production
+    * release projects n_dp only. Shape: one keyed count + a projection
+    * — noise needs no second pass and no driver round-trip. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+               sensitivity: Double = 1.0, seed: String = "dp"): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    val b = sensitivity / epsilon
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+    val key = concat_ws(":", lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val centered = u - lit(0.5)
+    val noise = -lit(b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    grouped
+      .withColumn("noise", noise)
+      .select(groupCols.map(col) ++ Seq(col("n_true"),
+        (col("n_true") + col("noise")).as("n_dp"),
+        col("noise"), lit(epsilon).as("epsilon")): _*)
+  }
 }

@@ -46,4 +46,39 @@ object RangeJoin {
       left(key) === right(key) &&
         abs(left(leftSec) - right(rightSec)) <= radiusSec)
       .drop(right(key))
+
+  /** INTERVAL × INTERVAL overlap join: every (left, right) pair with
+    * `lStart ≤ rEnd && rStart ≤ lEnd` (closed-interval overlap — the
+    * concurrency / double-booking / co-presence primitive), without the
+    * nested-loop plan the raw inequality conjunction gets.
+    *
+    * Shape: each interval explodes to the fixed-width bins it covers
+    * (`sequence(floor(s/B), floor(e/B))`), the join runs as an
+    * EQUI-join on the bin, and the exact predicate filters residual
+    * false positives. An overlapping pair shares every bin both
+    * intervals cover, so instead of a post-join `distinct` the pair is
+    * kept ONLY in its canonical bin — the later of the two start bins,
+    * which both sides provably cover when they overlap. Work is
+    * O(Σ span/B) explode + matches; pick `binWidth` near the typical
+    * interval span (too small → fan-out, too large → bin crowding).
+    * Columns must be numeric (epoch seconds/longs, cast upstream) and
+    * the two inputs must not share column names. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String, rStart: String, rEnd: String,
+                  binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val reserved = Set("__bin", "__sbinl", "__sbinr")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"overlapJoin reserves ${reserved.mkString(", ")}; rename ${clash.distinct.mkString(", ")}")
+    def bins(df: DataFrame, s: String, e: String, sbin: String): DataFrame = df
+      .withColumn(sbin, floor(col(s) / binWidth))
+      .withColumn("__bin", explode(sequence(col(sbin), floor(col(e) / binWidth))))
+    val l = bins(left, lStart, lEnd, "__sbinl")
+    val r = bins(right, rStart, rEnd, "__sbinr")
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(col("__sbinl"), col("__sbinr")))
+      .drop("__bin", "__sbinl", "__sbinr")
+  }
 }

@@ -692,4 +692,42 @@ object Similarity {
     base.unpersist()
     result
   }
+
+  /** Greedy farthest-point (k-center / Gonzalez) seed selection: start
+    * from the smallest id, then k−1 rounds of "add the point whose
+    * min cosine-distance to the chosen set is largest" — the classic
+    * 2-approximation to the k-center cover, used as a DIVERSE seed set
+    * (k-means++ style init, coreset anchors, annotation batch picks)
+    * where stride/hash sampling would cluster in dense regions.
+    *
+    * Pure dataflow: the chosen set stays a ≤k-row broadcast frame (no
+    * driver collect); each round is one broadcast cross of corpus ×
+    * chosen, a keyed min, and a TakeOrderedAndProject(1) argmax with a
+    * deterministic (dist DESC, id) tiebreak — k·O(|corpus|) total work,
+    * the argmax shuffles only one row per partition. Distances are the
+    * fold-expression cosine (bit-stable element order), so selection is
+    * engine-exact and the whole trajectory can be oracled by k unrolled
+    * CTEs. Emits (rank, id, dist = min distance to the prior seeds at
+    * selection time; dist(1) = 0 by convention). */
+  def kCenterSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = graft.core.Lineage.truncate(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    var chosen = graft.core.Lineage.truncate(
+      c.orderBy(col("id")).limit(1)
+        .select(col("id"), col("v"), lit(1).as("rank"), lit(0.0).as("dist")))
+    for (r <- 2 to k) {
+      val minDist = c
+        .crossJoin(broadcast(chosen.select(col("id").as("cid"), col("v").as("cv"))))
+        .withColumn("d", lit(1.0) - cosineExpr("v", "cv"))
+        .groupBy(col("id")).agg(min(col("d")).as("mind"), first(col("v")).as("v"))
+      val next = minDist
+        .join(chosen.select(col("id").as("xid")), col("id") === col("xid"), "left_anti")
+        .orderBy(col("mind").desc, col("id")).limit(1)
+        .select(col("id"), col("v"), lit(r).as("rank"), col("mind").as("dist"))
+      chosen = graft.core.Lineage.truncate(chosen.union(next))
+    }
+    chosen.select(col("rank"), col("id"), col("dist"))
+  }
 }

@@ -649,7 +649,62 @@ object Behavioral {
       .orderBy("errors", "user_id")
   }
 
+  /** Per-type OLS linear trend (Forecast.olsTrend) of event value over
+    * hour index — slope/intercept/r² from exact integer moment sums
+    * (re-based hours × cent values), the parametric twin of
+    * q_trend_robust's Theil–Sen. */
+  def olsTrendQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / 3600).as("t"), col("value"))
+    graft.operators.Forecast.olsTrend(e, "event_type", "t", "value")
+      .select(col("event_type"), col("n"), rd(col("slope"), 8).as("slope"),
+        rd(col("intercept"), 6).as("intercept"), rd(col("r2"), 8).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Difference-in-differences (Experiment.diffInDiff): treat = odd
+    * user ids, post = second half of the month — the four cell means,
+    * the DiD causal contrast under parallel trends, and its unpooled
+    * SE, all from exact cent moments. */
+  def didQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select((col("user_id") % 2 === 1).as("treat"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("post"),
+        col("value"))
+    graft.operators.Experiment.diffInDiff(e, "treat", "post", "value")
+      .select(col("n_total"),
+        rd(col("m_tp"), 6).as("m_tp"), rd(col("m_t0"), 6).as("m_t0"),
+        rd(col("m_cp"), 6).as("m_cp"), rd(col("m_c0"), 6).as("m_c0"),
+        rd(col("did"), 6).as("did"), rd(col("se"), 8).as("se"))
+  }
+
+  /** CUPED variance reduction (Experiment.cuped): unit = user,
+    * covariate = first-half spend, metric = second-half spend;
+    * adjusted arm means, pooled θ, and the variance-reduction ratio.
+    * Per-user cent sums keep the unit frame exact before the moment
+    * pass. */
+  def cupedQ(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val units = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("pre_c"),
+        sum(when(col("ts") >= cut, cents).otherwise(0L)).as("post_c"))
+      .select((col("user_id") % 2 === 1).as("arm"),
+        (col("pre_c").cast("double") / 100).as("pre"),
+        (col("post_c").cast("double") / 100).as("post"))
+    graft.operators.Experiment.cuped(units, "arm", "pre", "post")
+      .select(col("arm"), col("n_arm"),
+        rd(col("mean_y"), 6).as("mean_y"), rd(col("mean_y_adj"), 6).as("mean_y_adj"),
+        rd(col("theta"), 8).as("theta"), rd(col("var_ratio"), 8).as("var_ratio"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_did" -> didQ,
+    "q_cuped" -> cupedQ,
+    "q_ols_trend" -> olsTrendQ,
     "q_assoc_rules" -> assocRules,
     "q_item_cosine" -> itemCosineQ,
     "q_skyline" -> skylineQ,
@@ -724,6 +779,117 @@ object Behavioral {
         col("significant_05"))
 
   val oracles: Map[String, String] = Map(
+    // four exact cent-moment cells; var, DiD, and SE mirrored op for op
+    "q_did" ->
+      """WITH b AS (
+        |  SELECT (user_id % 2 = 1) AS treat,
+        |    (date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-16') AS post,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS fx
+        |  FROM events),
+        |cells AS (
+        |  SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(fx) AS BIGINT) AS s1, CAST(sum(fx*fx) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT treat, post, n,
+        |    (CAST(s1 AS DOUBLE)/100)/n AS mean,
+        |    CASE WHEN n > 1 THEN
+        |      ((CAST(s2 AS DOUBLE)/10000)
+        |        - (CAST(s1 AS DOUBLE)/100) * (CAST(s1 AS DOUBLE)/100) / n) / (n - 1)
+        |    END AS var
+        |  FROM cells),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN treat AND post THEN mean END) AS m_tp,
+        |    max(CASE WHEN treat AND NOT post THEN mean END) AS m_t0,
+        |    max(CASE WHEN NOT treat AND post THEN mean END) AS m_cp,
+        |    max(CASE WHEN NOT treat AND NOT post THEN mean END) AS m_c0,
+        |    max(CASE WHEN treat AND post THEN var / n END) AS v_tp,
+        |    max(CASE WHEN treat AND NOT post THEN var / n END) AS v_t0,
+        |    max(CASE WHEN NOT treat AND post THEN var / n END) AS v_cp,
+        |    max(CASE WHEN NOT treat AND NOT post THEN var / n END) AS v_c0,
+        |    CAST(sum(n) AS BIGINT) AS n_total
+        |  FROM cv)
+        |SELECT n_total,
+        |  floor((m_tp)*1000000 + 0.5)/1000000 AS m_tp,
+        |  floor((m_t0)*1000000 + 0.5)/1000000 AS m_t0,
+        |  floor((m_cp)*1000000 + 0.5)/1000000 AS m_cp,
+        |  floor((m_c0)*1000000 + 0.5)/1000000 AS m_c0,
+        |  floor(((m_tp - m_t0) - (m_cp - m_c0))*1000000 + 0.5)/1000000 AS did,
+        |  floor((sqrt(v_tp + v_t0 + v_cp + v_c0))*100000000 + 0.5)/100000000 AS se
+        |FROM w""".stripMargin,
+    // per-user exact cent sums -> /100 unit frame -> re-floored cent
+    // moments; theta / adjusted means / OLS-residual variance ratio
+    // mirrored op for op
+    "q_cuped" ->
+      """WITH u0 AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_trunc('microseconds', ts) < TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_c,
+        |    CAST(sum(CASE WHEN date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_c
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT (user_id % 2 = 1) AS arm,
+        |    CAST(floor((CAST(pre_c AS DOUBLE)/100)*100 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor((CAST(post_c AS DOUBLE)/100)*100 + 0.5) AS BIGINT) AS y
+        |  FROM u0),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sx2,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y*y) AS BIGINT) AS sy2,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM u),
+        |gg AS (
+        |  SELECT n, n*sxy - sx*sy AS cov, n*sx2 - sx*sx AS varx, n*sy2 - sy*sy AS vary,
+        |    sx, sy
+        |  FROM g),
+        |gt AS (
+        |  SELECT
+        |    CASE WHEN varx > 0 THEN CAST(cov AS DOUBLE)/varx ELSE 0.0 END AS theta,
+        |    (CAST(sx AS DOUBLE)/100)/n AS mean_x,
+        |    CASE WHEN varx > 0 AND vary > 0 THEN
+        |      (CAST(vary AS DOUBLE) - CAST(cov AS DOUBLE)*CAST(cov AS DOUBLE)/varx)
+        |        / vary
+        |    ELSE 1.0 END AS var_ratio
+        |  FROM gg),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+        |    CAST(sum(y) AS BIGINT) AS asy, CAST(sum(x) AS BIGINT) AS asx
+        |  FROM u GROUP BY 1)
+        |SELECT a.arm, a.n_arm,
+        |  floor(((CAST(asy AS DOUBLE)/100)/n_arm)*1000000 + 0.5)/1000000 AS mean_y,
+        |  floor((((CAST(asy AS DOUBLE)/100)/n_arm)
+        |    - gt.theta * (((CAST(asx AS DOUBLE)/100)/n_arm) - gt.mean_x))*1000000 + 0.5)/1000000 AS mean_y_adj,
+        |  floor((gt.theta)*100000000 + 0.5)/100000000 AS theta,
+        |  floor((gt.var_ratio)*100000000 + 0.5)/100000000 AS var_ratio
+        |FROM arms a CROSS JOIN gt ORDER BY arm""".stripMargin,
+    // six exact integer moment sums, closing divisions mirrored
+    // term for term (slope in value-units/hour = cov/vart/100)
+    "q_ols_trend" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)/3600) AS BIGINT)
+        |      - min(CAST(floor(epoch(ts)/3600) AS BIGINT)) OVER (PARTITION BY event_type) AS tb,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS fx
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(tb) AS BIGINT) AS st, CAST(sum(tb*tb) AS BIGINT) AS st2,
+        |    CAST(sum(fx) AS BIGINT) AS sx, CAST(sum(fx*fx) AS BIGINT) AS sx2,
+        |    CAST(sum(tb*fx) AS BIGINT) AS stx
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, n, n*stx - st*sx AS cov, n*st2 - st*st AS vart,
+        |    n*sx2 - sx*sx AS varx, st, sx
+        |  FROM m)
+        |SELECT event_type, n,
+        |  floor((CASE WHEN vart > 0 THEN CAST(cov AS DOUBLE)/vart/100 END)*100000000 + 0.5)/100000000 AS slope,
+        |  floor((CASE WHEN vart > 0 THEN (CAST(sx AS DOUBLE)/100)/n
+        |    - (CAST(cov AS DOUBLE)/vart/100) * (CAST(st AS DOUBLE)/n) END)*1000000 + 0.5)/1000000 AS intercept,
+        |  floor((CASE WHEN vart > 0 AND varx > 0 THEN
+        |    (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)) / (CAST(vart AS DOUBLE) * CAST(varx AS DOUBLE)) END)*100000000 + 0.5)/100000000 AS r2
+        |FROM c ORDER BY event_type""".stripMargin,
     "q_assoc_rules" ->
       """WITH bi AS (
         |  SELECT DISTINCT user_id AS b, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item

@@ -275,7 +275,22 @@ object Mixture {
       .orderBy("id_a", "w_dist")
   }
 
+  /** ε-DP released group counts (Privacy.dpCounts, ε=1, seeded
+    * Laplace): the calibration/audit view of a private per-day
+    * event-type histogram — realized noise next to the true count so
+    * the release is inspectable before n_true is dropped. The oracle
+    * reproduces the exact release (hash-derived noise), which is the
+    * point: one (seed, statistic) → one noise draw, ever. */
+  def dpCountsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpCounts(
+        Tables(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), epsilon = 1.0)
+      .select(col("event_type"), col("day"), col("n_true"),
+        rd(col("n_dp"), 6).as("n_dp"), rd(col("noise"), 6).as("noise"), col("epsilon"))
+      .orderBy("event_type", "day")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts" -> dpCountsQ,
     "q_curriculum" -> curriculum,
     "q_sorted_blocking" -> sortedBlocking,
     "q_tcloseness" -> tClose,
@@ -301,6 +316,27 @@ object Mixture {
       .mkString(" ") + " END"
 
   def oracles: Map[String, String] = Map(
+    // the md5 52-bit uniform (weightedSample recipe) through the
+    // Laplace inverse CDF, op order mirrored term for term
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, n_true,
+        |    (CAST(('0x'||substr(md5('dp:'||event_type||':'||CAST(day AS VARCHAR)),1,13)) AS BIGINT) + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM g),
+        |z AS (
+        |  SELECT event_type, day, n_true,
+        |    (-1.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        |  FROM n)
+        |SELECT event_type, day, n_true,
+        |  floor((n_true + noise)*1000000 + 0.5)/1000000 AS n_dp,
+        |  floor((noise)*1000000 + 0.5)/1000000 AS noise,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "q_curriculum" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

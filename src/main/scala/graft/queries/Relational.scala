@@ -358,6 +358,89 @@ object Relational {
       .orderBy("id")
   }
 
+  /** Personalized PageRank (Graphs.personalizedPageRank, 2 rounds,
+    * teleport = the 5 seed customers): proximity-to-the-seeds scoring
+    * on the symmetrized purchase graph — "suppliers/customers related
+    * to THESE accounts", which global q_pagerank cannot express.
+    * Unreached nodes carry exact 0. */
+  def pprQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val pe = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+    val edges = pe.select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.personalizedPageRank(edges, "src", "dst", seeds, "id", iters = 2)
+      .select(col("id"), rd(col("rank"), 10).as("rank"))
+      .orderBy("id")
+  }
+
+  /** HyperANF-style per-node reach curve (Graphs.neighborhoodFunction,
+    * HLL sketches, 3 hops) on a one-week purchase graph, gated against
+    * the EXACT pair-set expansion: the sketch path is the 100 TB
+    * operator (few KB of mergeable state per node), the exact path is
+    * its test-scale witness, and the within-tol boolean is what the
+    * oracle predicts (estimates are never gated by equality). */
+  def neighborhoodQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-08").cast("timestamp"))
+    val o = t(s, dir, "orders")
+    val pe = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+    val edges = pe.select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val est = graft.operators.Graphs.neighborhoodFunction(edges, "src", "dst", maxHops = 3)
+    val eD = graft.core.Lineage.truncate(edges.distinct())
+    val nodes = eD.select(col("src").as("id")).union(eD.select(col("dst"))).distinct()
+    var pairs = graft.core.Lineage.truncate(nodes.select(col("id"), col("id").as("reached")))
+    var exacts: DataFrame = null
+    for (h <- 1 to 3) {
+      pairs = graft.core.Lineage.truncate(
+        pairs.union(
+            pairs.join(eD, pairs("reached") === eD("src"))
+              .select(pairs("id"), eD("dst").as("reached")))
+          .distinct())
+      val ex = pairs.groupBy(col("id")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("hop", lit(h))
+      exacts = if (exacts == null) ex else exacts.union(ex)
+    }
+    est.join(exacts, Seq("id", "hop"))
+      .select(col("id"), col("hop"), col("n_exact"),
+        (abs(col("est_reach") - col("n_exact")) <=
+          greatest(col("n_exact") * lit(0.04), lit(2.0))).as("within_tol"))
+      .orderBy("id", "hop")
+  }
+
+  /** Interval×interval overlap join (RangeJoin.overlapJoin — binned
+    * equi-join, never the nested loop): co-presence of two users'
+    * per-day purchase activity spans, with the overlap duration.
+    * Interval bounds are floored epoch seconds (exact longs), so both
+    * the overlap predicate and the duration are integer-exact; the
+    * `% 7` user subset bounds the quadratic pair count at any sf. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = graft.core.Lineage.truncate(
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") % 7 === 0)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("ts").cast("long")).as("s"), max(col("ts").cast("long")).as("e")))
+    val a = iv.select(col("user_id").as("user_a"), col("day").as("day_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.select(col("user_id").as("user_b"), col("day").as("day_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    graft.operators.RangeJoin.overlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", binWidth = 14400)
+      .filter(col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"), col("day_a"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b"))).as("overlap_sec"))
+      .orderBy("user_a", "user_b", "day_a")
+  }
+
   /** As-of join (J8 analog, beyond the reference's equi-joins): every
     * non-purchase event matched to the same user's latest purchase at
     * or before it. Union-tag + single window pass (operators/AsofJoin)
@@ -555,6 +638,9 @@ object Relational {
     "q_bfs_hops" -> bfsHopsQ,
     "q_hits" -> hitsQ,
     "q_sssp" -> ssspQ,
+    "q_interval_overlap" -> intervalOverlap,
+    "q_ppr" -> pprQ,
+    "q_neighborhood" -> neighborhoodQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -811,6 +897,71 @@ object Relational {
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // PPR unrolled 2 rounds: r0 = teleport(v) = 1/|seeds∩nodes| on
+    // seeds, 0 elsewhere; per-round (1−d)·t(v) + d·inflow — the
+    // q_pagerank recipe with the seed-restricted teleport
+    "q_ppr" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT c_custkey * 2 AS id FROM customer WHERE c_custkey <= 5
+        |          AND c_custkey * 2 IN (SELECT id FROM n)),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+        |tp AS (SELECT n.id,
+        |         CASE WHEN sd.id IS NOT NULL THEN CAST(1.0 AS DOUBLE)/ns.s
+        |              ELSE CAST(0.0 AS DOUBLE) END AS t
+        |       FROM n CROSS JOIN ns LEFT JOIN seeds sd ON sd.id = n.id),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT id, t AS rank FROM tp),
+        |c1 AS (SELECT e.dst AS id, sum(r.rank/deg.d) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r0 r ON e.src = r.id GROUP BY 1),
+        |r1 AS (SELECT tp.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))*tp.t + CAST(0.85 AS DOUBLE)*coalesce(c1.inflow, 0.0) AS rank
+        |       FROM tp LEFT JOIN c1 ON tp.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum(r.rank/deg.d) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r1 r ON e.src = r.id GROUP BY 1),
+        |r2 AS (SELECT tp.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))*tp.t + CAST(0.85 AS DOUBLE)*coalesce(c2.inflow, 0.0) AS rank
+        |       FROM tp LEFT JOIN c2 ON tp.id = c2.id)
+        |SELECT id, floor((rank)*10000000000 + 0.5)/10000000000 AS rank
+        |FROM r2 ORDER BY id""".stripMargin,
+    // exact reach counts via depth-bounded recursion + first-discovery
+    // depth; the sketch estimate itself is gated by the within_tol
+    // boolean the oracle predicts as TRUE
+    "q_neighborhood" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-01-08'),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |reach(id, r, h) AS (
+        |  SELECT id, id AS r, 0 AS h FROM n
+        |  UNION
+        |  SELECT p.id, e.dst, p.h + 1 FROM reach p JOIN e ON e.src = p.r WHERE p.h < 3),
+        |m AS (SELECT id, r, min(h) AS hmin FROM reach GROUP BY 1, 2),
+        |counts AS (
+        |  SELECT m.id, hops.hop, count(*) AS n_exact
+        |  FROM m JOIN (VALUES (1), (2), (3)) AS hops(hop) ON m.hmin <= hops.hop
+        |  GROUP BY 1, 2)
+        |SELECT id, CAST(hop AS INTEGER) AS hop, CAST(n_exact AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM counts ORDER BY id, hop""".stripMargin,
+    // closed-interval overlap as a direct inequality join — the
+    // independent semantics twin of the Spark side's binned equi-join
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS e
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 7 = 0
+        |  GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b, a.day AS day_a,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_sec
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY user_a, user_b, day_a""".stripMargin,
     // depth-bounded weighted recursion: rows are (node, path-cost, hops)
     // triples, UNION-deduped; h < 3 bounds the depth so cycles
     // terminate, and min(d) over all ≤3-hop discoveries IS the

@@ -1285,13 +1285,15 @@ object TextVector {
     * fixed-point discount table (Eval.ndcgDiscountsFp — the oracle's
     * CASE literals are generated from the same constants), so the one
     * float op is the final division. */
-  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q_ndcg / q_map_eval: exact-cosine top-3 per query with
+    * binary label relevance + the query's total relevant population. */
+  private def relRankedTop3(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val q = e.filter(col("vec_id") < 8)
     val ranked = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
     val qLab = q.select(col("vec_id").as("query_id"), col("label").as("q_label"))
     val labCnt = e.groupBy(col("label")).agg(count(lit(1)).as("n_label_total"))
-    val withRel = ranked
+    ranked
       .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
         "neighbor_id")
       .join(broadcast(qLab), "query_id")
@@ -1299,11 +1301,49 @@ object TextVector {
       .select(col("query_id"), col("rank"),
         (col("n_label") === col("q_label")).as("rel"),
         (col("n_label_total") - 1).as("total_rel"))
-    graft.operators.Eval.ndcgBinaryAtK(withRel, "query_id", "rank", "rel", "total_rel", k = 3)
+  }
+
+  def ndcgEval(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.ndcgBinaryAtK(relRankedTop3(s, dir),
+        "query_id", "rank", "rel", "total_rel", k = 3)
       .select(col("query_id"), col("n_hits"), col("total_rel"), col("n_returned"),
         rd(col("ndcg"), 6).as("ndcg"))
       .orderBy("query_id")
+
+  /** MAP@3 (Eval.mapBinaryAtK) over the same relevance frame as
+    * q_ndcg — precision-weighted where NDCG is discount-weighted; the
+    * lcm-rationalized numerator keeps everything int64 until the one
+    * closing division. */
+  def mapEval(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.mapBinaryAtK(relRankedTop3(s, dir),
+        "query_id", "rank", "rel", "total_rel", k = 3)
+      .select(col("query_id"), col("n_hits"), col("n_returned"),
+        rd(col("ap"), 6).as("ap"))
+      .orderBy("query_id")
+
+  /** Exact KNN-Shapley valuation (Eval.knnShapley, K=3) of the
+    * vec_id ≥ 8 training corpus against the vec_id < 8 probe set —
+    * per-example "does it help the proxy classifier" scores, the
+    * principled backbone behind heuristic quality filters. Fixed-point
+    * suffix sums make the whole trajectory hash-exact. */
+  def knnShapleyQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.operators.Eval.knnShapley(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 3)
+      .select(col("train_id").as("vec_id"), col("n_probes"),
+        rd(col("shapley"), 9).as("shapley"))
+      .orderBy("vec_id")
   }
+
+  /** Greedy farthest-point k-center seeds (Similarity.kCenterSeeds,
+    * k=4): the diverse-anchor pick over the embedding corpus, whole
+    * trajectory oracled by 4 unrolled argmax CTEs (cosine distances
+    * are fold-exact, tiebreak by id). */
+  def kcenterQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSeeds(embs(s, dir), "vec_id", "embedding", k = 4)
+      .select(col("rank"), col("id").as("vec_id"), rd(col("dist"), 6).as("dist"))
+      .orderBy("rank")
 
   /** TextRank keyword extraction: corpus-wide word co-occurrence graph
     * (adjacent-token pairs, symmetrized, weight = co-occurrence count,
@@ -1333,6 +1373,9 @@ object TextVector {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ndcg" -> ndcgEval,
+    "q_map_eval" -> mapEval,
+    "q_kcenter" -> kcenterQ,
+    "q_knn_shapley" -> knnShapleyQ,
     "q_textrank" -> textrank,
     "q_auc" -> qualityAuc,
     "q_matryoshka" -> matryoshka,
@@ -1670,6 +1713,25 @@ object TextVector {
       |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
       |  FROM q, c WHERE query_id <> neighbor_id)""".stripMargin
 
+  /** Shared q_ndcg / q_map_eval CTE chain through `j`
+    * (query_id, rank, rel, total_rel) — the SQL twin of
+    * [[relRankedTop3]]. */
+  private val relRankedTop3Cte =
+    s"""$cosineCtes,
+      |r AS (SELECT query_id, neighbor_id,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM scored),
+      |cnd AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |lc AS (SELECT label, count(*) AS n_label_total FROM lab GROUP BY 1),
+      |j AS (
+      |  SELECT c.query_id, c.rank, nl.label = ql.label AS rel,
+      |    lc.n_label_total - 1 AS total_rel
+      |  FROM cnd c
+      |  JOIN lab nl ON nl.vec_id = c.neighbor_id
+      |  JOIN lab ql ON ql.vec_id = c.query_id
+      |  JOIN lc ON lc.label = ql.label)""".stripMargin
+
   /** Shared LSH CTE chain (through the ranked relation `r`): generated
     * from the SAME Similarity.DefaultPlanePairs constants the Spark
     * side uses (plane pairs, 4-bit bands, dot-difference signs) so the
@@ -1730,20 +1792,7 @@ object TextVector {
     "q_ndcg" -> {
       val disc = graft.operators.Eval.ndcgDiscountsFp(3)
       val prefix = disc.scanLeft(0L)(_ + _)
-      s"""WITH $cosineCtes,
-        |r AS (SELECT query_id, neighbor_id,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |      FROM scored),
-        |cnd AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3),
-        |lab AS (SELECT vec_id, label FROM embeddings),
-        |lc AS (SELECT label, count(*) AS n_label_total FROM lab GROUP BY 1),
-        |j AS (
-        |  SELECT c.query_id, c.rank, nl.label = ql.label AS rel,
-        |    lc.n_label_total - 1 AS total_rel
-        |  FROM cnd c
-        |  JOIN lab nl ON nl.vec_id = c.neighbor_id
-        |  JOIN lab ql ON ql.vec_id = c.query_id
-        |  JOIN lc ON lc.label = ql.label),
+      s"""WITH $relRankedTop3Cte,
         |g AS (
         |  SELECT query_id,
         |    sum(CASE WHEN rel THEN
@@ -1764,6 +1813,87 @@ object TextVector {
     // weighted PR unrolled 2 rounds (the q_pagerank recipe with
     // w/Σw contribution splits); contribution op order (rank·w)/Σw
     // mirrors the Spark projection exactly
+    // the Jia et al. closed recursion as a fixed-point suffix sum —
+    // term arithmetic and window frames mirrored exactly
+    "q_knn_shapley" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+        |            label AS p_label FROM embeddings WHERE vec_id < 8),
+        |t AS (SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS tv,
+        |        label AS t_label FROM embeddings WHERE vec_id >= 8),
+        |x AS (
+        |  SELECT probe_id, train_id,
+        |    1.0 - list_dot_product(tv, pv) /
+        |      (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(pv, pv))) AS d,
+        |    CASE WHEN t_label = p_label THEN 1 ELSE 0 END AS rel
+        |  FROM t CROSS JOIN p),
+        |r AS (
+        |  SELECT probe_id, train_id, rel,
+        |    row_number() OVER w AS rank,
+        |    lead(rel, 1) OVER w AS rel_next,
+        |    count(*) OVER (PARTITION BY probe_id) AS n
+        |  FROM x WINDOW w AS (PARTITION BY probe_id ORDER BY d, train_id)),
+        |f AS (
+        |  SELECT probe_id, train_id, rank,
+        |    CAST(floor((CASE WHEN rel_next IS NULL THEN CAST(rel AS DOUBLE) / n
+        |      ELSE CAST(rel - rel_next AS DOUBLE) * CAST(least(3, rank) AS DOUBLE)
+        |           / CAST(3 * rank AS DOUBLE) END)*1000000000000 + 0.5) AS BIGINT) AS term_fp
+        |  FROM r),
+        |sfx AS (
+        |  SELECT probe_id, train_id,
+        |    sum(term_fp) OVER (PARTITION BY probe_id ORDER BY rank
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s_fp
+        |  FROM f)
+        |SELECT train_id AS vec_id, CAST(count(*) AS BIGINT) AS n_probes,
+        |  floor(((CAST(sum(s_fp) AS DOUBLE) / count(*)) / 1000000000000)*1000000000 + 0.5)/1000000000 AS shapley
+        |FROM sfx GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lcm(1..3) = 6 rationalizes every precision@i (multipliers 6/i =
+    // 6, 3, 2), so the AP numerator is an exact int64 sum
+    "q_map_eval" ->
+      s"""WITH $relRankedTop3Cte,
+        |h AS (
+        |  SELECT query_id, rank, rel, total_rel,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY query_id ORDER BY rank) AS hh
+        |  FROM j),
+        |g AS (
+        |  SELECT query_id,
+        |    sum(CASE WHEN rel THEN hh * (CASE rank WHEN 1 THEN 6 WHEN 2 THEN 3
+        |                                      WHEN 3 THEN 2 ELSE 0 END)
+        |        ELSE 0 END) AS ap_num,
+        |    max(CASE WHEN total_rel >= 3 THEN 3 ELSE total_rel END) AS ideal_den,
+        |    sum(CASE WHEN rel THEN 1 ELSE 0 END) AS n_hits,
+        |    count(*) AS n_returned
+        |  FROM h GROUP BY 1)
+        |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_returned AS BIGINT) AS n_returned,
+        |  floor((CASE WHEN ideal_den > 0 THEN CAST(ap_num AS DOUBLE) / (6 * ideal_den)
+        |         ELSE 0.0 END)*1000000 + 0.5)/1000000 AS ap
+        |FROM g ORDER BY query_id""".stripMargin,
+    // 3 unrolled greedy argmax rounds; candidate min-distances group
+    // over the running chosen set, selection mirrors (mind DESC, id)
+    "q_kcenter" -> {
+      val rounds = (2 to 4).map { i =>
+        s"""d$i AS (
+          |  SELECT e.id, e.v,
+          |    min(1.0 - list_dot_product(e.v, c.v) /
+          |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v)))) AS mind
+          |  FROM e CROSS JOIN c${i - 1} c
+          |  WHERE e.id NOT IN (SELECT id FROM c${i - 1})
+          |  GROUP BY e.id, e.v),
+          |s$i AS (SELECT id, v, mind FROM d$i ORDER BY mind DESC, id LIMIT 1),
+          |c$i AS (SELECT id, v FROM c${i - 1} UNION ALL SELECT id, v FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val picks = (2 to 4).map { i =>
+        s"UNION ALL SELECT CAST($i AS INTEGER), id, floor((mind)*1000000 + 0.5)/1000000 FROM s$i"
+      }.mkString("\n")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+        |c1 AS (SELECT id, v FROM s1),
+        |$rounds
+        |SELECT CAST(1 AS INTEGER) AS rank, id AS vec_id, CAST(0.0 AS DOUBLE) AS dist FROM s1
+        |$picks
+        |ORDER BY rank""".stripMargin
+    },
     "q_textrank" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),

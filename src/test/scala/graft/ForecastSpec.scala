@@ -54,4 +54,29 @@ class ForecastSpec extends AnyFunSuite {
       Forecast.holtLinear(df, "key", "t", "x", alpha = 0.5, beta = 0.5, horizon = 0)
     }
   }
+
+  test("olsTrend: exact fit on a noiseless line (slope 2, intercept 3, r2 = 1), " +
+    "re-basing makes the fit t-offset invariant") {
+    import spark.implicits._
+    val rows = (0 to 9).flatMap(t => Seq(("k", t.toLong + 1000000L, 2.0 * t + 3.0)))
+    val r = Forecast.olsTrend(rows.toDF("key", "t", "x"), "key", "t", "x")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].collect().head
+    assert(r._2 == 10L)
+    assert(math.abs(r._3.get - 2.0) < 1e-12, s"slope ${r._3}")
+    // intercept is at the RE-BASED origin (t - min t), by design
+    assert(math.abs(r._4.get - 3.0) < 1e-9, s"intercept ${r._4}")
+    assert(r._5.get == 1.0, s"r2 ${r._5}")
+  }
+
+  test("olsTrend: flat series -> slope 0 with undefined r2 (NULL, not 0); " +
+    "single-timestamp key -> NULL slope") {
+    import spark.implicits._
+    val flat = (0 to 4).map(t => ("f", t.toLong, 7.0))
+    val oneT = Seq(("s", 5L, 1.0), ("s", 5L, 9.0))
+    val r = Forecast.olsTrend((flat ++ oneT).toDF("key", "t", "x"), "key", "t", "x")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("f")._3.get == 0.0 && r("f")._5.isEmpty, s"flat: ${r("f")}")
+    assert(r("s")._3.isEmpty && r("s")._5.isEmpty, s"single-t: ${r("s")}")
+  }
 }

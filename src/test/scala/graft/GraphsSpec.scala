@@ -286,6 +286,44 @@ class GraphsSpec extends AnyFunSuite {
     assert(wr == pr, s"weighted(uniform)=$wr vs plain=$pr")
   }
 
+  /** Hand-unrolled PPR on the a—b—c path, seeds {a}, 2 rounds:
+    * r1 = (0.15, 0.85, 0); r2(a) = 0.15 + 0.85·(0.85/2) = 0.51125,
+    * r2(b) = 0.85·0.15 = 0.1275, r2(c) = 0.85·(0.85/2) = 0.36125. */
+  test("personalizedPageRank: hand-computed seed-proximity ranks, mass conserved, " +
+    "unreached nodes at exact zero") {
+    val seeds = Seq(Tuple1("a")).toDF("id")
+    val r = Graphs.personalizedPageRank(path, "src", "dst", seeds, "id", iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 0.51125) < 1e-12, s"a: ${r("a")}")
+    assert(math.abs(r("b") - 0.1275) < 1e-12, s"b: ${r("b")}")
+    assert(math.abs(r("c") - 0.36125) < 1e-12, s"c: ${r("c")}")
+    assert(math.abs(r.values.sum - 1.0) < 1e-12, "mass conserved")
+    // disconnected component: exact zero, not epsilon
+    val twoComp = path.union(Seq(("x", "y"), ("y", "x")).toDF("src", "dst"))
+    val r2 = Graphs.personalizedPageRank(twoComp, "src", "dst", seeds, "id", iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(r2("x") == 0.0 && r2("y") == 0.0, s"unreached: $r2")
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(path, "src", "dst",
+        Seq(Tuple1("zzz")).toDF("id"), "id", iters = 1)
+    }
+  }
+
+  test("neighborhoodFunction: sketch reach curve is exact on a small path graph") {
+    // symmetric path 1—2—3—4
+    val p = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val est = Graphs.neighborhoodFunction(p, "src", "dst", maxHops = 3)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> math.round(r._3)).toMap
+    val want = Map(
+      (1L, 1) -> 2L, (1L, 2) -> 3L, (1L, 3) -> 4L,
+      (2L, 1) -> 3L, (2L, 2) -> 4L, (2L, 3) -> 4L,
+      (3L, 1) -> 3L, (3L, 2) -> 4L, (3L, 3) -> 4L,
+      (4L, 1) -> 2L, (4L, 2) -> 3L, (4L, 3) -> 4L)
+    assert(est == want, s"got $est")
+  }
+
   test("weightedPageRank: heavier edge pulls more rank; mass conserved; parallel edges sum") {
     // star: b links to a (weight 9) and c (weight 1)
     val g = Seq(("b", "a", 9.0), ("b", "c", 1.0), ("a", "b", 1.0), ("c", "b", 1.0))

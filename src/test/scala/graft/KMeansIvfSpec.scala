@@ -64,4 +64,26 @@ class KMeansIvfSpec extends AnyFunSuite {
       .select("mean_sil").as[Double].collect()
     assert(bad.exists(_ < 0.5), s"overlapping centroids should drop silhouette, got ${bad.toSeq}")
   }
+
+  test("kCenterSeeds: covers well-separated directions — one seed per cluster " +
+    "before any repeat; deterministic trajectory") {
+    import spark.implicits._
+    // three orthogonal directions, slight within-cluster jitter via a 4th dim
+    def v(dir: Int, j: Float): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(dir) = 1.0f; a(3) = j; a
+    }
+    val vecs = (0 until 9).map { i =>
+      (i.toLong, v(i % 3, 0.01f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val seeds = Similarity.kCenterSeeds(vecs, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(seeds.map(_._1).toSeq == Seq(1, 2, 3))
+    // greedy cover: the three seeds hit all three directions
+    assert(seeds.map(_._2 % 3).toSet.size == 3, s"seeds ${seeds.toSeq}")
+    assert(seeds.head._3 == 0.0, "first pick carries dist 0 by convention")
+    assert(seeds.tail.forall(_._3 > 0.5), s"cross-cluster distances: ${seeds.toSeq}")
+    val again = Similarity.kCenterSeeds(vecs, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == seeds.toSeq, "trajectory must be deterministic")
+  }
 }

@@ -54,4 +54,39 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.tCloseness(df, Seq("grp"), "sens", binWidth = 0L)
     }
   }
+
+  test("dpCounts: reproducible release — identical noise across runs, " +
+    "n_dp = n_true + noise, finite noise on every group") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"g${i % 7}", i)).toDF("grp", "x")
+    val r1 = Privacy.dpCounts(df, Seq("grp"), epsilon = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val r2 = Privacy.dpCounts(df, Seq("grp"), epsilon = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq, "same (seed, statistic) must release the same noise")
+    r1.foreach { case (g, nTrue, nDp, noise, eps) =>
+      assert(nDp == nTrue + noise, s"$g")
+      assert(!noise.isNaN && !noise.isInfinite, s"$g noise=$noise")
+      assert(eps == 1.0)
+    }
+    assert(r1.map(_._4).distinct.length == r1.length,
+      "distinct groups must draw distinct noise (hash-keyed)")
+  }
+
+  test("dpCounts: noise scale tracks sensitivity/epsilon; seed changes the draw") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"g${i % 5}", i)).toDF("grp", "x")
+    val tight = Privacy.dpCounts(df, Seq("grp"), epsilon = 10.0)
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    val loose = Privacy.dpCounts(df, Seq("grp"), epsilon = 0.1)
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    // same seed → same uniform → noise scales exactly by b2/b1 = 100
+    tight.foreach { case (g, n) =>
+      assert(math.abs(loose(g) - 100.0 * n) < 1e-9, s"$g: ${loose(g)} vs ${100 * n}")
+    }
+    val other = Privacy.dpCounts(df, Seq("grp"), epsilon = 10.0, seed = "dp2")
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(other != tight, "a different seed must draw different noise")
+    intercept[IllegalArgumentException] { Privacy.dpCounts(df, Seq("grp"), epsilon = 0.0) }
+  }
 }

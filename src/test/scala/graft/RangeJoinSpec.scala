@@ -48,4 +48,38 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(500))
   }
+
+  test("overlapJoin: equals the nested-loop formulation on a seeded interval sweep, " +
+    "for several bin widths, with no duplicate pairs") {
+    import spark.implicits._
+    var state = 7L
+    def next(mod: Long): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(state >>> 16, mod)
+    }
+    val ivs = (1L to 120L).map { id =>
+      val s = next(5000); (id, s, s + next(400))
+    }
+    val l = ivs.toDF("lid", "ls", "le")
+    val r = ivs.map { case (id, s, e) => (id + 1000, s, e) }.toDF("rid", "rs", "re")
+    val want = ivs.flatMap { case (a, s1, e1) =>
+      ivs.collect { case (b, s2, e2) if s1 <= e2 && s2 <= e1 => (a, b + 1000) }
+    }.sorted
+    for (bw <- Seq(1L, 37L, 400L, 10000L)) {
+      val got = RangeJoin.overlapJoin(l, r, "ls", "le", "rs", "re", binWidth = bw)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"binWidth=$bw: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("overlapJoin: touching endpoints overlap (closed intervals); disjoint don't; " +
+    "equi-join plan") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 10L, 20L), (2L, 11L, 20L)).toDF("rid", "rs", "re")
+    val j = RangeJoin.overlapJoin(l, r, "ls", "le", "rs", "re", binWidth = 4L)
+    assert(j.select("rid").as[Long].collect().toSeq == Seq(1L))
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(500))
+  }
 }
