@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Tpch.queries ++
       graft.queries.TpchSubquery.queries ++
       graft.queries.Behavioral.queries ++
-      graft.queries.Mixture.queries
+      graft.queries.Mixture.queries ++
+      graft.queries.Metrics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Tpch.oracles ++
       graft.queries.TpchSubquery.oracles ++
       graft.queries.Behavioral.oracles ++
-      graft.queries.Mixture.oracles
+      graft.queries.Mixture.oracles ++
+      graft.queries.Metrics.oracles
 }
