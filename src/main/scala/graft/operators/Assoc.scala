@@ -28,22 +28,36 @@ object Assoc {
     * `maxBasketItems` lexicographically-first items (a documented
     * approximation — the standard Apriori-at-scale guard; the cap is a
     * per-basket WindowGroupLimit, not a sort of the corpus). Marginals
-    * (`n_a`, `n_b`) count FULL baskets either way, so capping only
-    * thins the candidate pair set, never biases a surviving pair's
-    * support counts. */
+    * (`n_a`, `n_b`) count FULL baskets, but `n_ab` is counted from the
+    * CAPPED frame — so when any basket actually exceeds the cap, a
+    * surviving pair can UNDERCOUNT co-occurrences from baskets where
+    * one member fell past the cap (support and confidence are then
+    * lower bounds, lift a lower bound too). With every basket under
+    * the cap the counts are exact — pass `failOnCap = true` where
+    * exactness is required (the q_assoc_rules site does, because its
+    * DuckDB oracle has no cap): any basket exceeding the cap then
+    * fails fast per-row (raise_error — no extra validation action)
+    * instead of silently undercounting. */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minPairSupport: Long = 2,
-                       maxBasketItems: Int = 1000): DataFrame = {
+                       maxBasketItems: Int = 1000,
+                       failOnCap: Boolean = false): DataFrame = {
     require(minPairSupport >= 1, s"minPairSupport must be >= 1, got $minPairSupport")
     require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
     val bi = Lineage.truncate(
       df.select(col(basketCol).as("b"), col(itemCol).as("item")).distinct())
     val nBaskets = bi.groupBy().agg(countDistinct(col("b")).as("n_baskets"))
     val itemCnt = bi.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val capped = bi
+    val withRn = bi
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("b")).orderBy(col("item"))))
-      .filter(col("rn") <= maxBasketItems)
+    val capped = (if (failOnCap)
+        withRn.withColumn("item",
+          when(col("rn") <= maxBasketItems, col("item")).otherwise(raise_error(concat(
+            lit(s"associationRules: basket "), col("b").cast("string"),
+            lit(s" exceeds maxBasketItems=$maxBasketItems — capped counts would " +
+              "undercount; raise the cap or drop failOnCap")))))
+      else withRn.filter(col("rn") <= maxBasketItems))
       .select(col("b"), col("item"))
     val pairs = capped.select(col("b"), col("item").as("item_a"))
       .join(capped.select(col("b"), col("item").as("item_b")), "b")

@@ -617,11 +617,24 @@ object Dedup {
     *
     * Shape: two hash joins to attach labels, one CC run over the
     * quotient frame, one broadcast-size relabel join back. The corpus
-    * labels frame is touched by exactly one join — never iterated. */
+    * labels frame is touched by exactly one join — never iterated.
+    *
+    * Lineage contract: the incoming `labels` is typically the output
+    * of [[connectedComponents]], whose logical plan embeds the whole
+    * upstream candidate-pair chain (LSH banding) plus every CC round.
+    * This function fans that frame out to FOUR consumers (newcomer
+    * anti-join, both quotient label-attach joins, final relabel), and
+    * the quotient CC adds per-round actions on top — without a leaf
+    * barrier each of those actions re-ANALYZES (and on cache miss
+    * re-computes) the full nested lineage, which is the round-5
+    * "planning blowup" cost class (822 s driver bench on 5k docs).
+    * So the labeling is truncated to a checkpoint leaf here, once, and
+    * every downstream plan sees a flat scan. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
                             idCol: String = "id", labelCol: String = "cluster_id",
                             aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val lab = labels.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+    val lab = graft.core.Lineage.truncate(
+      labels.select(col(idCol).as("id"), col(labelCol).as("lbl")))
     val newcomers = newPairs.select(col(aCol).as("id"))
       .union(newPairs.select(col(bCol).as("id"))).distinct()
       .join(lab, Seq("id"), "left_anti")
@@ -660,11 +673,31 @@ object Dedup {
     * cluster fits a partition (corpus/nlist² pairs per cluster); no
     * all-pairs path. Runs unchanged with a Lloyd-fitted quantizer
     * (Similarity.kMeansFit) when cluster balance matters; the stride
-    * quantizer keeps the whole output SQL-oracle-expressible. */
+    * quantizer keeps the whole output SQL-oracle-expressible.
+    *
+    * Skew guard (`maxCanonicals`): a planted/organic MEGA-cluster
+    * (every near-dup of a viral doc landing in one centroid) would
+    * otherwise degrade the per-cluster term to all-pairs — the SemDeDup
+    * paper clusters at k ≈ √n for exactly this reason. The canonical-
+    * candidate side of the pair join is therefore capped to each
+    * cluster's `maxCanonicals` LOWEST-id members, bounding the join at
+    * |cluster|·cap rows. For clusters ≤ cap the output is EXACTLY the
+    * uncapped result (every lower-id member is a candidate); above the
+    * cap it is a documented conservative approximation — a row whose
+    * only ≥τ lower-id neighbors all sit past the cap escapes dropping
+    * (keeps more data, never over-drops), while dup_of/cosine for
+    * dropped rows can shift to the best in-cap candidate. */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, tau: Double): DataFrame = {
+                    centroids: DataFrame, tau: Double,
+                    maxCanonicals: Int = 10000): DataFrame = {
+    require(maxCanonicals >= 1, s"maxCanonicals must be >= 1, got $maxCanonicals")
     val assigned = Similarity.ivfAssign(embeddings, centroids, idCol, vecCol)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("dup_of"))
     val a = assigned.select(col("bucket"), col(idCol).as("dup_of"), col(vecCol).as("va"))
+      .withColumn("__cr", row_number().over(wCap))
+      .filter(col("__cr") <= maxCanonicals)
+      .drop("__cr")
     val b = assigned.select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("cosine").desc, col("dup_of"))
@@ -738,17 +771,22 @@ object Dedup {
     // per-pair count in codegen)
     val hashed = sh.select(col(idCol),
       expr("sort_array(transform(sh, s -> xxhash64(s)))").as("hs"), size(col("sh")).as("n"))
-    val truth = sharing
+    // truth and cand are each consumed TWICE below (their own count
+    // agg + the hit join) — without a leaf barrier both expensive
+    // subtrees (the PPJoin verify chain; the LSH banding chain) are
+    // computed twice per run (12.7 s driver vs 6.1 s expected in r5).
+    // Same multi-consumer truncate as `sh` above.
+    val truth = graft.core.Lineage.truncate(sharing
       .join(hashed.select(col(idCol).as("id_a"), col("hs").as("__sa"), col("n").as("__na")), "id_a")
       .join(hashed.select(col(idCol).as("id_b"), col("hs").as("__sb"), col("n").as("__nb")), "id_b")
       .withColumn("__ni",
         graft.plans.SetExpressions.sortedIntersectCount(col("__sa"), col("__sb")))
       .filter(col("__ni").cast("double") /
         (col("__na") + col("__nb") - col("__ni")) >= trueJaccard)
-      .select("id_a", "id_b")
-    val cand = lshCandidatePairs(
+      .select("id_a", "id_b"))
+    val cand = graft.core.Lineage.truncate(lshCandidatePairs(
       minhashSignaturesFromShingles(sh, idCol, "sh", k), idCol, k, rowsPerBand)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b"))
     val hit = truth.join(cand, Seq("id_a", "id_b"))
     val ratio4 = (num: Column, den: Column) =>
       when(den > 0, graft.queries.rd(num.cast("double") / den, 4))

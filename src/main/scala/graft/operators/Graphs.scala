@@ -686,7 +686,13 @@ object Graphs {
     * edge frame, |V|-row rank state, the rank frame AQE-broadcasts
     * into the cached edges each round); parallel edges SUM their
     * weights (a repeated co-occurrence is signal, not a duplicate —
-    * note the deliberate contrast with pageRank's distinct()). */
+    * note the deliberate contrast with pageRank's distinct()).
+    *
+    * Weight contract: every (summed) edge weight must be POSITIVE —
+    * w ≤ 0 or an all-zero out-weight makes rank·w/out_w NaN/Infinity
+    * and silently poisons every downstream rank. Checked alongside the
+    * dangling-node probe in the same single validation action (min
+    * edge weight and min out-weight ride the existing aggregate). */
   def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int = 2,
                        damping: Double = 0.85): DataFrame = {
@@ -694,19 +700,24 @@ object Graphs {
     val e0 = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(col(weightCol).cast("double")).as("w"))
     val withDeg = e0
-      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("out_w")), "src")
+      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("out_w"), min(col("w")).as("min_w")), "src")
       .persist()
     withDeg.count()
     val nodes = withDeg.select(col("src").as("id"))
       .union(withDeg.select(col("dst").as("id"))).distinct()
       .persist()
-    val deg = withDeg.groupBy(col("src")).agg(first(col("out_w")).as("out_w"))
-    val Array(nl, dangling) = nodes.join(deg, nodes("id") === deg("src"), "left")
-      .agg(count(lit(1)), count(when(col("src").isNull, 1))).head().toSeq.toArray
-      .map(_.asInstanceOf[Long])
+    val deg = withDeg.groupBy(col("src"))
+      .agg(first(col("out_w")).as("out_w"), first(col("min_w")).as("min_w"))
+    val checkRow = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .agg(count(lit(1)), count(when(col("src").isNull, 1)),
+        min(col("min_w")), min(col("out_w"))).head()
+    val (nl, dangling) = (checkRow.getLong(0), checkRow.getLong(1))
     require(dangling == 0L,
       "weightedPageRank contract: every node needs an out-edge " +
         "(feed symmetric edges for undirected graphs)")
+    require(!checkRow.isNullAt(2) && checkRow.getDouble(2) > 0 && checkRow.getDouble(3) > 0,
+      "weightedPageRank contract: edge weights must be positive " +
+        s"(min summed edge weight = ${checkRow.get(2)}, min out-weight = ${checkRow.get(3)})")
     val n = nl.toDouble
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {

@@ -136,21 +136,30 @@ object MetricOps {
     * is one tiny aggregate broadcast back over the per-key frame —
     * raw rates of sparse keys stop whipsawing the ranking.
     * Returns (key, n, k, alpha, beta, rate_raw, rate_eb).
-    */
+    *
+    * Degenerate-prior guard: the method-of-moments fit is undefined
+    * when the qualifying keys give v = 0 (all rates identical), v is
+    * NULL (fewer than 2 qualifying keys), v ≥ μ(1−μ) (over-dispersed →
+    * negative α/β), or μ ∉ (0,1) (all-zero / all-one rates). In every
+    * such case α/β are emitted as NULL and rate_eb falls back to
+    * rate_raw — the NULL-on-undefined convention (degreeAssortativity)
+    * instead of silently shipping Infinity or a rate outside [0,1]. */
   def ebShrinkRates(perKey: DataFrame, keyCol: String, nCol: String, kCol: String,
                     minTrials: Int = 5): DataFrame = {
     val prior = perKey.filter(col(nCol) >= minTrials)
       .select((col(kCol).cast("double") / col(nCol)).as("r"))
       .agg(avg(col("r")).as("mu"), var_samp(col("r")).as("v"))
       .select(col("mu"), col("v"),
-        (col("mu") * (lit(1.0) - col("mu")) / col("v") - 1.0).as("m"))
-      .select((col("mu") * col("m")).as("alpha"),
-        ((lit(1.0) - col("mu")) * col("m")).as("beta"))
+        when(col("v") > 0 && col("mu") > 0 && col("mu") < 1,
+          col("mu") * (lit(1.0) - col("mu")) / col("v") - 1.0).as("m"))
+      .select(when(col("m") > 0, col("mu") * col("m")).as("alpha"),
+        when(col("m") > 0, (lit(1.0) - col("mu")) * col("m")).as("beta"))
     perKey.crossJoin(broadcast(prior))
       .select(col(keyCol), col(nCol), col(kCol), col("alpha"), col("beta"),
         (col(kCol).cast("double") / col(nCol)).as("rate_raw"),
-        ((col(kCol) + col("alpha")) / (col(nCol) + col("alpha") + col("beta")))
-          .as("rate_eb"))
+        coalesce(
+          (col(kCol) + col("alpha")) / (col(nCol) + col("alpha") + col("beta")),
+          col(kCol).cast("double") / col(nCol)).as("rate_eb"))
   }
 
   /** Qini / uplift deciles: rank units by a targeting score, cut into

@@ -128,11 +128,23 @@ object Privacy {
     * Emits n_true alongside n_dp: this is the CALIBRATION/audit view
     * (inspect the realized noise before publishing); a production
     * release projects n_dp only. Shape: one keyed count + a projection
-    * — noise needs no second pass and no driver round-trip. */
+    * — noise needs no second pass and no driver round-trip.
+    *
+    * SEED SECRECY IS PART OF THE PRIVACY GUARANTEE: the noise is a
+    * deterministic function of (seed, group key), so anyone who knows
+    * the seed can recompute and SUBTRACT it — a public or low-entropy
+    * seed voids ε-DP entirely (the release degrades to the true
+    * counts). There is deliberately NO default seed: the caller must
+    * supply one, and for a real release it must be a secret,
+    * high-entropy value managed like a key (and never shipped next to
+    * the data). Determinism stays a feature — one (secret seed,
+    * statistic) → one noise draw — but only under a secret seed. */
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-               sensitivity: Double = 1.0, seed: String = "dp"): DataFrame = {
+               seed: String, sensitivity: Double = 1.0): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    require(seed.nonEmpty, "dpCounts: seed must be non-empty — and SECRET " +
+      "for a real release (a known seed makes the noise subtractable)")
     val b = sensitivity / epsilon
     val grouped = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_true"))

@@ -37,10 +37,22 @@ object Skyline {
     * no arithmetic on the axis values — so any ordered column types
     * work and engine float-sum drift cannot flip membership as long as
     * the inputs are exact (feed fixed-point/cent sums, not float
-    * aggregates). */
-  def skyline2D(df: DataFrame, minCol: String, maxCol: String,
+    * aggregates).
+    *
+    * NULL contract: dominance is undefined for a NULL axis value, and
+    * the join-back key (`minCol`) would silently DROP null-key rows —
+    * so a NULL in either axis column fails fast per-row (raise_error,
+    * the weightedSample guard pattern — no extra validation action).
+    * Filter or impute nulls upstream. */
+  def skyline2D(df0: DataFrame, minCol: String, maxCol: String,
                 nBuckets: Int = 64): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    def nullGuard(name: String) =
+      when(col(name).isNotNull, col(name)).otherwise(raise_error(lit(
+        s"skyline2D: NULL $name — dominance is undefined for null axis " +
+          "values; filter or impute upstream")))
+    val df = df0.withColumn(minCol, nullGuard(minCol))
+      .withColumn(maxCol, nullGuard(maxCol))
     val keys = Lineage.truncate(
       df.groupBy(col(minCol).as("k"))
         .agg(max(col(maxCol)).as("kmax")))

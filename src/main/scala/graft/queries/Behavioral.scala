@@ -605,7 +605,8 @@ object Behavioral {
     val e = t(s, dir, "events")
       .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
-    graft.operators.Assoc.associationRules(e, "user_id", "item", minPairSupport = 30)
+    graft.operators.Assoc.associationRules(e, "user_id", "item", minPairSupport = 30,
+        failOnCap = true)
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
         rd(col("support"), 6).as("support"), rd(col("conf_ab"), 6).as("conf_ab"),
         rd(col("conf_ba"), 6).as("conf_ba"), rd(col("lift"), 6).as("lift"))

@@ -280,11 +280,15 @@ object Mixture {
     * event-type histogram — realized noise next to the true count so
     * the release is inspectable before n_true is dropped. The oracle
     * reproduces the exact release (hash-derived noise), which is the
-    * point: one (seed, statistic) → one noise draw, ever. */
+    * point: one (seed, statistic) → one noise draw, ever. The seed
+    * here is PUBLIC ("dp") because this is the audit view — n_true is
+    * in the output, so nothing is private to protect; a production
+    * release must pass a secret high-entropy seed (dpCounts scaladoc:
+    * a known seed makes the noise subtractable). */
   def dpCountsQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Privacy.dpCounts(
         Tables(s, dir, "events").withColumn("day", to_date(col("ts"))),
-        Seq("event_type", "day"), epsilon = 1.0)
+        Seq("event_type", "day"), epsilon = 1.0, seed = "dp")
       .select(col("event_type"), col("day"), col("n_true"),
         rd(col("n_dp"), 6).as("n_dp"), rd(col("noise"), 6).as("noise"), col("epsilon"))
       .orderBy("event_type", "day")

@@ -36,6 +36,20 @@ class CoverageMapSpec extends AnyFunSuite {
       s"COVERAGE.md references unknown queries (${stale.size}): ${stale.mkString(", ")}")
   }
 
+  test("self-described query counts in COVERAGE.md and README.md match the ledger " +
+    "(r5 hygiene: both entry points shipped stale counts)") {
+    val n = SparkEntry.queries.size
+    val covCount = """\((\d+) total\)""".r.findFirstMatchIn(coverage).map(_.group(1).toInt)
+    assert(covCount.contains(n),
+      s"COVERAGE.md header says ${covCount.getOrElse("<missing '(N total)'>")} queries, ledger has $n")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val readmeCount = """driver contract: (\d+) queries, ALL (\d+)""".r
+      .findFirstMatchIn(readme).map(m => (m.group(1).toInt, m.group(2).toInt))
+    assert(readmeCount.contains((n, n)),
+      s"README.md says ${readmeCount.getOrElse("<missing 'driver contract: N queries'>")}, ledger has $n")
+  }
+
   test("every query key has a DuckDB oracle (the 130/130 invariant holds as the suite grows)") {
     val missing = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     assert(missing.isEmpty,

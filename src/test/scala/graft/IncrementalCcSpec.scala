@@ -41,4 +41,29 @@ class IncrementalCcSpec extends AnyFunSuite {
       base, Seq((2L, 5L), (6L, 8L)).toDF("id_a", "id_b")))
     assert(inc.values.toSet == Set(1L), s"all nodes must land in cluster 1: $inc")
   }
+
+  test("lineage barrier: the incoming labeling's plan never leaks into the " +
+    "output plan (r5 regression — 822 s planning blowup at sf0.1)") {
+    // Plant a distinctive literal in the BASE labeling's lineage (a
+    // vacuous filter that analysis keeps). The r5 822 s blowup was
+    // every downstream action re-ANALYZING the base chain (LSH banding
+    // + every CC round), embedded 3x per plan — cache substitution
+    // happens only AFTER analysis, so a persisted base doesn't help.
+    // With the checkpoint-leaf barrier in incrementalComponents the
+    // labeling enters downstream plans as a LogicalRDD leaf, so the
+    // probe literal must be UNREACHABLE from the output's analyzed
+    // plan; if the truncate is ever dropped, the literal reappears and
+    // this fails immediately.
+    import org.apache.spark.sql.functions.{length, lit}
+    val baseEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      .filter(length(lit("__cc_lineage_probe__")) > 0)
+    val base = Dedup.connectedComponents(baseEdges)
+    assert(base.queryExecution.analyzed.toString.contains("__cc_lineage_probe__"),
+      "self-check: the probe literal must survive into the base labeling's plan")
+    val out = Dedup.incrementalComponents(
+      base, Seq((3L, 10L)).toDF("id_a", "id_b"))
+    assert(!out.queryExecution.analyzed.toString.contains("__cc_lineage_probe__"),
+      "the base labeling's lineage leaked into incrementalComponents' " +
+        "output plan — checkpoint-leaf barrier dropped (r5 822 s blowup class)")
+  }
 }

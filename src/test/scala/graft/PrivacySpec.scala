@@ -59,9 +59,9 @@ class PrivacySpec extends AnyFunSuite {
     "n_dp = n_true + noise, finite noise on every group") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"g${i % 7}", i)).toDF("grp", "x")
-    val r1 = Privacy.dpCounts(df, Seq("grp"), epsilon = 1.0)
+    val r1 = Privacy.dpCounts(df, Seq("grp"), epsilon = 1.0, seed = "dp")
       .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
-    val r2 = Privacy.dpCounts(df, Seq("grp"), epsilon = 1.0)
+    val r2 = Privacy.dpCounts(df, Seq("grp"), epsilon = 1.0, seed = "dp")
       .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
     assert(r1.toSeq == r2.toSeq, "same (seed, statistic) must release the same noise")
     r1.foreach { case (g, nTrue, nDp, noise, eps) =>
@@ -76,9 +76,9 @@ class PrivacySpec extends AnyFunSuite {
   test("dpCounts: noise scale tracks sensitivity/epsilon; seed changes the draw") {
     import spark.implicits._
     val df = (1 to 100).map(i => (s"g${i % 5}", i)).toDF("grp", "x")
-    val tight = Privacy.dpCounts(df, Seq("grp"), epsilon = 10.0)
+    val tight = Privacy.dpCounts(df, Seq("grp"), epsilon = 10.0, seed = "dp")
       .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
-    val loose = Privacy.dpCounts(df, Seq("grp"), epsilon = 0.1)
+    val loose = Privacy.dpCounts(df, Seq("grp"), epsilon = 0.1, seed = "dp")
       .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
     // same seed → same uniform → noise scales exactly by b2/b1 = 100
     tight.foreach { case (g, n) =>
@@ -87,6 +87,6 @@ class PrivacySpec extends AnyFunSuite {
     val other = Privacy.dpCounts(df, Seq("grp"), epsilon = 10.0, seed = "dp2")
       .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r._4).toMap
     assert(other != tight, "a different seed must draw different noise")
-    intercept[IllegalArgumentException] { Privacy.dpCounts(df, Seq("grp"), epsilon = 0.0) }
+    intercept[IllegalArgumentException] { Privacy.dpCounts(df, Seq("grp"), epsilon = 0.0, seed = "dp") }
   }
 }

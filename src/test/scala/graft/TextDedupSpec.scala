@@ -351,6 +351,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) == 1L, s"id 2 should ledger dup_of=1 (cos≈1) not 0: $got")
   }
 
+  test("semanticDedup: maxCanonicals bounds a planted mega-cluster without " +
+    "over-dropping — in-cap results exact, out-of-cap only escapes conservatively") {
+    // one centroid, a planted mega-cluster of 40 near-identical vectors
+    // (ids 0..39, all ≥τ of each other) plus one distinct member (99)
+    val embs = ((0L until 40L).map(i => (i, Seq(1.0f, (i * 1e-4).toFloat))) :+
+        (99L, Seq(0.5f, 0.87f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f, 0.0f))).toDF("centroid_id", "centroid_vec")
+    val capped = Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
+        tau = 0.999, maxCanonicals = 5)
+      .select("id", "dup_of").as[(Long, Long)].collect().toMap
+    // every near-dup of the mega-cluster is still dropped (the global
+    // min id 0 is inside the cap and is ≥τ of all of them)...
+    assert(capped.keySet == (1L until 40L).toSet,
+      s"cap must not change WHICH rows drop when the min id covers them: ${capped.keySet}")
+    // ...and every ledgered canonical comes from the capped candidate
+    // set (the 5 lowest ids), which bounds the pair join at |cluster|·5
+    assert(capped.values.forall(_ < 5L),
+      s"dup_of must come from the ${5} lowest-id candidates: $capped")
+    // clusters within the cap are bit-identical to the uncapped run
+    val uncapped = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, tau = 0.999)
+      .select("id", "dup_of").as[(Long, Long)].collect().toMap
+    val small = Dedup.semanticDedup(embs, "vec_id", "embedding", cents,
+        tau = 0.999, maxCanonicals = 40)
+      .select("id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(small == uncapped, "cap ≥ cluster size must be a no-op")
+  }
+
   test("containmentPairs: planted sub-document has containment 1 in its superset, not vice versa") {
     val sub = "alpha beta gamma delta epsilon"
     val docs = Seq(
