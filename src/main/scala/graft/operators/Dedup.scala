@@ -743,6 +743,41 @@ object Dedup {
       .withColumn("__tokens", graft.functions.TextAnalysis.tokens(textCol))
       .select(col(idCol), graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
       .filter(size(col("sh")) > 0))
+    // truth and cand are each consumed TWICE below (their own count
+    // agg + the hit join) — without a leaf barrier both expensive
+    // subtrees (the PPJoin verify chain; the LSH banding chain) are
+    // computed twice per run (12.7 s driver vs 6.1 s expected in r5).
+    // Same multi-consumer truncate as `sh` above.
+    val truth = graft.core.Lineage.truncate(
+      blockingTruthPairs(sh, idCol, trueJaccard))
+    val cand = graft.core.Lineage.truncate(lshCandidatePairs(
+      minhashSignaturesFromShingles(sh, idCol, "sh", k), idCol, k, rowsPerBand)
+      .select("id_a", "id_b"))
+    val hit = truth.join(cand, Seq("id_a", "id_b"))
+    val ratio4 = (num: Column, den: Column) =>
+      when(den > 0, graft.queries.rd(num.cast("double") / den, 4))
+    sh.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .withColumn("n_pairs_total",
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+      .select(col("n_docs"), col("n_pairs_total"), col("n_truth"), col("n_cand"), col("n_hit"),
+        ratio4(col("n_hit"), col("n_truth")).as("pair_completeness"),
+        ratio4(col("n_hit"), col("n_cand")).as("precision"),
+        graft.queries.rd(lit(1.0) - col("n_cand").cast("double") / col("n_pairs_total"), 4)
+          .as("reduction_ratio"))
+  }
+
+  /** [[blockingQuality]]'s ground-truth leg, PRE-barrier: PPJoin
+    * prefix-filter candidate generation + sorted-merge exact verify.
+    * Factored out so PlanQualitySpec can pin the SortedIntersectCount
+    * codegen shape directly — blockingQuality cuts this subtree to a
+    * checkpoint leaf, which hides the expression from the final
+    * realized plan. `sh` must be (idCol, sh: array<string>) with
+    * non-empty arrays. */
+  private[graft] def blockingTruthPairs(sh: DataFrame, idCol: String,
+                                        trueJaccard: Double): DataFrame = {
     val ex = sh.select(col(idCol), size(col("sh")).as("__n"), explode(col("sh")).as("__g"))
       .select(col(idCol), col("__n"), md5(col("__g")).as("__gh"))
     val dfreq = ex.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
@@ -771,36 +806,14 @@ object Dedup {
     // per-pair count in codegen)
     val hashed = sh.select(col(idCol),
       expr("sort_array(transform(sh, s -> xxhash64(s)))").as("hs"), size(col("sh")).as("n"))
-    // truth and cand are each consumed TWICE below (their own count
-    // agg + the hit join) — without a leaf barrier both expensive
-    // subtrees (the PPJoin verify chain; the LSH banding chain) are
-    // computed twice per run (12.7 s driver vs 6.1 s expected in r5).
-    // Same multi-consumer truncate as `sh` above.
-    val truth = graft.core.Lineage.truncate(sharing
+    sharing
       .join(hashed.select(col(idCol).as("id_a"), col("hs").as("__sa"), col("n").as("__na")), "id_a")
       .join(hashed.select(col(idCol).as("id_b"), col("hs").as("__sb"), col("n").as("__nb")), "id_b")
       .withColumn("__ni",
         graft.plans.SetExpressions.sortedIntersectCount(col("__sa"), col("__sb")))
       .filter(col("__ni").cast("double") /
         (col("__na") + col("__nb") - col("__ni")) >= trueJaccard)
-      .select("id_a", "id_b"))
-    val cand = graft.core.Lineage.truncate(lshCandidatePairs(
-      minhashSignaturesFromShingles(sh, idCol, "sh", k), idCol, k, rowsPerBand)
-      .select("id_a", "id_b"))
-    val hit = truth.join(cand, Seq("id_a", "id_b"))
-    val ratio4 = (num: Column, den: Column) =>
-      when(den > 0, graft.queries.rd(num.cast("double") / den, 4))
-    sh.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-      .withColumn("n_pairs_total",
-        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
-      .select(col("n_docs"), col("n_pairs_total"), col("n_truth"), col("n_cand"), col("n_hit"),
-        ratio4(col("n_hit"), col("n_truth")).as("pair_completeness"),
-        ratio4(col("n_hit"), col("n_cand")).as("precision"),
-        graft.queries.rd(lit(1.0) - col("n_cand").cast("double") / col("n_pairs_total"), 4)
-          .as("reduction_ratio"))
+      .select("id_a", "id_b")
   }
 
   /** Cross-document repeated-span detection — the token-level core of

@@ -736,4 +736,146 @@ object Graphs {
     withDeg.unpersist()
     result
   }
+
+  /** Multi-source bounded-hop BFS keeping PER-SEED distances: returns
+    * (seed, id, dist) where dist = min #edges from that seed, for every
+    * node within `maxHops` of it. The per-seed variant of [[bfsHops]]
+    * (which collapses to min over ALL seeds) — the primitive behind
+    * landmark distance sketches and [[harmonicCentrality]].
+    *
+    * Scale shape: frontier/settled state is bounded by |seeds|·|reach|
+    * rows — seeds are expected to be a SAMPLE (landmarks), not the
+    * whole vertex set (all-sources exact BFS is all-pairs; that is
+    * what HyperANF's registers approximate instead). Per round: one
+    * frontier⋈edges equi-join on src + one left-anti against settled,
+    * both keyed shuffles; frontier is lineage-truncated per round so
+    * plan depth stays O(1). */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var frontier = Lineage.truncate(
+      seeds.select(col(seedCol).as("seed")).distinct()
+        .select(col("seed"), col("seed").as("id"), lit(0L).as("dist")))
+    var settled = frontier
+    for (r <- 1 to maxHops) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(settled.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+      frontier = Lineage.truncate(next)
+      settled = settled.union(frontier)
+    }
+    settled
+  }
+
+  /** Landmark harmonic centrality: C_H(v) = Σ_{s ∈ seeds, s≠v} 1/d(s,v)
+    * over the seed (landmark) set, with unreachable-within-`maxHops`
+    * terms contributing 0 — harmonic's defining advantage over
+    * closeness (1/∞ = 0 needs no connectivity assumption, Boldi &
+    * Vigna, "Axioms for Centrality", 2014). Exact all-sources harmonic
+    * is all-pairs BFS; the landmark estimate (scale by N/|S| downstream
+    * if an absolute estimate is wanted) is the standard corpus-scale
+    * form. Deterministic for a fixed seed set, so oracle-mirrorable by
+    * a depth-bounded recursive CTE.
+    *
+    * Sum is computed in ×10⁹ fixed-point over exact integer reciprocals
+    * of small integer distances — engine-stable without float-order
+    * luck. Returns (id, n_landmarks reached, harmonic). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    val d = multiSourceBfs(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+      .filter(col("dist") > 0)
+    // 1/d in 1e-9 fixed point: floor(1e9/d) is exact integer arithmetic,
+    // summed as longs — identical in any engine and any partial-sum order
+    d.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(floor(lit(1000000000L) / col("dist")).cast("long")).as("__fp"))
+      .select(col("id"), col("n_landmarks"),
+        (col("__fp").cast("double") / 1e9).as("harmonic"))
+  }
+
+  /** Charikar greedy densest-subgraph peel (Charikar 2000: repeatedly
+    * remove all vertices of degree ≤ average; some round's subgraph is
+    * a 2-approximation of the densest). Fixed `rounds` budget so the
+    * trajectory is deterministic and oracle-unrollable; returns one row
+    * per round r = 0..rounds: (round, n_nodes, n_edges, density) of the
+    * subgraph ENTERING that round (round 0 = the full graph).
+    *
+    * The peel predicate is exact integer math: remove v iff
+    * deg(v)·n ≤ 2·m (⟺ deg(v) ≤ avg = 2m/n without a float division),
+    * so engines can't disagree on the boundary. Per round: one degree
+    * groupBy + two semi-joins to filter the edge list — keyed shuffles
+    * only, edge frame truncated per round (it only shrinks). Empty
+    * rounds (everything peeled) emit n_nodes = 0 with NULL density. */
+  def densestSubgraphPeel(edges: DataFrame, srcCol: String, dstCol: String,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var e = Lineage.truncate(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 0 to rounds) {
+      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val tot = deg.agg(count(lit(1)).as("n_nodes"),
+        (coalesce(sum(col("deg")), lit(0L)) / 2).cast("long").as("n_edges"))
+      stats += tot.select(lit(r).as("round"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") > 0, col("n_edges").cast("double") / col("n_nodes"))
+          .as("density"))
+      if (r < rounds) {
+        val keep = deg.crossJoin(broadcast(tot))
+          .filter(col("deg") * col("n_nodes") > lit(2L) * col("n_edges"))
+          .select(col("id"))
+        e = Lineage.truncate(
+          e.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+            .select("u", "v"))
+      }
+    }
+    stats.reduce(_.union(_))
+  }
+
+  /** Deterministic hash-seeded random walks — the graph-sampling
+    * primitive behind DeepWalk/node2vec-style embedding corpora
+    * (Perozzi et al. 2014), made reproducible: at step t the walk at
+    * node u moves to the out-neighbor v minimizing
+    * md5(seed:walk:t:u:v). That is a uniform-ish but REPLAYABLE choice
+    * — rerunning the job (or another engine) regenerates the identical
+    * corpus, which is the property a training-data pipeline actually
+    * needs from "random" (same stance as the weightedSample /
+    * hashSplit family). One walk starts at each seed node
+    * (walk_id = the seed); a walk ENDS early at a node with no
+    * out-edge (emit symmetric edges for undirected graphs).
+    *
+    * Scale shape: per step, one frontier⋈edges equi-join on src fans
+    * out to Σ deg(cur) rows, then a map-side-combinable
+    * min(struct(hash, dst)) groupBy per walk collapses the choice —
+    * no window over the fan-out, no per-walk state beyond one row.
+    * Returns (walk_id, step, node), step = 0..steps. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String, steps: Int,
+                  seed: String): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(seed.nonEmpty, "randomWalks: seed must be non-empty")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var cur = Lineage.truncate(
+      seeds.select(col(seedCol).as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node")))
+    var out = cur.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      val step = cur.join(e, cur("node") === e("src"))
+        .withColumn("__h", md5(concat_ws(":", lit(seed), col("walk_id"),
+          lit(t), col("node"), col("dst"))))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("__h"), col("dst"))).as("__m"))
+        .select(col("walk_id"), col("__m.dst").as("node"))
+      cur = Lineage.truncate(step)
+      out = out.union(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
 }

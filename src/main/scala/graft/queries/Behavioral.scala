@@ -702,7 +702,20 @@ object Behavioral {
       .orderBy("arm")
   }
 
+  /** Length-2 sequential patterns (SeqMining.seqPairs): for every
+    * ordered event-type pair, how many users did a before b — the
+    * all-pairs generalization of the hardcoded view→click→purchase
+    * funnel. "∃ a before b" is decided from per-(user, type) min/max
+    * timestamps, so the plan never self-joins the raw log. */
+  def seqPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqMining.seqPairs(t(s, dir, "events"),
+        "user_id", "event_type", "ts", minUsers = 2)
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        rd(col("support"), 6).as("support"))
+      .orderBy("type_a", "type_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pairs" -> seqPairsQ,
     "q_did" -> didQ,
     "q_cuped" -> cupedQ,
     "q_ols_trend" -> olsTrendQ,
@@ -780,6 +793,21 @@ object Behavioral {
         col("significant_05"))
 
   val oracles: Map[String, String] = Map(
+    // ∃(a before b) ⟺ min(ts|a) < max(ts|b) — per-(user,type) extremes
+    "q_seq_pairs" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM ut),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type AND a.first_ts < b.last_ts
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT type_a, type_b, n_users,
+        |  floor((CAST(n_users AS DOUBLE) / n_total)*1000000 + 0.5)/1000000 AS support
+        |FROM p, tot ORDER BY type_a, type_b""".stripMargin,
     // four exact cent-moment cells; var, DiD, and SE mirrored op for op
     "q_did" ->
       """WITH b AS (

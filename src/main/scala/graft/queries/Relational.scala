@@ -269,6 +269,36 @@ object Relational {
       .orderBy("set_op", "user_id")
   }
 
+  /** Shared purchase-graph base: lineitem⋈orders projected to the
+    * parity-encoded node pair (customer c → 2c, supplier s → 2s+1)
+    * plus the two edge attributes any family member needs (ship
+    * timestamp for the time-sliced variants, quantity for the weighted
+    * one). Six queries (q_pagerank, q_bfs_hops, q_ppr, q_hits, q_sssp,
+    * q_neighborhood) derive from this one frame — memoized to a
+    * checkpoint leaf per session so the fact join runs once per sweep
+    * (SharedFrames scaladoc has the contract). */
+  private def purchaseBase(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.memoize({
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"),
+          col("l_shipdate").as("ship"), col("l_quantity").cast("long").as("qty"))
+    }, s"purchase_base:$dir")
+
+  /** [[purchaseBase]] symmetrized to the undirected (src,dst) edge
+    * list — its own leaf: four consumers read exactly this shape, and
+    * the explode doubles the frame so cutting it once beats four
+    * re-derivations. Symmetrization stays a ONE-pass explode (a
+    * self-union would run the base scan once per leg). */
+  private def purchaseEdgesSym(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.memoize(
+      purchaseBase(s, dir).select(explode(array(
+          struct(col("c").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")),
+      s"purchase_edges_sym:$dir")
+
   /** Distributed PageRank (operators/Graphs) over the customer↔supplier
     * bipartite trade graph (symmetric edges from lineitem⋈orders).
     * Fixed 2 iterations so the oracle can unroll the same arithmetic;
@@ -281,17 +311,7 @@ object Relational {
     * variant spent ~2× the time hashing 1.17M concat'd keys. No
     * distinct here: pageRank dedups its edge input itself. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    // symmetrize with ONE pass: a self-union of the joined frame would
-    // execute the fact join once per union leg (plans don't share
-    // subtrees); explode emits both directions inline
-    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .select(explode(array(
-        struct(col("c").as("src"), col("s").as("dst")),
-        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = purchaseEdgesSym(s, dir)
     graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
       .select(col("id"), rd(col("rank"), 10).as("rank"))
       .orderBy("id")
@@ -304,14 +324,7 @@ object Relational {
     * join per round, lineage-truncated; oracle is a depth-bounded
     * recursive CTE with min(d). */
   def bfsHopsQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-      .select(explode(array(
-        struct(col("c").as("src"), col("sp").as("dst")),
-        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = purchaseEdgesSym(s, dir)
     val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
       .select((col("c_custkey") * 2).as("id"))
     graft.operators.Graphs.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 3)
@@ -324,10 +337,7 @@ object Relational {
     * authority = how strongly a supplier is bought by broad customers.
     * The role separation pageRank-on-symmetrized-edges can't give. */
   def hitsQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = purchaseBase(s, dir).select(col("c").as("src"), col("sp").as("dst"))
     graft.operators.Graphs.hits(edges, "src", "dst", iters = 2)
       .orderBy("id")
   }
@@ -341,13 +351,10 @@ object Relational {
     * and the min-merge is engine-stable. The weighted complement of
     * q_bfs_hops: hop counts can't rank routes once edges carry cost. */
   def ssspQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
-    val o = t(s, dir, "orders")
-    val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"),
-        col("l_quantity").cast("long").as("w"))
+    val base = purchaseBase(s, dir)
+      .filter(col("ship") >= lit("1996-01-01").cast("timestamp") &&
+        col("ship") < lit("1996-02-01").cast("timestamp"))
+      .select(col("c"), col("sp"), col("qty").as("w"))
     val edges = base.select(explode(array(
         struct(col("c").as("src"), col("sp").as("dst"), col("w")),
         struct(col("sp").as("src"), col("c").as("dst"), col("w")))).as("e"))
@@ -364,14 +371,7 @@ object Relational {
     * to THESE accounts", which global q_pagerank cannot express.
     * Unreached nodes carry exact 0. */
   def pprQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val pe = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-    val edges = pe.select(explode(array(
-        struct(col("c").as("src"), col("sp").as("dst")),
-        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = purchaseEdgesSym(s, dir)
     val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
       .select((col("c_custkey") * 2).as("id"))
     graft.operators.Graphs.personalizedPageRank(edges, "src", "dst", seeds, "id", iters = 2)
@@ -386,12 +386,10 @@ object Relational {
     * its test-scale witness, and the within-tol boolean is what the
     * oracle predicts (estimates are never gated by equality). */
   def neighborhoodQ(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-01-08").cast("timestamp"))
-    val o = t(s, dir, "orders")
-    val pe = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+    val pe = purchaseBase(s, dir)
+      .filter(col("ship") >= lit("1996-01-01").cast("timestamp") &&
+        col("ship") < lit("1996-01-08").cast("timestamp"))
+      .select(col("c"), col("sp"))
     val edges = pe.select(explode(array(
         struct(col("c").as("src"), col("sp").as("dst")),
         struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
@@ -416,6 +414,36 @@ object Relational {
         (abs(col("est_reach") - col("n_exact")) <=
           greatest(col("n_exact") * lit(0.04), lit(2.0))).as("within_tol"))
       .orderBy("id", "hop")
+  }
+
+  /** Landmark harmonic centrality (Graphs.harmonicCentrality) over the
+    * purchase graph from the same 5 customer landmarks as q_bfs_hops:
+    * which accounts sit closest to the anchor customers, with
+    * unreachable landmarks contributing exactly 0 (harmonic's edge over
+    * closeness). Reciprocals summed in 1e-9 fixed point — engine-stable
+    * without float-order luck; oracle is the q_bfs_hops recursive CTE
+    * keyed per-seed plus the same fixed-point sum. */
+  def harmonicQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdgesSym(s, dir)
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.harmonicCentrality(edges, "src", "dst", seeds, "id", maxHops = 3)
+      .orderBy("id")
+  }
+
+  /** Deterministic hash-seeded random walks (Graphs.randomWalks) from
+    * the 5 anchor customers over the purchase graph — the replayable
+    * DeepWalk-corpus sampler: same (seed, graph) → same walks in any
+    * engine, which is what an embedding-training pipeline needs from
+    * "random". Oracle unrolls the 3 steps with the same
+    * md5(seed:walk:t:u:v) argmin per step. */
+  def randomWalksQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdgesSym(s, dir)
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.randomWalks(edges, "src", "dst", seeds, "id",
+        steps = 3, seed = "walk")
+      .orderBy("walk_id", "step")
   }
 
   /** Interval×interval overlap join (RangeJoin.overlapJoin — binned
@@ -641,6 +669,8 @@ object Relational {
     "q_interval_overlap" -> intervalOverlap,
     "q_ppr" -> pprQ,
     "q_neighborhood" -> neighborhoodQ,
+    "q_harmonic" -> harmonicQ,
+    "q_random_walks" -> randomWalksQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -897,6 +927,47 @@ object Relational {
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3)
         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // per-seed q_bfs_hops reach + the 1e-9 fixed-point reciprocal sum
+    "q_harmonic" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |seeds AS (SELECT c_custkey * 2 AS id FROM customer WHERE c_custkey <= 5),
+        |reach(seed, id, d) AS (
+        |  SELECT id AS seed, id, CAST(0 AS BIGINT) AS d FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3),
+        |md AS (SELECT seed, id, min(d) AS dist FROM reach GROUP BY 1, 2)
+        |SELECT id, count(*) AS n_landmarks,
+        |  CAST(sum(CAST(floor(1000000000 / dist) AS BIGINT)) AS DOUBLE) / 1e9 AS harmonic
+        |FROM md WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin,
+    // 3 unrolled steps of the md5(seed:walk:t:u:v) argmin walk
+    "q_random_walks" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |s0 AS (SELECT c_custkey * 2 AS walk_id, c_custkey * 2 AS node
+        |       FROM customer WHERE c_custkey <= 5),
+        |n1 AS (SELECT walk_id, node FROM (
+        |  SELECT s0.walk_id, e.dst AS node, row_number() OVER (PARTITION BY s0.walk_id
+        |    ORDER BY md5(concat_ws(':', 'walk', s0.walk_id, 1, s0.node, e.dst)), e.dst) AS rn
+        |  FROM s0 JOIN e ON e.src = s0.node) WHERE rn = 1),
+        |n2 AS (SELECT walk_id, node FROM (
+        |  SELECT n1.walk_id, e.dst AS node, row_number() OVER (PARTITION BY n1.walk_id
+        |    ORDER BY md5(concat_ws(':', 'walk', n1.walk_id, 2, n1.node, e.dst)), e.dst) AS rn
+        |  FROM n1 JOIN e ON e.src = n1.node) WHERE rn = 1),
+        |n3 AS (SELECT walk_id, node FROM (
+        |  SELECT n2.walk_id, e.dst AS node, row_number() OVER (PARTITION BY n2.walk_id
+        |    ORDER BY md5(concat_ws(':', 'walk', n2.walk_id, 3, n2.node, e.dst)), e.dst) AS rn
+        |  FROM n2 JOIN e ON e.src = n2.node) WHERE rn = 1)
+        |SELECT walk_id, step, node FROM (
+        |  SELECT walk_id, CAST(0 AS INT) AS step, node FROM s0
+        |  UNION ALL SELECT walk_id, 1, node FROM n1
+        |  UNION ALL SELECT walk_id, 2, node FROM n2
+        |  UNION ALL SELECT walk_id, 3, node FROM n3)
+        |ORDER BY walk_id, step""".stripMargin,
     // PPR unrolled 2 rounds: r0 = teleport(v) = 1/|seeds∩nodes| on
     // seeds, 0 elsewhere; per-round (1−d)·t(v) + d·inflow — the
     // q_pagerank recipe with the seed-restricted teleport

@@ -17,6 +17,28 @@ object TextVector {
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
+  /** Shared LSH candidate-pair frame (minhash k=8, 2 rows/band) — the
+    * intermediate five queries derive from (q_lsh_pairs,
+    * q_ngram_jaccard, q_dedup_clusters + its q_canonical_pick consumer,
+    * q_cc_incremental, q_leak_split). Memoized to one checkpoint leaf
+    * per session: first consumer pays the minhash → banding chain, the
+    * rest read the leaf (SharedFrames scaladoc has the contract). */
+  private def lshPairsShared(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.memoize(
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
+        "doc_id", k = 8, rowsPerBand = 2),
+      s"lsh_pairs_k8_r2:$dir")
+
+  /** Shared LSH 3-NN graph over the embeddings — the edge list seven
+    * graph queries consume (q_knn_triangles, q_link_pred,
+    * q_triangles_oriented, q_kcore, q_label_prop, q_modularity,
+    * q_assortativity). Same memo contract as [[lshPairsShared]]. */
+  private def knn3(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.memoize(
+      Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3),
+      s"knn3:$dir")
+
   /** Shared DuckDB CTE: tokens + distinct 3-gram shingles per doc. */
   private val shingleCte =
     """toks AS (
@@ -532,15 +554,13 @@ object TextVector {
       .orderBy("doc_id")
 
   def lshPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+    lshPairsShared(s, dir)
       .select(col("id_a"), col("id_b"), rd(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(d, "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+    val pairs = lshPairsShared(s, dir)
     Dedup.ngramJaccard(pairs.select("id_a", "id_b"), d, "doc_id", "text")
       .select(col("id_a"), col("id_b"), col("n_inter"), rd(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -550,9 +570,7 @@ object TextVector {
     * connected components -> cluster membership (cluster_id = min doc
     * id in the component). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
-      .filter(col("est_jaccard") >= 0.5)
+    val pairs = lshPairsShared(s, dir).filter(col("est_jaccard") >= 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
@@ -566,9 +584,7 @@ object TextVector {
     * incremental ≡ full recompute. */
   def ccIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
-      .filter(col("est_jaccard") >= 0.5)
+    val pairs = lshPairsShared(s, dir).filter(col("est_jaccard") >= 0.5)
     val base = Dedup.connectedComponents(pairs)
     val newEdges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (100L, 200L)).toDF("id_a", "id_b")
     Dedup.incrementalComponents(base, newEdges)
@@ -688,7 +704,7 @@ object TextVector {
     * Graphs.triangleStats — the clustering-structure probe over the
     * embedding space. */
   def knnTriangles(s: SparkSession, dir: String): DataFrame = {
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
   }
 
@@ -698,7 +714,7 @@ object TextVector {
     * discover". Degree is k-bounded, so the wedge join is safe by
     * construction. */
   def linkPred(s: SparkSession, dir: String): DataFrame = {
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     graft.operators.Graphs.linkPrediction(knn, "query_id", "neighbor_id", topK = 20)
       .select(col("id_a"), col("id_b"), col("common_neighbors"),
         rd(col("adamic_adar"), 6).as("adamic_adar"))
@@ -709,7 +725,7 @@ object TextVector {
     * triangle counted once at its ≺-smallest corner), n_wedges bounded
     * by orientation instead of Σ deg². */
   def trianglesOriented(s: SparkSession, dir: String): DataFrame = {
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     graft.operators.Graphs.triangleStatsOriented(knn, "query_id", "neighbor_id")
   }
 
@@ -717,7 +733,7 @@ object TextVector {
     * rounds): the density-structure probe — how fast the graph sheds
     * its low-degree fringe. Same edge derivation as q_knn_triangles. */
   def kcorePeel(s: SparkSession, dir: String): DataFrame = {
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     graft.operators.Graphs.kCorePeel(knn, "query_id", "neighbor_id", k = 4, rounds = 3)
       .orderBy("round")
   }
@@ -747,7 +763,7 @@ object TextVector {
     * graph (2 synchronized rounds, min-label ties), summarized per
     * surviving label. */
   def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     graft.operators.Graphs.labelPropagation(knn, "query_id", "neighbor_id", iters = 2)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
@@ -768,7 +784,7 @@ object TextVector {
     // and every downstream ACTION re-analyzes the full tree before the
     // cache substitutes — a 4k-row frame was costing seconds of
     // planning per job until cut to a checkpoint leaf
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     val edges = graft.core.Lineage.truncate(knn.select(
         least(col("query_id"), col("neighbor_id")).as("a"),
         greatest(col("query_id"), col("neighbor_id")).as("b"))
@@ -799,7 +815,7 @@ object TextVector {
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     // operator's canonical-edge barrier still re-derives knn once; at
     // one consumer no query-side persist is needed
-    val knn = Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3)
+    val knn = knn3(s, dir)
     graft.operators.Graphs.degreeAssortativity(knn, "query_id", "neighbor_id")
       .select(col("n_nodes"), col("m"),
         rd(col("assortativity"), 8).as("assortativity"))
@@ -921,6 +937,46 @@ object TextVector {
         rd((col("padded") - col("sum_len")).cast("double") / col("padded"), 6).as("waste_frac"))
       .orderBy("batch")
   }
+
+  /** Token-budget shard packing — the sequence-packing complement to
+    * [[paddingWaste]]: sort docs by token count (desc, doc_id tiebreak)
+    * and deal them round-robin into 16 bins (the LPT-greedy shape:
+    * longest items spread first, so bin totals stay near-equal).
+    * Reports per-bin doc/token totals and `balance` = bin_tokens /
+    * ideal_share — the even-shard metric a distributed tokenizer job
+    * optimizes. Same global-ranking caveat as paddingWaste: the corpus
+    * ordering is one row_number over (n_tokens, doc_id); at 100 TB swap
+    * the exact sort for range-partitioned bucketing on approx token
+    * quantiles (the metric tolerates boundary slop; the exact form
+    * keeps the oracle bit-stable at test scale). */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 16
+    val w = Window.orderBy(col("n_tokens").desc, col("doc_id"))
+    val d = docs(s, dir)
+      .withColumn("n_tokens", size(TextAnalysis.tokens("text")))
+    val tot = d.agg(sum(col("n_tokens")).cast("long").as("total_tokens"))
+    d.withColumn("bin", ((row_number().over(w) - 1) % nBins).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("sum_tokens"), col("max_tokens"),
+        rd(col("sum_tokens").cast("double") * nBins / col("total_tokens"), 6).as("balance"))
+      .orderBy("bin")
+  }
+
+  /** Charikar densest-subgraph peel (Graphs.densestSubgraphPeel, 2
+    * rounds) over the embedding 3-NN graph: how dense is the core the
+    * peel converges toward — the "is there a tight near-duplicate
+    * clique?" probe that complements q_kcore's fringe-shedding view.
+    * Peel predicate is exact integer math (deg·n ≤ 2m), so the oracle
+    * unrolls bit-stably. */
+  def densestQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.densestSubgraphPeel(knn3(s, dir), "query_id", "neighbor_id",
+        rounds = 2)
+      .select(col("round"), col("n_nodes"), col("n_edges"), rd(col("density"), 6).as("density"))
+      .orderBy("round")
 
   /** Chi-square independence gate for lang × source — "is the language
     * mix uniform across crawl sources?" (Drift.chiSquareIndependence:
@@ -1228,9 +1284,7 @@ object TextVector {
   def leakSplit(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
     val d = docs(s, dir)
-    val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(d, "doc_id", "text", 8), "doc_id", 8, 2)
-      .filter(col("est_jaccard") >= 0.5)
+    val pairs = lshPairsShared(s, dir).filter(col("est_jaccard") >= 0.5)
     // two consumers (per-split stats AND the leaky audit) — eager
     // persist or the minhash→banding→CC chain runs twice (the
     // multi-consumer cache contract; lives until Verify/Bench
@@ -1451,6 +1505,8 @@ object TextVector {
     "q_label_noise" -> labelNoise,
     "q_quantile_norm" -> quantileNorm,
     "q_padding_waste" -> paddingWaste,
+    "q_pack_bins" -> packBins,
+    "q_densest" -> densestQ,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -2966,6 +3022,53 @@ object TextVector {
         |  CAST(max_len * n_docs - sum_len AS BIGINT) AS waste_tokens,
         |  floor((CAST(max_len * n_docs - sum_len AS DOUBLE) / (max_len * n_docs))*1000000 + 0.5)/1000000 AS waste_frac
         |FROM a ORDER BY batch""".stripMargin,
+    "q_pack_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 16 AS BIGINT) AS bin
+        |  FROM d),
+        |a AS (
+        |  SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |    max(n_tokens) AS max_tokens
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d)
+        |SELECT bin, n_docs, sum_tokens, max_tokens,
+        |  floor((CAST(sum_tokens AS DOUBLE) * 16 / total)*1000000 + 0.5)/1000000 AS balance
+        |FROM a, t ORDER BY bin""".stripMargin,
+    "q_densest" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |e0 AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |d0 AS (SELECT id, count(*) AS deg FROM
+        |  (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |t0 AS (SELECT count(*) AS n_nodes,
+        |  CAST(coalesce(sum(deg), 0) / 2 AS BIGINT) AS n_edges FROM d0),
+        |k0 AS (SELECT id FROM d0, t0 WHERE deg * n_nodes > 2 * n_edges),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT id FROM k0) AND v IN (SELECT id FROM k0)),
+        |d1 AS (SELECT id, count(*) AS deg FROM
+        |  (SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |t1 AS (SELECT count(*) AS n_nodes,
+        |  CAST(coalesce(sum(deg), 0) / 2 AS BIGINT) AS n_edges FROM d1),
+        |k1 AS (SELECT id FROM d1, t1 WHERE deg * n_nodes > 2 * n_edges),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT id FROM k1) AND v IN (SELECT id FROM k1)),
+        |d2 AS (SELECT id, count(*) AS deg FROM
+        |  (SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |t2 AS (SELECT count(*) AS n_nodes,
+        |  CAST(coalesce(sum(deg), 0) / 2 AS BIGINT) AS n_edges FROM d2)
+        |SELECT round, n_nodes, n_edges,
+        |  floor((CAST(n_edges AS DOUBLE) / nullif(n_nodes, 0))*1000000 + 0.5)/1000000 AS density
+        |FROM (
+        |  SELECT CAST(0 AS INT) AS round, n_nodes, n_edges FROM t0
+        |  UNION ALL SELECT 1, n_nodes, n_edges FROM t1
+        |  UNION ALL SELECT 2, n_nodes, n_edges FROM t2)
+        |ORDER BY round""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),

@@ -339,4 +339,61 @@ class GraphsSpec extends AnyFunSuite {
       .as[(String, Double)].collect().toMap
     assert(r2 == r, s"parallel-edge sum contract: $r2 vs $r")
   }
+
+  test("multiSourceBfs: per-seed exact distances on a 4-node path") {
+    // a—b—c—d symmetric, seeds {a, d}
+    val p4 = Seq(("a","b"),("b","a"),("b","c"),("c","b"),("c","d"),("d","c"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "d").toDF("id")
+    val d = Graphs.multiSourceBfs(p4, "src", "dst", seeds, "id", maxHops = 3)
+      .as[(String, String, Long)].collect().toSet
+    val want = Set(
+      ("a","a",0L), ("a","b",1L), ("a","c",2L), ("a","d",3L),
+      ("d","d",0L), ("d","c",1L), ("d","b",2L), ("d","a",3L))
+    assert(d == want, s"got $d")
+  }
+
+  test("harmonicCentrality: hand-computed landmark sums, 1e-9 fixed point") {
+    val p4 = Seq(("a","b"),("b","a"),("b","c"),("c","b"),("c","d"),("d","c"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "d").toDF("id")
+    val h = Graphs.harmonicCentrality(p4, "src", "dst", seeds, "id", maxHops = 3)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // b: 1/1 (a) + 1/2 (d) = 1.5 ; c symmetric; a: 1/3 from d, floored
+    assert(h("b") == ((2L, 1.5)) && h("c") == ((2L, 1.5)), s"got $h")
+    assert(h("a") == ((1L, 0.333333333)) && h("d") == ((1L, 0.333333333)),
+      s"fixed-point floor(1e9/3)/1e9 expected: $h")
+  }
+
+  test("densestSubgraphPeel: K4-plus-pendant peels to K4, then to empty") {
+    // K4 on {1,2,3,4} + pendant 5—1: densities 7/5, then 6/4, then empty
+    val e = ((for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      :+ (1L, 5L)).toDF("s", "d")
+    val r = Graphs.densestSubgraphPeel(e, "s", "d", rounds = 2)
+      .as[(Int, Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(0) == ((5L, 7L, Some(1.4))), s"round 0: ${r(0)}")
+    assert(r(1) == ((4L, 6L, Some(1.5))), s"round 1 must be K4: ${r(1)}")
+    assert(r(2) == ((0L, 0L, None)), s"round 2 must be fully peeled: ${r(2)}")
+  }
+
+  test("randomWalks: deterministic, neighbor-valid, early-stop at a sink") {
+    val g = Seq(("a","b"),("b","a"),("b","c"),("c","b"),("x","y")) // y is a sink
+      .toDF("src", "dst")
+    val seeds = Seq("a", "x").toDF("id")
+    def run() = Graphs.randomWalks(g, "src", "dst", seeds, "id", steps = 3, seed = "t")
+      .as[(String, Int, String)].collect().toSet
+    val w1 = run()
+    assert(w1 == run(), "same seed must replay the identical walks")
+    val adj = Map("a" -> Set("b"), "b" -> Set("a","c"), "c" -> Set("b"), "x" -> Set("y"))
+    val byWalk = w1.groupBy(_._1)
+    // walk from a: 4 rows (steps 0..3), every hop follows an edge
+    assert(byWalk("a").size == 4)
+    val aw = byWalk("a").toSeq.sortBy(_._2).map(_._3)
+    aw.sliding(2).foreach { case scala.collection.Seq(u, v) =>
+      assert(adj(u).contains(v), s"walk hop $u->$v is not an edge") }
+    // walk from x reaches sink y at step 1 and stops
+    assert(byWalk("x").toSeq.sortBy(_._2).map(_._3) == Seq("x", "y"),
+      s"sink walk must end early: ${byWalk("x")}")
+  }
 }

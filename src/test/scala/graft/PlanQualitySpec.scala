@@ -463,12 +463,25 @@ class PlanQualitySpec extends AnyFunSuite {
     // regression guard for the round-5d hot-loop fix: a fallback to
     // array_intersect (per-pair hash set + result array) would pass
     // correctness and silently double the two slowest bench queries
-    Seq("q_containment", "q_blocking_eval").foreach { q =>
-      val p = plan(q).toLowerCase
-      assert(p.contains("sortedintersectcount"),
-        s"$q lost the SortedIntersectCount expression")
-      assert(!p.contains("array_intersect"), s"$q reintroduced array_intersect")
-    }
+    val p = plan("q_containment").toLowerCase
+    assert(p.contains("sortedintersectcount"),
+      "q_containment lost the SortedIntersectCount expression")
+    assert(!p.contains("array_intersect"), "q_containment reintroduced array_intersect")
+    // blockingQuality cuts its verify leg to a checkpoint leaf (the
+    // round-6 double-compute fix), so the expression is invisible in
+    // the final realized plan — pin it on the factored-out truth leg
+    // directly, same pre-barrier pattern as the q_pca_top test
+    val sh = graft.core.Tables(spark, dir, "documents")
+      .withColumn("__tokens", graft.functions.TextAnalysis.tokens("text"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
+    val tp = graft.operators.Dedup.blockingTruthPairs(sh, "doc_id", 0.5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .toLowerCase
+    assert(tp.contains("sortedintersectcount"),
+      "blockingTruthPairs lost the SortedIntersectCount expression")
+    assert(!tp.contains("array_intersect"), "blockingTruthPairs reintroduced array_intersect")
   }
 
   test("q_spearman: rank maps attach via equi-joins; no row-level global window") {
