@@ -838,6 +838,51 @@ object Graphs {
     stats.reduce(_.union(_))
   }
 
+  /** k-truss peel (Cohen 2008): repeatedly drop every edge whose
+    * SUPPORT (number of triangles through it, = common neighbors of
+    * its endpoints) is below k−2 — the edge-level analog of k-core,
+    * and a much stronger cohesion filter (a k-core can be a sparse
+    * star; a k-truss is triangle-dense by construction). Fixed
+    * `rounds` budget keeps the trajectory deterministic and
+    * oracle-unrollable; returns (round, n_edges) for round 0..rounds,
+    * where round r is the edge count ENTERING round r.
+    *
+    * Per round: support is one neighbor-expansion join (edge ⋈
+    * undirected adjacency on u) + one existence join on (v, w) + a
+    * count per edge — the standard wedge-closing shape, NOT an
+    * all-pairs pass; cost is Σ deg(u) over edges, the same budget as
+    * triangle counting. Edge frame is truncated per round (it only
+    * shrinks). Support counts are exact integers, so the peel
+    * boundary is engine-stable. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var e = Lineage.truncate(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 0 to rounds) {
+      stats += e.agg(count(lit(1)).as("n_edges")).select(lit(r).as("round"), col("n_edges"))
+      if (r < rounds) {
+        val und = e.select(col("u").as("s"), col("v").as("d"))
+          .union(e.select(col("v").as("s"), col("u").as("d")))
+        // support(u,v) = |N(u) ∩ N(v)|: expand u's neighbors, close on (v, w)
+        val sup = e
+          .join(und.select(col("s").as("u"), col("d").as("w")), Seq("u"))
+          .join(und.select(col("s").as("v"), col("d").as("w")), Seq("v", "w"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("support"))
+        // zero-support edges are absent from `sup`, which is exactly the
+        // k>=3 drop semantics (0 < k-2)
+        e = Lineage.truncate(
+          sup.filter(col("support") >= k - 2).select(col("u"), col("v")))
+      }
+    }
+    stats.reduce(_.union(_))
+  }
+
   /** Deterministic hash-seeded random walks — the graph-sampling
     * primitive behind DeepWalk/node2vec-style embedding corpora
     * (Perozzi et al. 2014), made reproducible: at step t the walk at

@@ -978,6 +978,26 @@ object TextVector {
       .select(col("round"), col("n_nodes"), col("n_edges"), rd(col("density"), 6).as("density"))
       .orderBy("round")
 
+  /** Multinomial Naive Bayes language classifier, self-classified on
+    * the corpus (NaiveBayes.fitPredict: the model is a (term, label,
+    * ll) DataFrame, scores are exact integer sums of 1e-9 fixed-point
+    * log-likelihoods — an argmax no engine drift can flip), summarized
+    * as the lang × predicted confusion matrix. The labeling-baseline
+    * complement to q_logreg's trained linear model. */
+  def naiveBayesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NaiveBayes.confusion(
+        graft.operators.NaiveBayes.fitPredict(docs(s, dir), "doc_id", "text", "lang"))
+      .orderBy("label_true", "label_pred")
+
+  /** k-truss peel (Graphs.kTruss, k=4, 2 rounds) over the embedding
+    * 3-NN graph: edges kept only while ≥2 triangles run through them —
+    * the triangle-dense-core trajectory, strictly stronger cohesion
+    * than q_kcore's degree peel on the same graph. */
+  def ktrussQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.kTruss(knn3(s, dir), "query_id", "neighbor_id",
+        k = 4, rounds = 2)
+      .orderBy("round")
+
   /** Chi-square independence gate for lang × source — "is the language
     * mix uniform across crawl sources?" (Drift.chiSquareIndependence:
     * full-grid expected mass, 1e-9 fixed-point term sums). */
@@ -1507,6 +1527,8 @@ object TextVector {
     "q_padding_waste" -> paddingWaste,
     "q_pack_bins" -> packBins,
     "q_densest" -> densestQ,
+    "q_naive_bayes" -> naiveBayesQ,
+    "q_ktruss" -> ktrussQ,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -3068,6 +3090,59 @@ object TextVector {
         |  SELECT CAST(0 AS INT) AS round, n_nodes, n_edges FROM t0
         |  UNION ALL SELECT 1, n_nodes, n_edges FROM t1
         |  UNION ALL SELECT 2, n_nodes, n_edges FROM t2)
+        |ORDER BY round""".stripMargin,
+    // same 1e-9 fixed-point log quantization BEFORE the sum as the
+    // Spark side — the argmax compares exact integers on both engines
+    "q_naive_bayes" ->
+      """WITH tk AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |            FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(w) AS term FROM tk WHERE len(w) >= 1),
+        |dt AS (SELECT doc_id, lang AS label_true, term, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2, 3),
+        |cls AS (SELECT lang AS label, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_c,
+        |        CAST(count(*) AS BIGINT) AS n_tok_c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+        |tc AS (SELECT term, lang AS label, CAST(count(*) AS BIGINT) AS n_tc
+        |       FROM tok GROUP BY 1, 2),
+        |mdl AS (SELECT vt.term, c.label,
+        |  CAST(floor(ln(CAST(coalesce(tc.n_tc, 0) + 1 AS DOUBLE) / (c.n_tok_c + t.v))
+        |    * 1000000000 + 0.5) AS BIGINT) AS ll_fp
+        |  FROM (SELECT DISTINCT term FROM tok) vt CROSS JOIN cls c
+        |  LEFT JOIN tc ON tc.term = vt.term AND tc.label = c.label, tot t),
+        |pri AS (SELECT label,
+        |  CAST(floor(ln(CAST(n_docs_c AS DOUBLE) / t.n_docs) * 1000000000 + 0.5) AS BIGINT)
+        |    AS prior_fp
+        |  FROM cls, tot t),
+        |sc AS (SELECT dt.doc_id, dt.label_true, m.label,
+        |  CAST(sum(dt.c * m.ll_fp) AS BIGINT) + min(p.prior_fp) AS score
+        |  FROM dt JOIN mdl m ON m.term = dt.term JOIN pri p ON p.label = m.label
+        |  GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, label_true, label AS label_pred,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+        |  FROM sc)
+        |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ktruss" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |e0 AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |u0 AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+        |s0 AS (SELECT e0.u, e0.v, count(*) AS sup
+        |       FROM e0 JOIN u0 a ON a.s = e0.u JOIN u0 b ON b.s = e0.v AND b.d = a.d
+        |       GROUP BY 1, 2),
+        |e1 AS (SELECT u, v FROM s0 WHERE sup >= 2),
+        |u1 AS (SELECT u AS s, v AS d FROM e1 UNION ALL SELECT v, u FROM e1),
+        |s1 AS (SELECT e1.u, e1.v, count(*) AS sup
+        |       FROM e1 JOIN u1 a ON a.s = e1.u JOIN u1 b ON b.s = e1.v AND b.d = a.d
+        |       GROUP BY 1, 2),
+        |e2 AS (SELECT u, v FROM s1 WHERE sup >= 2)
+        |SELECT round, n_edges FROM (
+        |  SELECT CAST(0 AS INT) AS round, CAST(count(*) AS BIGINT) AS n_edges FROM e0
+        |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM e1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM e2)
         |ORDER BY round""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),

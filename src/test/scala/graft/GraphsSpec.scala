@@ -396,4 +396,21 @@ class GraphsSpec extends AnyFunSuite {
     assert(byWalk("x").toSeq.sortBy(_._2).map(_._3) == Seq("x", "y"),
       s"sink walk must end early: ${byWalk("x")}")
   }
+
+  test("kTruss: K4-plus-pendant at k=4 drops the pendant, then holds K4 as a fixed point") {
+    val e = ((for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      :+ (1L, 5L)).toDF("s", "d")
+    val r = Graphs.kTruss(e, "s", "d", k = 4, rounds = 2)
+      .as[(Int, Long)].collect().toMap
+    // every K4 edge carries 2 triangles (support 2 >= k-2); pendant has 0
+    assert(r == Map(0 -> 7L, 1 -> 6L, 2 -> 6L), s"got $r")
+  }
+
+  test("kTruss: a bare triangle dies at k=4 (support 1 < 2) but survives k=3") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val r4 = Graphs.kTruss(tri, "s", "d", k = 4, rounds = 1).as[(Int, Long)].collect().toMap
+    assert(r4 == Map(0 -> 3L, 1 -> 0L), s"k=4 got $r4")
+    val r3 = Graphs.kTruss(tri, "s", "d", k = 3, rounds = 2).as[(Int, Long)].collect().toMap
+    assert(r3 == Map(0 -> 3L, 1 -> 3L, 2 -> 3L), s"k=3 got $r3")
+  }
 }
