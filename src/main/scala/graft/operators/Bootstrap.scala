@@ -80,4 +80,50 @@ object Bootstrap {
     point.crossJoin(broadcast(bounds)).withColumn("b", lit(b))
       .select(col("n"), col("mean"), col("b"), col("ci_lo"), col("ci_hi"))
   }
+
+  /** Delete-one-GROUP jackknife SE for the mean of `valueCol` (Efron;
+    * the grouped/block form — delete-one-ROW is pointless at corpus
+    * scale and the block form is also what correlated-within-group
+    * data needs, e.g. users as groups): for each of the G groups,
+    * θ̂₋g = (S − s_g)/(N − n_g), then
+    * SE² = (G−1)/G · Σ (θ̂₋g − θ̄)², θ̄ = mean of the θ̂₋g.
+    * The deterministic, no-resampling complement to
+    * [[poissonBootstrapMean]]: one pass, exact, no replicate fan-out.
+    *
+    * Exactness: S/s_g are exact cent sums, so each θ̂₋g is one double
+    * division of exact integers, then quantized to 1e-9 fixed point —
+    * θ̄ becomes an exact long sum, each deviation is
+    * (θ_fp·G − Σθ_fp)/(1e9·G) (one division of exact integers, no
+    * float-order anywhere), and the squared deviations are quantized
+    * to 1e-12 before their own exact sum. Shape: one group aggregate +
+    * two 1-row broadcasts back over the G-row frame; degenerate G=1
+    * (SE undefined) or any group with n_g = N emit NULL se.
+    * Returns (g = G, mean, se_jack). */
+  def jackknifeMean(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * lit(100) + lit(0.5)).cast("long")
+    val per = df.select(col(groupCol).as("__g"), cents.as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("s_g"), count(lit(1)).as("n_g"))
+    val tot = per.agg(sum(col("s_g")).as("s"), sum(col("n_g")).as("n"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .withColumn("theta_fp",
+        when(col("n") > col("n_g"),
+          floor(((col("s") - col("s_g")).cast("double") / 100) / (col("n") - col("n_g"))
+            * lit(1000000000L) + lit(0.5)).cast("long")))
+    val bar = loo.agg(sum(col("theta_fp")).as("sum_fp"),
+      count(when(col("theta_fp").isNull, 1)).as("n_bad"))
+    loo.crossJoin(broadcast(bar))
+      .withColumn("dev",
+        (col("theta_fp") * col("g") - col("sum_fp")).cast("double") /
+          (lit(1e9) * col("g")))
+      .agg(max(col("g")).as("g"),
+        ((max(col("s")).cast("double") / 100) / max(col("n"))).as("mean"),
+        max(col("n_bad")).as("__bad"),
+        sum(floor(col("dev") * col("dev") * lit(1e12) + lit(0.5)).cast("long")).as("__ss"))
+      .select(col("g"), col("mean"),
+        when(col("g") > 1 && col("__bad") === 0,
+          sqrt((col("g") - 1).cast("double") / col("g") *
+            (col("__ss").cast("double") / 1e12))).as("se_jack"))
+  }
 }

@@ -838,6 +838,85 @@ object Graphs {
     stats.reduce(_.union(_))
   }
 
+  /** Time-respecting (temporal) reachability — earliest arrival from
+    * each seed using paths whose edge timestamps never decrease
+    * (each hop departs at or after the previous arrival; Holme &
+    * Saramäki, "Temporal networks", 2012). Static reachability
+    * over-claims on event graphs: an edge that fired BEFORE you
+    * arrived can't forward influence — this is the
+    * information-diffusion / contamination-window primitive.
+    *
+    * DP per round: earliest(v) relaxes only from each node's CURRENT
+    * minimum arrival — safe because any edge usable from a later
+    * arrival is usable from an earlier one, so the min dominates; every
+    * produced value is realized by a concrete temporal path (prefix
+    * realizing the min + the edge). Exact min over integer epoch-µs —
+    * no float, engine-stable, oracle = depth-bounded recursive CTE over
+    * ALL temporal paths (provably the same min).
+    *
+    * Per round: one state⋈edges equi-join on the node (the ts≥arr
+    * predicate is a residual filter on the hash join, never a nested
+    * loop) + one (seed,id) min-groupBy; state is |seeds|·|reach| rows
+    * (seeds are a sample/landmark set), relax frames truncated per
+    * round. Returns (seed, id, arr_us) for every node reached in
+    * 1..maxHops hops — seeds reappear only if a temporal cycle returns
+    * to them. */
+  def temporalReach(edges: DataFrame, srcCol: String, dstCol: String,
+                    tsCol: String, seeds: DataFrame, seedCol: String,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Lineage.truncate(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        // NTZ-tolerant: the session tz is locked UTC (Verify/Bench), so
+        // the cast is the identity µs mapping DuckDB's epoch_us uses
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
+      .distinct())
+    // seed arrival = -1: earlier than any real epoch-µs in the data
+    // domain (epochs here are positive), so the first hop is free
+    var state = Lineage.truncate(
+      seeds.select(col(seedCol).as("seed")).distinct()
+        .select(col("seed"), col("seed").as("id"), lit(-1L).as("arr")))
+    val founds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to maxHops) {
+      val relax = Lineage.truncate(
+        state.join(e, state("id") === e("src") && e("ts_us") >= state("arr"))
+          .select(col("seed"), col("dst").as("id"), col("ts_us").as("arr")))
+      founds += relax
+      state = Lineage.truncate(
+        state.union(relax).groupBy(col("seed"), col("id")).agg(min(col("arr")).as("arr")))
+    }
+    founds.reduce(_.union(_))
+      .groupBy(col("seed"), col("id")).agg(min(col("arr")).as("arr_us"))
+  }
+
+  /** Hill estimator of the degree-distribution tail exponent
+    * (Hill 1975; the "is this graph scale-free?" diagnostic):
+    * α̂ = 1 + n_tail / Σ ln(dᵢ/dmin) over degrees ≥ dmin. Returns one
+    * row (dmin, n_tail, alpha) — NULL alpha when every tail degree
+    * equals dmin (Σ = 0, the estimator is undefined; the
+    * NULL-on-undefined convention). Per-term logs are quantized to
+    * 1e-9 fixed point before the exact integer sum, so α̂ can't drift
+    * with partial-sum order or engine. One degree groupBy + one
+    * 1-row aggregate. */
+  def degreeTailAlpha(edges: DataFrame, srcCol: String, dstCol: String,
+                      dmin: Long): DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1, got $dmin")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= dmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(floor(log(col("deg").cast("double") / lit(dmin).cast("double"))
+          * lit(1000000000L) + lit(0.5)).cast("long")).as("__s"))
+      .select(lit(dmin).as("dmin"), col("n_tail"),
+        when(col("__s") > 0,
+          lit(1.0) + col("n_tail").cast("double") / (col("__s").cast("double") / 1e9))
+          .as("alpha"))
+  }
+
   /** k-truss peel (Cohen 2008): repeatedly drop every edge whose
     * SUPPORT (number of triangles through it, = common neighbors of
     * its endpoints) is below k−2 — the edge-level analog of k-core,

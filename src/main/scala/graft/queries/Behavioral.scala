@@ -714,8 +714,20 @@ object Behavioral {
         rd(col("support"), 6).as("support"))
       .orderBy("type_a", "type_b")
 
+  /** Delete-one-cohort jackknife SE of the mean event value
+    * (Bootstrap.jackknifeMean, cohorts = user_id % 20): the exact,
+    * no-resampling error bar that complements q_bootstrap_ci — one
+    * pass, no replicate fan-out, and the grouped form respects
+    * within-user correlation. All arithmetic is fixed-point over exact
+    * cent sums, so both engines land on the identical SE. */
+  def jackknifeQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.jackknifeMean(
+        t(s, dir, "events").withColumn("cohort", col("user_id") % 20), "cohort", "value")
+      .select(col("g"), rd(col("mean"), 6).as("mean"), rd(col("se_jack"), 8).as("se_jack"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pairs" -> seqPairsQ,
+    "q_jackknife" -> jackknifeQ,
     "q_did" -> didQ,
     "q_cuped" -> cupedQ,
     "q_ols_trend" -> olsTrendQ,
@@ -808,6 +820,32 @@ object Behavioral {
         |SELECT type_a, type_b, n_users,
         |  floor((CAST(n_users AS DOUBLE) / n_total)*1000000 + 0.5)/1000000 AS support
         |FROM p, tot ORDER BY type_a, type_b""".stripMargin,
+    // mirrors jackknifeMean's fixed-point ladder: θ_fp at 1e-9, dev from
+    // the exact integer identity (θ_fp·G − Σθ_fp), dev² at 1e-12
+    "q_jackknife" ->
+      """WITH b AS (
+        |  SELECT user_id % 20 AS g0, CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |per AS (SELECT g0, CAST(sum(c) AS BIGINT) AS s_g, CAST(count(*) AS BIGINT) AS n_g
+        |        FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(n_g) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS g FROM per),
+        |loo AS (SELECT CASE WHEN t.n > p.n_g THEN
+        |    CAST(floor((CAST(t.s - p.s_g AS DOUBLE) / 100) / (t.n - p.n_g)
+        |      * 1000000000 + 0.5) AS BIGINT) END AS theta_fp
+        |  FROM per p, tot t),
+        |bar AS (SELECT CAST(sum(theta_fp) AS BIGINT) AS sum_fp,
+        |        count(CASE WHEN theta_fp IS NULL THEN 1 END) AS n_bad FROM loo),
+        |ss AS (SELECT CAST(sum(CAST(floor(d*d*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS ssum
+        |  FROM (SELECT CAST(l.theta_fp * t.g - b2.sum_fp AS DOUBLE) / (1e9 * t.g) AS d
+        |        FROM loo l, tot t, bar b2))
+        |SELECT t.g AS g,
+        |  floor(((CAST(t.s AS DOUBLE) / 100) / t.n)*1000000 + 0.5)/1000000 AS mean,
+        |  CASE WHEN t.g > 1 AND b2.n_bad = 0 THEN
+        |    floor(sqrt((CAST(t.g - 1 AS DOUBLE) / t.g) * (CAST(ss.ssum AS DOUBLE) / 1e12))
+        |      *100000000 + 0.5)/100000000
+        |  END AS se_jack
+        |FROM tot t, bar b2, ss""".stripMargin,
     // four exact cent-moment cells; var, DiD, and SE mirrored op for op
     "q_did" ->
       """WITH b AS (

@@ -446,6 +446,37 @@ object Relational {
       .orderBy("walk_id", "step")
   }
 
+  /** Time-respecting reachability (Graphs.temporalReach) over the
+    * January-1996 purchase slice: earliest arrival from the 5 anchor
+    * customers along paths whose ship timestamps never decrease — the
+    * influence/contamination-window question static q_bfs_hops
+    * over-answers (an edge that shipped BEFORE you arrived can't
+    * forward anything). Exact integer epoch-µs mins; oracle is the
+    * recursive-CTE enumeration of all ≤3-hop temporal paths, which the
+    * operator's min-relaxation DP provably equals. */
+  def temporalReachQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseBase(s, dir)
+      .filter(col("ship") >= lit("1996-01-01").cast("timestamp") &&
+        col("ship") < lit("1996-02-01").cast("timestamp"))
+      .select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst"), col("ship")),
+        struct(col("sp").as("src"), col("c").as("dst"), col("ship")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ship").as("ship"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.temporalReach(edges, "src", "dst", "ship", seeds, "id", maxHops = 3)
+      .orderBy("seed", "id")
+  }
+
+  /** Hill tail-exponent estimate (Graphs.degreeTailAlpha, dmin=5) of
+    * the purchase-graph degree distribution — the scale-free
+    * diagnostic that says whether hub-aware strategies (salting,
+    * skew-join) are worth wiring for this graph. 1e-9 fixed-point log
+    * sums, NULL on the all-at-dmin degenerate tail. */
+  def powerlawQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.degreeTailAlpha(purchaseEdgesSym(s, dir), "src", "dst", dmin = 5)
+      .select(col("dmin"), col("n_tail"), rd(col("alpha"), 6).as("alpha"))
+
   /** Interval×interval overlap join (RangeJoin.overlapJoin — binned
     * equi-join, never the nested loop): co-presence of two users'
     * per-day purchase activity spans, with the overlap duration.
@@ -671,6 +702,8 @@ object Relational {
     "q_neighborhood" -> neighborhoodQ,
     "q_harmonic" -> harmonicQ,
     "q_random_walks" -> randomWalksQ,
+    "q_temporal_reach" -> temporalReachQ,
+    "q_powerlaw" -> powerlawQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -968,6 +1001,39 @@ object Relational {
         |  UNION ALL SELECT walk_id, 2, node FROM n2
         |  UNION ALL SELECT walk_id, 3, node FROM n3)
         |ORDER BY walk_id, step""".stripMargin,
+    // enumerate ALL <=3-hop temporal paths; min arrival per (seed, id)
+    // equals the operator's min-relaxation DP (see temporalReach doc)
+    "q_temporal_reach" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, epoch_us(l_shipdate) AS ts
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'),
+        |e AS (SELECT DISTINCT src, dst, ts FROM
+        |  (SELECT src, dst, ts FROM pe UNION ALL SELECT dst, src, ts FROM pe)),
+        |seeds AS (SELECT c_custkey * 2 AS id FROM customer WHERE c_custkey <= 5),
+        |reach(seed, id, arr, d) AS (
+        |  SELECT id AS seed, id, CAST(-1 AS BIGINT) AS arr, 0 AS d FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, e.ts, r.d + 1
+        |  FROM reach r JOIN e ON e.src = r.id AND e.ts >= r.arr WHERE r.d < 3)
+        |SELECT seed, id, CAST(min(arr) AS BIGINT) AS arr_us
+        |FROM reach WHERE d >= 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_powerlaw" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pe),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tail AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |  CAST(sum(CAST(floor(ln(CAST(deg AS DOUBLE) / 5) * 1000000000 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS s
+        |  FROM deg WHERE deg >= 5)
+        |SELECT CAST(5 AS BIGINT) AS dmin, n_tail,
+        |  CASE WHEN s > 0 THEN
+        |    floor((1.0 + CAST(n_tail AS DOUBLE) / (CAST(s AS DOUBLE) / 1e9))*1000000 + 0.5)/1000000
+        |  END AS alpha
+        |FROM tail""".stripMargin,
     // PPR unrolled 2 rounds: r0 = teleport(v) = 1/|seeds∩nodes| on
     // seeds, 0 elsewhere; per-round (1−d)·t(v) + d·inflow — the
     // q_pagerank recipe with the seed-restricted teleport

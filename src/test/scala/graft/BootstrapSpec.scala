@@ -40,4 +40,25 @@ class BootstrapSpec extends AnyFunSuite {
       .select("mean").as[Double].head()
     assert(r == 1.0, "constant metric: every replicate mean is exactly the constant")
   }
+
+  test("jackknifeMean: two-group closed form; G=1 and empty-complement are NULL") {
+    // groups: A = {1.00, 3.00}, B = {2.00}; S=600c N=3 G=2
+    // theta_-A = 2.00, theta_-B = (600-200)/100/2 = 2.00 -> SS = 0 -> se 0
+    val df = Seq(("A", 1.00), ("A", 3.00), ("B", 2.00)).toDF("grp", "v")
+    val r = operators.Bootstrap.jackknifeMean(df, "grp", "v")
+      .as[(Long, Double, Option[Double])].head()
+    assert(r._1 == 2L && math.abs(r._2 - 2.0) < 1e-12 && r._3.contains(0.0), s"got $r")
+
+    // asymmetric: A = {0.00}, B = {4.00}: theta_-A = 4, theta_-B = 0,
+    // bar = 2, SS = 8, se = sqrt(1/2 * 8) = 2
+    val df2 = Seq(("A", 0.00), ("B", 4.00)).toDF("grp", "v")
+    val r2 = operators.Bootstrap.jackknifeMean(df2, "grp", "v")
+      .as[(Long, Double, Option[Double])].head()
+    assert(math.abs(r2._3.get - 2.0) < 1e-9, s"got $r2")
+
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("grp", "v")
+    val r1 = operators.Bootstrap.jackknifeMean(one, "grp", "v")
+      .as[(Long, Double, Option[Double])].head()
+    assert(r1._1 == 1L && r1._3.isEmpty, "G=1 must emit NULL se")
+  }
 }

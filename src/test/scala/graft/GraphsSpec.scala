@@ -413,4 +413,44 @@ class GraphsSpec extends AnyFunSuite {
     val r3 = Graphs.kTruss(tri, "s", "d", k = 3, rounds = 2).as[(Int, Long)].collect().toMap
     assert(r3 == Map(0 -> 3L, 1 -> 3L, 2 -> 3L), s"k=3 got $r3")
   }
+
+  test("temporalReach: edges that fired before arrival cannot forward; earliest arrival is exact") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // a -(t=10)-> b -(t=5)-> c : NOT time-respecting (5 < 10)
+    // a -(t=10)-> b -(t=20)-> c : respects time, arrives at 20
+    // plus a later direct a -(t=30)-> c that must LOSE to 20
+    val e = Seq(("a", "b", ts(10)), ("b", "c", ts(5)), ("b", "c", ts(20)), ("a", "c", ts(30)))
+      .toDF("src", "dst", "t")
+    val seeds = Seq("a").toDF("id")
+    val r = Graphs.temporalReach(e, "src", "dst", "t", seeds, "id", maxHops = 3)
+      .as[(String, String, Long)].collect().map(x => x._2 -> x._3).toMap
+    assert(r == Map("b" -> 10000000L, "c" -> 20000000L), s"got $r")
+  }
+
+  test("temporalReach: static path exists but no temporal path -> unreachable") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val e = Seq(("a", "b", ts(10)), ("b", "c", ts(5))).toDF("src", "dst", "t")
+    val seeds = Seq("a").toDF("id")
+    val r = Graphs.temporalReach(e, "src", "dst", "t", seeds, "id", maxHops = 3)
+      .as[(String, String, Long)].collect().map(x => x._2 -> x._3).toMap
+    assert(r == Map("b" -> 10000000L), s"c must be temporally unreachable: $r")
+  }
+
+  test("degreeTailAlpha: hand-computed Hill estimate; all-at-dmin tail is NULL") {
+    // star on hub h with 4 leaves + K3 among {x,y,z}: degrees h=4, leaves=1, x=y=z=2
+    val star = (1 to 4).map(i => ("h", s"l$i")) ++ Seq(("x","y"),("y","z"),("x","z"))
+    val e = star.toDF("s", "d")
+    val r = Graphs.degreeTailAlpha(e, "s", "d", dmin = 2)
+      .as[(Long, Long, Option[Double])].head()
+    // tail degrees {4,2,2,2}: sum ln(d/2) = ln 2 quantized at 1e-9
+    val expect = 1.0 + 4.0 / (math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9)
+    assert(r._1 == 2L && r._2 == 4L, s"got $r")
+    assert(math.abs(r._3.get - expect) < 1e-12, s"got ${r._3}")
+    val flat = Seq(("p","q")).toDF("s", "d") // both degrees = 1 = dmin
+    val rf = Graphs.degreeTailAlpha(flat, "s", "d", dmin = 1)
+      .as[(Long, Long, Option[Double])].head()
+    assert(rf == ((1L, 2L, None)), s"degenerate tail must be NULL: $rf")
+  }
 }
