@@ -917,6 +917,81 @@ object Graphs {
           .as("alpha"))
   }
 
+  /** Sampled, hop-bounded betweenness centrality — Brandes'
+    * dependency accumulation (Brandes 2001) restricted to a SOURCE
+    * SAMPLE and a hop radius (Brandes & Pich 2007 show the source-
+    * sampled estimator is the standard scale form; exact betweenness
+    * is all-pairs). For each seed s: forward BFS levels carry exact
+    * shortest-path counts σ_s(v) (integer sums over the shortest-path
+    * DAG), then dependencies back-propagate level by level,
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)), and
+    * bc(v) = Σ_s δ_s(v) over non-source rows. Paths longer than
+    * `maxHops` are ignored (the hop-bounded estimate; raise maxHops to
+    * tighten).
+    *
+    * Numerics: σ are exact longs; each δ term is one double expression
+    * of exact inputs quantized to 1e-9 fixed point BEFORE its level
+    * sum, and δ itself stays a fixed-point long between levels — no
+    * float-order anywhere, so the whole trajectory is engine-stable
+    * and the oracle can unroll it level by level.
+    *
+    * Shape: forward = per level one frontier⋈edges join + one
+    * (seed, node) σ-sum + one anti-join vs settled; backward = per
+    * level one edges join + one (seed, node) sum. State is
+    * |seeds|·|reach| rows (seeds are a sample); every level frame is a
+    * checkpoint leaf. Expects symmetric edges for undirected graphs. */
+  def betweennessSampled(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 2, s"maxHops must be >= 2 (no interior nodes below that), got $maxHops")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    // forward sweep: levels(h) = (seed, id, sigma) first reached at hop h
+    val levels = new Array[DataFrame](maxHops + 1)
+    levels(0) = Lineage.truncate(
+      seeds.select(col(seedCol).as("seed")).distinct()
+        .select(col("seed"), col("seed").as("id"), lit(1L).as("sigma")))
+    var settled = levels(0).select("seed", "id")
+    for (h <- 1 to maxHops) {
+      val next = levels(h - 1).join(e, levels(h - 1)("id") === e("src"))
+        .groupBy(col("seed"), col("dst").as("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("seed", "id"), "left_anti")
+      levels(h) = Lineage.truncate(next)
+      settled = settled.union(levels(h).select("seed", "id"))
+    }
+    // backward sweep: delta_fp(level maxHops) = 0; each inner level sums
+    // quantized per-successor terms over the shortest-path DAG edges
+    var deltaNext = levels(maxHops).select(col("seed"), col("id"), lit(0L).as("delta_fp"))
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    perLevel += deltaNext
+    for (h <- (maxHops - 1) to 0 by -1) {
+      val succSigma = levels(h + 1)
+        .select(col("seed"), col("id").as("dst"), col("sigma").as("__sw"))
+      val succDelta = deltaNext
+        .select(col("seed"), col("id").as("dst"), col("delta_fp").as("__dw"))
+      val contribs = levels(h).join(e, levels(h)("id") === e("src"))
+        .select(col("seed"), levels(h)("id").as("id"), col("dst"), col("sigma"))
+        .join(succSigma, Seq("seed", "dst")) // keeps only shortest-path DAG edges
+        .join(succDelta, Seq("seed", "dst"))
+        .select(col("seed"), col("id"),
+          floor(col("sigma").cast("double") / col("__sw") *
+            (lit(1.0) + col("__dw").cast("double") / 1e9) * lit(1000000000L) + lit(0.5))
+            .cast("long").as("t"))
+        .groupBy(col("seed"), col("id"))
+        .agg(sum(col("t")).as("delta_fp"))
+      deltaNext = Lineage.truncate(
+        levels(h).select(col("seed"), col("id"))
+          .join(contribs, Seq("seed", "id"), "left")
+          .select(col("seed"), col("id"),
+            coalesce(col("delta_fp"), lit(0L)).as("delta_fp")))
+      if (h > 0) perLevel += deltaNext
+    }
+    perLevel.reduce(_.union(_))
+      .groupBy(col("id"))
+      .agg((sum(col("delta_fp")).cast("double") / 1e9).as("bc"))
+  }
+
   /** k-truss peel (Cohen 2008): repeatedly drop every edge whose
     * SUPPORT (number of triangles through it, = common neighbors of
     * its endpoints) is below k−2 — the edge-level analog of k-core,

@@ -477,6 +477,22 @@ object Relational {
     graft.operators.Graphs.degreeTailAlpha(purchaseEdgesSym(s, dir), "src", "dst", dmin = 5)
       .select(col("dmin"), col("n_tail"), rd(col("alpha"), 6).as("alpha"))
 
+  /** Sampled hop-bounded Brandes betweenness
+    * (Graphs.betweennessSampled, 5 customer sources, 3 hops) over the
+    * purchase graph: which accounts sit ON the shortest trade routes —
+    * the brokerage/bottleneck score no degree or PageRank view gives.
+    * σ counts are exact longs and every δ term is 1e-9 fixed-point
+    * before its level sum, so the oracle unrolls the exact trajectory
+    * level by level. */
+  def betweennessQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdgesSym(s, dir)
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 5)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.operators.Graphs.betweennessSampled(edges, "src", "dst", seeds, "id", maxHops = 3)
+      .select(col("id"), rd(col("bc"), 6).as("bc"))
+      .orderBy("id")
+  }
+
   /** Interval×interval overlap join (RangeJoin.overlapJoin — binned
     * equi-join, never the nested loop): co-presence of two users'
     * per-day purchase activity spans, with the overlap duration.
@@ -704,6 +720,7 @@ object Relational {
     "q_random_walks" -> randomWalksQ,
     "q_temporal_reach" -> temporalReachQ,
     "q_powerlaw" -> powerlawQ,
+    "q_betweenness" -> betweennessQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1034,6 +1051,52 @@ object Relational {
         |    floor((1.0 + CAST(n_tail AS DOUBLE) / (CAST(s AS DOUBLE) / 1e9))*1000000 + 0.5)/1000000
         |  END AS alpha
         |FROM tail""".stripMargin,
+    // Brandes unrolled: forward levels l1..l3 with exact sigma sums,
+    // backward deltas dd2, dd1 with the same per-term 1e-9 quantization
+    "q_betweenness" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe),
+        |l0 AS (SELECT c_custkey * 2 AS seed, c_custkey * 2 AS id, CAST(1 AS BIGINT) AS sigma
+        |       FROM customer WHERE c_custkey <= 5),
+        |r1 AS (SELECT l0.seed, e.dst AS id, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+        |       FROM l0 JOIN e ON e.src = l0.id GROUP BY 1, 2),
+        |l1 AS (SELECT r1.* FROM r1 WHERE NOT EXISTS (
+        |       SELECT 1 FROM l0 WHERE l0.seed = r1.seed AND l0.id = r1.id)),
+        |r2 AS (SELECT l1.seed, e.dst AS id, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+        |       FROM l1 JOIN e ON e.src = l1.id GROUP BY 1, 2),
+        |l2 AS (SELECT r2.* FROM r2
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.seed = r2.seed AND l0.id = r2.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.seed = r2.seed AND l1.id = r2.id)),
+        |r3 AS (SELECT l2.seed, e.dst AS id, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+        |       FROM l2 JOIN e ON e.src = l2.id GROUP BY 1, 2),
+        |l3 AS (SELECT r3.* FROM r3
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.seed = r3.seed AND l0.id = r3.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.seed = r3.seed AND l1.id = r3.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l2 WHERE l2.seed = r3.seed AND l2.id = r3.id)),
+        |d2 AS (SELECT v.seed, v.id,
+        |    CAST(sum(CAST(floor(CAST(v.sigma AS DOUBLE) / w.sigma * 1000000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS delta_fp
+        |  FROM l2 v JOIN e ON e.src = v.id
+        |  JOIN l3 w ON w.seed = v.seed AND w.id = e.dst GROUP BY 1, 2),
+        |dd2 AS (SELECT l2.seed, l2.id, coalesce(d2.delta_fp, 0) AS delta_fp
+        |        FROM l2 LEFT JOIN d2 ON d2.seed = l2.seed AND d2.id = l2.id),
+        |d1 AS (SELECT v.seed, v.id,
+        |    CAST(sum(CAST(floor(CAST(v.sigma AS DOUBLE) / w.sigma
+        |      * (1.0 + CAST(dw.delta_fp AS DOUBLE) / 1e9) * 1000000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS delta_fp
+        |  FROM l1 v JOIN e ON e.src = v.id
+        |  JOIN l2 w ON w.seed = v.seed AND w.id = e.dst
+        |  JOIN dd2 dw ON dw.seed = v.seed AND dw.id = e.dst GROUP BY 1, 2),
+        |dd1 AS (SELECT l1.seed, l1.id, coalesce(d1.delta_fp, 0) AS delta_fp
+        |        FROM l1 LEFT JOIN d1 ON d1.seed = l1.seed AND d1.id = l1.id),
+        |alld AS (
+        |  SELECT seed, id, CAST(0 AS BIGINT) AS delta_fp FROM l3
+        |  UNION ALL SELECT seed, id, delta_fp FROM dd2
+        |  UNION ALL SELECT seed, id, delta_fp FROM dd1)
+        |SELECT id, floor((CAST(sum(delta_fp) AS DOUBLE) / 1e9)*1000000 + 0.5)/1000000 AS bc
+        |FROM alld GROUP BY id ORDER BY id""".stripMargin,
     // PPR unrolled 2 rounds: r0 = teleport(v) = 1/|seeds∩nodes| on
     // seeds, 0 elsewhere; per-round (1−d)·t(v) + d·inflow — the
     // q_pagerank recipe with the seed-restricted teleport

@@ -453,4 +453,31 @@ class GraphsSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].head()
     assert(rf == ((1L, 2L, None)), s"degenerate tail must be NULL: $rf")
   }
+
+  test("betweennessSampled: path graph hand values; diamond splits dependency 0.5/0.5") {
+    // path a-b-c-d-e symmetric, source {a}: delta b=3, c=2, d=1, e=0
+    val pth = Seq(("a","b"),("b","c"),("c","d"),("d","e"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("s", "d")
+    val bc = Graphs.betweennessSampled(pth, "s", "d", Seq("a").toDF("id"), "id", maxHops = 4)
+      .as[(String, Double)].collect().toMap
+    assert(bc == Map("b" -> 3.0, "c" -> 2.0, "d" -> 1.0, "e" -> 0.0), s"got $bc")
+
+    // diamond a->{b,c}->d: two shortest paths, each carries 1/2
+    val dia = Seq(("a","b"),("a","c"),("b","d"),("c","d"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("s", "d")
+    val bd = Graphs.betweennessSampled(dia, "s", "d", Seq("a").toDF("id"), "id", maxHops = 2)
+      .as[(String, Double)].collect().toMap
+    assert(bd == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0), s"got $bd")
+  }
+
+  test("betweennessSampled: multi-source sums dependencies across seeds") {
+    // path a-b-c symmetric, seeds {a, c}: each source gives delta(b)=1
+    val p3 = Seq(("a","b"),("b","a"),("b","c"),("c","b")).toDF("s", "d")
+    val bc = Graphs.betweennessSampled(p3, "s", "d", Seq("a","c").toDF("id"), "id", maxHops = 2)
+      .as[(String, Double)].collect().toMap
+    // b gets 1 from a and 1 from c; endpoints get 1 as each other's leaf... 
+    // from a: levels a->b(s1)->c(s1): delta(b)=1, delta(c)=0
+    // from c: delta(b)=1, delta(a)=0
+    assert(bc == Map("b" -> 2.0, "a" -> 0.0, "c" -> 0.0), s"got $bc")
+  }
 }
