@@ -101,9 +101,12 @@ object Bootstrap {
     * Returns (g = G, mean, se_jack). */
   def jackknifeMean(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val cents = floor(col(valueCol) * lit(100) + lit(0.5)).cast("long")
-    val per = df.select(col(groupCol).as("__g"), cents.as("__c"))
-      .groupBy(col("__g"))
-      .agg(sum(col("__c")).as("s_g"), count(lit(1)).as("n_g"))
+    // three consumers (tot, loo, and loo's second read through bar) —
+    // leaf barrier so the log scan+aggregate runs once
+    val per = graft.core.Lineage.truncate(
+      df.select(col(groupCol).as("__g"), cents.as("__c"))
+        .groupBy(col("__g"))
+        .agg(sum(col("__c")).as("s_g"), count(lit(1)).as("n_g")))
     val tot = per.agg(sum(col("s_g")).as("s"), sum(col("n_g")).as("n"),
       count(lit(1)).as("g"))
     val loo = per.crossJoin(broadcast(tot))

@@ -36,11 +36,14 @@ object NaiveBayes {
     * aggregation downstream; accuracy = avg(correct). */
   def fitPredict(docs: DataFrame, idCol: String, textCol: String,
                  labelCol: String): DataFrame = {
-    val toks = docs
+    // five consumers (doc-term counts, class totals, corpus totals,
+    // term-class counts, vocab) — cut the tokenized explode to a
+    // checkpoint leaf or each re-derives the full corpus scan+explode
+    val toks = graft.core.Lineage.truncate(docs
       .select(col(idCol), col(labelCol).as("label_true"),
         TextAnalysis.tokens(textCol).as("toks"))
       .filter(size(col("toks")) >= 1)
-      .select(col(idCol), col("label_true"), explode(col("toks")).as("term"))
+      .select(col(idCol), col("label_true"), explode(col("toks")).as("term")))
     // per-doc term counts: the multinomial event counts
     val dt = toks.groupBy(col(idCol), col("label_true"), col("term"))
       .agg(count(lit(1)).as("c"))

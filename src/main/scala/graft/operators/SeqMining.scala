@@ -30,9 +30,11 @@ object SeqMining {
   def seqPairs(events: DataFrame, userCol: String, typeCol: String,
                tsCol: String, minUsers: Long = 1L): DataFrame = {
     require(minUsers >= 1, s"minUsers must be >= 1, got $minUsers")
-    val perUt = events
+    // three consumers (total, pair side a, pair side b) — cut to a
+    // checkpoint leaf or each re-derives the full log scan+aggregate
+    val perUt = graft.core.Lineage.truncate(events
       .groupBy(col(userCol).as("u"), col(typeCol).as("t"))
-      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts")))
     val nUsers = perUt.agg(countDistinct(col("u")).as("n_total"))
     val pairs = perUt.select(col("u"), col("t").as("type_a"), col("first_ts"))
       .join(perUt.select(col("u"), col("t").as("type_b"), col("last_ts")), "u")

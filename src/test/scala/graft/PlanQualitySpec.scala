@@ -501,4 +501,42 @@ class PlanQualitySpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), "pca has a data-scale cartesian")
   }
+
+  test("round-6 graph additions: no data-scale cartesian; temporal predicate rides the equi-join") {
+    // broadcast 1-row crosses are fine; a CartesianProduct between
+    // data-scale frames is the failure mode. For temporalReach the
+    // ts >= arr inequality must be a residual on the node equi-join,
+    // never the join itself (BNLJ over edges x state would be O(E*V)).
+    Seq("q_temporal_reach", "q_betweenness", "q_harmonic", "q_random_walks",
+        "q_densest", "q_ktruss").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degraded to a nested-loop join")
+    }
+    // q_seq_pairs keeps one sanctioned 1-row broadcast cross (the
+    // active-user total); the pair join itself must stay keyed
+    assert(!plan("q_seq_pairs").contains("CartesianProduct"),
+      "q_seq_pairs has a cartesian product")
+  }
+
+  test("q_naive_bayes: no corpus-scale window; scoring is joins + aggregates") {
+    // the argmax is max(struct) in an aggregate, NOT a row_number over
+    // the corpus (the oracle uses a window; the Spark side must not)
+    val p = plan("q_naive_bayes")
+    assert(!p.contains("CartesianProduct"), "naive bayes has a data-scale cartesian")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Window")),
+      "naive bayes must not use a window operator")
+  }
+
+  test("q_seq_pairs: the log is never self-joined; pair join runs on the per-(user,type) frame") {
+    // exactly one scan of the events parquet — the min/max-ts trick
+    // reads the raw log once and joins only the aggregated frame
+    // the per-(user,type) frame is a checkpoint leaf, so the realized
+    // plan reads the leaf (ExistingRDD), never the raw log — the one
+    // log scan+aggregate happened exactly once at leaf build
+    val p = plan("q_seq_pairs")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"raw events log leaked into the realized plan ($scans scans)")
+    assert(p.contains("ExistingRDD"), "per-(user,type) leaf missing")
+  }
 }
