@@ -81,7 +81,9 @@ object Bootstrap {
       .select(col("n"), col("mean"), col("b"), col("ci_lo"), col("ci_hi"))
   }
 
-  /** Delete-one-GROUP jackknife SE for the mean of `valueCol` (Efron;
+  /** Delete-one-GROUP jackknife SE for the mean of `valueCol`
+    * (2-decimal metric, same cent-exact contract as
+    * [[poissonBootstrapMean]]) (Efron;
     * the grouped/block form — delete-one-ROW is pointless at corpus
     * scale and the block form is also what correlated-within-group
     * data needs, e.g. users as groups): for each of the G groups,

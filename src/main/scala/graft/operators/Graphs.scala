@@ -992,6 +992,79 @@ object Graphs {
       .agg((sum(col("delta_fp")).cast("double") / 1e9).as("bc"))
   }
 
+  /** Newman's categorical (attribute) assortativity — label homophily
+    * (Newman 2003, "Mixing patterns in networks"): over the directed
+    * view of the undirected graph (each edge counted both ways so the
+    * mixing matrix is symmetric),
+    *   r = (Σ_x e_xx − Σ_x a_x·b_x) / (1 − Σ_x a_x·b_x),
+    * computed ENTIRELY in exact integers — with T = same-label directed
+    * edges, 2m = directed edges, ra_x/rb_x = label marginals:
+    *   r = (T·2m − Σ ra_x·rb_x) / ((2m)² − Σ ra_x·rb_x)
+    * (multiply the float form through by (2m)²) — one closing division,
+    * engine-stable. The attribute complement of degreeAssortativity:
+    * "do same-label nodes link?" is the cluster-purity signal for a
+    * kNN graph over labeled embeddings. NULL when every node shares
+    * one label (denominator 0 — r undefined). Edges whose endpoint is
+    * missing from `labels` are dropped (inner join; label the nodes
+    * first). Shape: two label equi-joins + one groupBy(label pair) +
+    * 1-row closing aggregate. Integer-domain bound: the cleared form
+    * squares 2m, so it is exact up to ~3·10⁹ directed edges — beyond
+    * that, divide through by (2m)² first (the float form; document the
+    * rounding). */
+  def attributeAssortativity(edges: DataFrame, srcCol: String, dstCol: String,
+                             labels: DataFrame, idCol: String,
+                             labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val und = canon.select(col("u").as("s"), col("v").as("d"))
+      .union(canon.select(col("v").as("s"), col("u").as("d")))
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
+    val mix = und
+      .join(lab.select(col("__id").as("s"), col("__l").as("lx")), Seq("s"))
+      .join(lab.select(col("__id").as("d"), col("__l").as("ly")), Seq("d"))
+      .groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("n"))
+    val marg = mix.groupBy(col("lx")).agg(sum(col("n")).as("ra"))
+      .join(mix.groupBy(col("ly").as("lx")).agg(sum(col("n")).as("rb")), Seq("lx"))
+    mix.agg(sum(col("n")).as("m2"),
+        sum(when(col("lx") === col("ly"), col("n")).otherwise(lit(0L))).as("t_same"))
+      .crossJoin(broadcast(marg.agg(sum(col("ra") * col("rb")).as("sab"))))
+      .select(col("m2"), col("t_same"),
+        (col("t_same").cast("double") / col("m2")).as("same_frac"),
+        when(col("m2") * col("m2") =!= col("sab"),
+          (col("t_same") * col("m2") - col("sab")).cast("double") /
+            (col("m2") * col("m2") - col("sab")).cast("double")).as("assortativity"))
+  }
+
+  /** Graph diameter LOWER BOUND by double sweep (Magnien, Latapy &
+    * Habib 2009): BFS from a deterministic start (the minimum node
+    * id), then BFS again from the farthest node found (ties to the
+    * smaller id); the second eccentricity bounds the diameter from
+    * below — in practice tight on real graphs, and TWO sweeps instead
+    * of the all-pairs exact computation. Both sweeps are hop-bounded
+    * by `maxHops` (an unconverged sweep reports the radius it saw).
+    * No collect: the argmax travels as a 1-row broadcast frame into
+    * the second sweep's seed. Returns one row
+    * (start_id, peripheral_id, ecc_start, diameter_lb). */
+  def diameterDoubleSweep(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxHops: Int): DataFrame = {
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val start = e.select(col("src").as("id")).union(e.select(col("dst")))
+      .agg(min(col("id")).as("id"))
+    val b1 = bfsHops(e, "src", "dst", start, "id", maxHops)
+    // farthest from start, ties to smaller id — stays a 1-row frame
+    val far = b1.orderBy(col("dist").desc, col("id")).limit(1)
+      .select(col("id").as("peripheral_id"), col("dist").as("ecc_start"))
+    val b2 = bfsHops(e, "src", "dst", far.select(col("peripheral_id").as("id")), "id", maxHops)
+    b2.agg(max(col("dist")).as("diameter_lb"))
+      .crossJoin(broadcast(far))
+      .crossJoin(broadcast(start.select(col("id").as("start_id"))))
+      .select(col("start_id"), col("peripheral_id"), col("ecc_start"), col("diameter_lb"))
+  }
+
   /** k-truss peel (Cohen 2008): repeatedly drop every edge whose
     * SUPPORT (number of triangles through it, = common neighbors of
     * its endpoints) is below k−2 — the edge-level analog of k-core,

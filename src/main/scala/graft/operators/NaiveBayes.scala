@@ -29,9 +29,11 @@ import graft.functions.TextAnalysis
   */
 object NaiveBayes {
 
-  /** Fit on `docs` and self-classify every row (train-set evaluation —
-    * the vocabulary is closed, so Laplace covers every (term, class)
-    * hole). Returns one row per document:
+  /** Fit on `docs` and self-classify every row that has at least one
+    * token (train-set evaluation — the vocabulary is closed, so Laplace
+    * covers every (term, class) hole; token-less documents carry no
+    * multinomial evidence and are EXCLUDED from fit and output both).
+    * Returns one row per scored document:
     * (idCol, label_true, label_pred, correct). Feed the confusion
     * aggregation downstream; accuracy = avg(correct). */
   def fitPredict(docs: DataFrame, idCol: String, textCol: String,

@@ -998,6 +998,29 @@ object TextVector {
         k = 4, rounds = 2)
       .orderBy("round")
 
+  /** Newman categorical assortativity of the embedding 3-NN graph
+    * against the embeddings' class labels
+    * (Graphs.attributeAssortativity, all-integer cleared form): do
+    * same-label vectors neighbor each other — the label-homophily /
+    * cluster-purity read on the ANN index that q_assortativity (degree
+    * mixing) can't give. */
+  def homophilyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.attributeAssortativity(
+        knn3(s, dir), "query_id", "neighbor_id", embs(s, dir), "vec_id", "label")
+      .select(col("m2"), col("t_same"), rd(col("same_frac"), 6).as("same_frac"),
+        rd(col("assortativity"), 8).as("assortativity"))
+
+  /** Double-sweep diameter lower bound (Graphs.diameterDoubleSweep,
+    * 8-hop budget) of the symmetrized 3-NN graph — how stretched is
+    * the embedding manifold's neighbor structure; two BFS sweeps, the
+    * argmax travels as a 1-row broadcast (no collect). */
+  def diameterQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knn3(s, dir)
+    val und = knn.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .union(knn.select(col("neighbor_id").as("src"), col("query_id").as("dst")))
+    graft.operators.Graphs.diameterDoubleSweep(und, "src", "dst", maxHops = 8)
+  }
+
   /** Chi-square independence gate for lang × source — "is the language
     * mix uniform across crawl sources?" (Drift.chiSquareIndependence:
     * full-grid expected mass, 1e-9 fixed-point term sums). */
@@ -1529,6 +1552,8 @@ object TextVector {
     "q_densest" -> densestQ,
     "q_naive_bayes" -> naiveBayesQ,
     "q_ktruss" -> ktrussQ,
+    "q_homophily" -> homophilyQ,
+    "q_diameter" -> diameterQ,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -3144,6 +3169,55 @@ object TextVector {
         |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM e1
         |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM e2)
         |ORDER BY round""".stripMargin,
+    // Newman r in the integer-cleared form: (T·2m − Σ ra·rb) /
+    // ((2m)² − Σ ra·rb) — exact longs until the one closing division
+    "q_homophily" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |canon AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |und AS (SELECT u AS s, v AS d FROM canon UNION ALL SELECT v, u FROM canon),
+        |lab AS (SELECT vec_id AS id, label FROM embeddings),
+        |mix AS (SELECT a.label AS lx, b.label AS ly, CAST(count(*) AS BIGINT) AS n
+        |        FROM und JOIN lab a ON a.id = und.s JOIN lab b ON b.id = und.d
+        |        GROUP BY 1, 2),
+        |marg AS (SELECT ra.lx, ra.ra, rb.rb
+        |  FROM (SELECT lx, CAST(sum(n) AS BIGINT) AS ra FROM mix GROUP BY 1) ra
+        |  JOIN (SELECT ly AS lx, CAST(sum(n) AS BIGINT) AS rb FROM mix GROUP BY 1) rb
+        |    USING (lx)),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS m2,
+        |  CAST(sum(CASE WHEN lx = ly THEN n ELSE 0 END) AS BIGINT) AS t_same FROM mix),
+        |sab AS (SELECT CAST(sum(ra*rb) AS BIGINT) AS sab FROM marg)
+        |SELECT m2, t_same,
+        |  floor((CAST(t_same AS DOUBLE) / m2)*1000000 + 0.5)/1000000 AS same_frac,
+        |  CASE WHEN m2*m2 <> sab THEN
+        |    floor((CAST(t_same*m2 - sab AS DOUBLE) / CAST(m2*m2 - sab AS DOUBLE))
+        |      *100000000 + 0.5)/100000000
+        |  END AS assortativity
+        |FROM tot, sab""".stripMargin,
+    "q_diameter" ->
+      s"""WITH RECURSIVE ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT query_id AS src, neighbor_id AS dst FROM knn
+        |  UNION ALL SELECT neighbor_id, query_id FROM knn) WHERE src <> dst),
+        |n0 AS (SELECT min(src) AS id FROM und),
+        |r1(id, d) AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS d FROM n0
+        |  UNION
+        |  SELECT und.dst, r1.d + 1 FROM r1 JOIN und ON und.src = r1.id WHERE r1.d < 8),
+        |b1 AS (SELECT id, CAST(min(d) AS BIGINT) AS dist FROM r1 GROUP BY 1),
+        |far AS (SELECT id AS peripheral_id, dist AS ecc_start FROM b1
+        |        ORDER BY dist DESC, id LIMIT 1),
+        |r2(id, d) AS (
+        |  SELECT peripheral_id AS id, CAST(0 AS BIGINT) AS d FROM far
+        |  UNION
+        |  SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.id WHERE r2.d < 8),
+        |b2 AS (SELECT CAST(max(min_d) AS BIGINT) AS diameter_lb FROM
+        |  (SELECT id, min(d) AS min_d FROM r2 GROUP BY 1))
+        |SELECT n0.id AS start_id, far.peripheral_id, far.ecc_start, b2.diameter_lb
+        |FROM n0, far, b2""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),

@@ -480,4 +480,41 @@ class GraphsSpec extends AnyFunSuite {
     // from c: delta(b)=1, delta(a)=0
     assert(bc == Map("b" -> 2.0, "a" -> 0.0, "c" -> 0.0), s"got $bc")
   }
+
+  test("attributeAssortativity: bridged same-label triangles; perfect homophily = 1; single label NULL") {
+    val triA = Seq(("a1","a2"),("a2","a3"),("a1","a3"))
+    val triB = Seq(("b1","b2"),("b2","b3"),("b1","b3"))
+    val lab = Seq(("a1","A"),("a2","A"),("a3","A"),("b1","B"),("b2","B"),("b3","B"))
+      .toDF("id", "l")
+    val bridged = (triA ++ triB :+ ("a1","b1")).toDF("s", "d")
+    val r = Graphs.attributeAssortativity(bridged, "s", "d", lab, "id", "l")
+      .as[(Long, Long, Double, Option[Double])].head()
+    // 2m=14, T=12, ra=rb=7 per label: r = (12*14-98)/(196-98) = 70/98
+    assert(r._1 == 14L && r._2 == 12L, s"got $r")
+    assert(math.abs(r._4.get - 70.0/98) < 1e-12, s"got $r")
+
+    val perfect = (triA ++ triB).toDF("s", "d")
+    val rp = Graphs.attributeAssortativity(perfect, "s", "d", lab, "id", "l")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(rp._4.contains(1.0), s"disconnected same-label cliques must give r=1: $rp")
+
+    val mono = triA.toDF("s", "d")
+    val rm = Graphs.attributeAssortativity(mono, "s", "d", lab, "id", "l")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(rm._4.isEmpty, s"single-label graph must give NULL r: $rm")
+  }
+
+  test("diameterDoubleSweep: path graph exact; tie on farthest goes to smaller id") {
+    val p4 = Seq(("a","b"),("b","c"),("c","d"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("s", "d")
+    val r = Graphs.diameterDoubleSweep(p4, "s", "d", maxHops = 8)
+      .as[(String, String, Long, Long)].head()
+    assert(r == (("a", "d", 3L, 3L)), s"got $r")
+
+    val star = Seq(("a","b"),("a","c"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("s", "d")
+    val rs = Graphs.diameterDoubleSweep(star, "s", "d", maxHops = 8)
+      .as[(String, String, Long, Long)].head()
+    assert(rs == (("a", "b", 1L, 2L)), s"tie must pick b over c: $rs")
+  }
 }
