@@ -733,9 +733,18 @@ object Dedup {
     * shared-shingle join quadratic never enter the join (measured
     * 14.5 s → 7.2 s at sf0.1 like-for-like), and the found pair set
     * is provably identical. */
+  /** @param candidates optional PRE-BUILT candidate pair frame
+    *        (id_a, id_b) to audit instead of deriving the k/rowsPerBand
+    *        LSH chain here — pass a session-shared frame (e.g. the
+    *        SharedFrames LSH leaf) when other queries already pay for
+    *        the same banding, so the audit adds only the truth leg. The
+    *        caller owns parameter consistency (same shingles, k,
+    *        rowsPerBand) — the audit measures WHATEVER generator
+    *        produced the pairs. */
   def blockingQuality(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2,
-                      trueJaccard: Double = 0.5): DataFrame = {
+                      trueJaccard: Double = 0.5,
+                      candidates: Option[DataFrame] = None): DataFrame = {
     // one tokenize pass feeds truth discovery AND the exact verify;
     // eager checkpoint leaf — multi-consumer barrier, plan cut, no
     // cache lifetime to manage (containmentPairs)
@@ -750,9 +759,10 @@ object Dedup {
     // Same multi-consumer truncate as `sh` above.
     val truth = graft.core.Lineage.truncate(
       blockingTruthPairs(sh, idCol, trueJaccard))
-    val cand = graft.core.Lineage.truncate(lshCandidatePairs(
-      minhashSignaturesFromShingles(sh, idCol, "sh", k), idCol, k, rowsPerBand)
-      .select("id_a", "id_b"))
+    val cand = candidates.map(_.select("id_a", "id_b"))
+      .getOrElse(graft.core.Lineage.truncate(lshCandidatePairs(
+        minhashSignaturesFromShingles(sh, idCol, "sh", k), idCol, k, rowsPerBand)
+        .select("id_a", "id_b")))
     val hit = truth.join(cand, Seq("id_a", "id_b"))
     val ratio4 = (num: Column, den: Column) =>
       when(den > 0, graft.queries.rd(num.cast("double") / den, 4))

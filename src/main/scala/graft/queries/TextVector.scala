@@ -1021,6 +1021,22 @@ object TextVector {
     graft.operators.Graphs.diameterDoubleSweep(und, "src", "dst", maxHops = 8)
   }
 
+  /** Mutual (reciprocal) kNN pairs over the shared 3-NN graph: (a, b)
+    * kept only when each is in the other's top-3 — the
+    * high-precision matching filter (bitext/translation mining's
+    * reciprocal-best-match rule) that one-directional kNN can't give:
+    * a hub vector appears in many top-3 lists while its own list holds
+    * only its true peers. One intersect of the edge set with its
+    * reverse — a single keyed shuffle on the pair. */
+  def mutualKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val knn = knn3(s, dir)
+    val fwd = knn.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val rev = knn.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
+    fwd.intersect(rev)
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Chi-square independence gate for lang × source — "is the language
     * mix uniform across crawl sources?" (Drift.chiSquareIndependence:
     * full-grid expected mass, 1e-9 fixed-point term sums). */
@@ -1274,9 +1290,14 @@ object TextVector {
 
   /** LSH blocking-quality audit (Dedup.blockingQuality): pair
     * completeness / precision / reduction ratio of the banded MinHash
-    * candidate generator against exact Jaccard ≥ 0.5 ground truth. */
+    * candidate generator against exact Jaccard ≥ 0.5 ground truth.
+    * The candidate side is the SESSION-SHARED LSH pair leaf — the
+    * audit measures the very frame the dedup queries consume (stronger
+    * audit semantics AND no second banding chain; the run then pays
+    * only the PPJoin truth leg). */
   def blockingEval(s: SparkSession, dir: String): DataFrame =
-    Dedup.blockingQuality(docs(s, dir), "doc_id", "text")
+    Dedup.blockingQuality(docs(s, dir), "doc_id", "text",
+      candidates = Some(lshPairsShared(s, dir)))
 
   /** Embedding-space decontamination (Similarity.crossCorpusLeakage):
     * training vectors (vec_id ≥ 25) sitting within cosine 0.2 of any
@@ -1554,6 +1575,7 @@ object TextVector {
     "q_ktruss" -> ktrussQ,
     "q_homophily" -> homophilyQ,
     "q_diameter" -> diameterQ,
+    "q_mutual_knn" -> mutualKnnQ,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -3218,6 +3240,13 @@ object TextVector {
         |  (SELECT id, min(d) AS min_d FROM r2 GROUP BY 1))
         |SELECT n0.id AS start_id, far.peripheral_id, far.ecc_start, b2.diameter_lb
         |FROM n0, far, b2""".stripMargin,
+    "q_mutual_knn" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3)
+        |SELECT DISTINCT k1.query_id AS id_a, k1.neighbor_id AS id_b
+        |FROM knn k1 JOIN knn k2
+        |  ON k2.query_id = k1.neighbor_id AND k2.neighbor_id = k1.query_id
+        |WHERE k1.query_id < k1.neighbor_id ORDER BY 1, 2""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
