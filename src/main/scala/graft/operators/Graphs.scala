@@ -917,6 +917,53 @@ object Graphs {
           .as("alpha"))
   }
 
+  /** Seed-label SPREADING — semi-supervised label bootstrapping (Zhu &
+    * Ghahramani 2002's label propagation, the hard-clamp majority
+    * variant): known labels stay fixed, and each round every still-
+    * unlabeled node adopts the MAJORITY label among its labeled
+    * neighbors (ties → smaller label). The training-data-pipeline move
+    * "label 1% by hand, push labels through the kNN graph" — distinct
+    * from [[labelPropagation]], which is UNSUPERVISED community
+    * detection by min-label convergence.
+    *
+    * Determinism: votes are exact integer counts; the winner is
+    * min(struct(−count, label)) — a map-side-combinable aggregate, no
+    * window over the corpus, no float anywhere; fixed `rounds` keeps
+    * the trajectory oracle-unrollable. Per round: one state⋈edges join
+    * + one (node, label) count + one node argmin + one anti-join vs
+    * labeled. Returns (id, label, round) — round = when the node was
+    * labeled (0 = seed); nodes unreached after `rounds` are absent.
+    * Seeds must be unique per id (caller contract). Symmetrizes
+    * internally. */
+  def labelSpread(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, idCol: String, labelCol: String,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"), greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val und = Lineage.truncate(
+      canon.select(col("u").as("src"), col("v").as("dst"))
+        .union(canon.select(col("v").as("src"), col("u").as("dst"))))
+    var state = Lineage.truncate(
+      seeds.select(col(idCol).as("id"), col(labelCol).as("label")).distinct()
+        .withColumn("round", lit(0)))
+    for (r <- 1 to rounds) {
+      val votes = und.join(state, und("src") === state("id"))
+        .select(und("dst").as("nid"), col("label"))
+        .join(state.select(col("id").as("nid")), Seq("nid"), "left_anti")
+        .groupBy(col("nid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winners = votes
+        .groupBy(col("nid"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("m"))
+        .select(col("nid").as("id"), col("m.lb").as("label"), lit(r).as("round"))
+      state = Lineage.truncate(state.union(winners))
+    }
+    state
+  }
+
   /** Sampled, hop-bounded betweenness centrality — Brandes'
     * dependency accumulation (Brandes 2001) restricted to a SOURCE
     * SAMPLE and a hop radius (Brandes & Pich 2007 show the source-

@@ -1021,6 +1021,19 @@ object TextVector {
     graft.operators.Graphs.diameterDoubleSweep(und, "src", "dst", maxHops = 8)
   }
 
+  /** Seed-label spreading (Graphs.labelSpread, 2 rounds) over the
+    * shared 3-NN graph: the first 30 vectors keep their true labels,
+    * everything else adopts the majority label of its labeled
+    * neighbors — the "label 1% by hand, propagate through the ANN
+    * graph" bootstrapping move. Exact integer votes, min-label ties. */
+  def labelSpreadQ(s: SparkSession, dir: String): DataFrame = {
+    val seeds = embs(s, dir).filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("label"))
+    graft.operators.Graphs.labelSpread(knn3(s, dir), "query_id", "neighbor_id",
+        seeds, "vec_id", "label", rounds = 2)
+      .orderBy("id")
+  }
+
   /** Mutual (reciprocal) kNN pairs over the shared 3-NN graph: (a, b)
     * kept only when each is in the other's top-3 — the
     * high-precision matching filter (bitext/translation mining's
@@ -1576,6 +1589,7 @@ object TextVector {
     "q_homophily" -> homophilyQ,
     "q_diameter" -> diameterQ,
     "q_mutual_knn" -> mutualKnnQ,
+    "q_label_spread" -> labelSpreadQ,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -3247,6 +3261,31 @@ object TextVector {
         |FROM knn k1 JOIN knn k2
         |  ON k2.query_id = k1.neighbor_id AND k2.neighbor_id = k1.query_id
         |WHERE k1.query_id < k1.neighbor_id ORDER BY 1, 2""".stripMargin,
+    // 2 unrolled hard-clamp majority rounds; winner = (cnt desc, label)
+    "q_label_spread" ->
+      s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
+        |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+        |canon AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS u, greatest(query_id, neighbor_id) AS v
+        |  FROM knn WHERE query_id <> neighbor_id),
+        |und AS (SELECT u AS src, v AS dst FROM canon UNION ALL SELECT v, u FROM canon),
+        |s0 AS (SELECT vec_id AS id, label, CAST(0 AS INT) AS round
+        |       FROM embeddings WHERE vec_id < 30),
+        |v1 AS (SELECT und.dst AS nid, s0.label, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM und JOIN s0 ON und.src = s0.id
+        |       WHERE und.dst NOT IN (SELECT id FROM s0) GROUP BY 1, 2),
+        |w1 AS (SELECT nid AS id, label, CAST(1 AS INT) AS round FROM (
+        |       SELECT nid, label, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, label) AS rn
+        |       FROM v1) WHERE rn = 1),
+        |s1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM w1),
+        |v2 AS (SELECT und.dst AS nid, s1.label, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM und JOIN s1 ON und.src = s1.id
+        |       WHERE und.dst NOT IN (SELECT id FROM s1) GROUP BY 1, 2),
+        |w2 AS (SELECT nid AS id, label, CAST(2 AS INT) AS round FROM (
+        |       SELECT nid, label, row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, label) AS rn
+        |       FROM v2) WHERE rn = 1)
+        |SELECT id, label, round FROM (SELECT * FROM s1 UNION ALL SELECT * FROM w2)
+        |ORDER BY id""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),

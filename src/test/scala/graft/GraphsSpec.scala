@@ -517,4 +517,20 @@ class GraphsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].head()
     assert(rs == (("a", "b", 1L, 2L)), s"tie must pick b over c: $rs")
   }
+
+  test("labelSpread: hard-clamped seeds, one hop per round, majority with min-label ties") {
+    // path a-b-c-d, seed a=X: b labeled round 1, c round 2, d absent
+    val pth = Seq(("a","b"),("b","c"),("c","d")).toDF("s", "d")
+    val seeds = Seq(("a", "X")).toDF("id", "l")
+    val r = Graphs.labelSpread(pth, "s", "d", seeds, "id", "l", rounds = 2)
+      .as[(String, String, Int)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r == Map("a" -> (("X", 0)), "b" -> (("X", 1)), "c" -> (("X", 2))), s"got $r")
+
+    // tie: m sees one A and one B neighbor -> min label A; seeds never flip
+    val star = Seq(("m","s1"),("m","s2")).toDF("s", "d")
+    val sd = Seq(("s1","A"),("s2","B")).toDF("id", "l")
+    val rt = Graphs.labelSpread(star, "s", "d", sd, "id", "l", rounds = 1)
+      .as[(String, String, Int)].collect().map(x => x._1 -> x._2).toMap
+    assert(rt == Map("s1" -> "A", "s2" -> "B", "m" -> "A"), s"got $rt")
+  }
 }
