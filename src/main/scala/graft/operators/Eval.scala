@@ -90,6 +90,78 @@ object Eval {
         col("abs_gap"), col("ece"))
   }
 
+  /** Exact isotonic calibration over score bins — pool-adjacent-
+    * violators via the minimax identity (Ayer et al. 1955; Barlow &
+    * Brunk 1972): with bins ordered by score,
+    *   rate_iso(i) = max_{j≤i} min_{k≥i} (Σ npos[j..k] / Σ n[j..k]),
+    * which IS the PAV solution — no sequential pooling loop, so the
+    * whole fit is dataflow: one corpus aggregate to the B-row bin
+    * frame, prefix sums over it, then two nested min/max joins that
+    * touch only B² tiny rows. The monotone-regression upgrade over
+    * [[calibration]]'s raw per-bin rates (a calibration map must be
+    * non-decreasing to be invertible into a decision threshold).
+    *
+    * Exactness: every range rate is one double division of exact
+    * integer prefix-sum differences — identical in any engine; min/max
+    * never accumulate, so there is no float-order surface at all.
+    * Returns (bin, n, rate_raw, rate_iso), rate_iso non-decreasing.
+    * `labelCol` must be 0/1 (the LogReg convention). */
+  def isotonicFit(df: DataFrame, probCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val perBin = df
+      .withColumn("__b", least(floor(col(probCol) * lit(bins)), lit(bins - 1)).cast("int"))
+      .groupBy(col("__b").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("npos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = perBin
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("npos")).over(w))
+    val js = pre.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cnj"), (col("cp") - col("npos")).as("cpj"))
+    val ks = pre.select(col("bin").as("k"), col("cn").as("cnk"), col("cp").as("cpk"))
+    // B-row frames only: the non-equi joins below are bins²-sized
+    val ranges = js.join(ks, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (col("cpk") - col("cpj")).as("p"), (col("cnk") - col("cnj")).as("c"))
+    val innerMin = perBin.select(col("bin").as("i"), col("n"), col("npos"))
+      .join(ranges, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("n"), col("npos"), col("j"))
+      .agg(min(col("p").cast("double") / col("c")).as("mn"))
+    innerMin.groupBy(col("i"), col("n"), col("npos"))
+      .agg(max(col("mn")).as("rate_iso"))
+      .select(col("i").as("bin"), col("n"),
+        (col("npos").cast("double") / col("n")).as("rate_raw"), col("rate_iso"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelings
+    * (Cohen 1960), in the integer-cleared form: with diagonal count D,
+    * marginal products Σ r_g·c_g and total N,
+    *   κ = (D·N − Σ r_g·c_g) / (N² − Σ r_g·c_g)
+    * (multiply (p_o − p_e)/(1 − p_e) through by N²) — exact longs to
+    * one closing division, NULL when p_e = 1 (both raters constant and
+    * equal — κ undefined). Input is any (aCol, bCol) pair frame (e.g.
+    * predicted vs true, or two annotators). One pair groupBy + two
+    * marginal aggregates, all label-cardinality-sized. Integer-domain
+    * bound: N² must fit a long (N ≤ ~3·10⁹ pairs). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("r"))
+    val cb = cells.groupBy(col("b").as("a")).agg(sum(col("n")).as("c"))
+    val pe = ra.join(cb, Seq("a"), "inner")
+      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("sab"))
+    cells.agg(sum(col("n")).as("n_pairs"),
+        sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L))).as("d"))
+      .crossJoin(broadcast(pe))
+      .select(col("n_pairs"), col("d"),
+        (col("d").cast("double") / col("n_pairs")).as("agreement"),
+        when(col("n_pairs") * col("n_pairs") =!= col("sab"),
+          (col("d") * col("n_pairs") - col("sab")).cast("double") /
+            (col("n_pairs") * col("n_pairs") - col("sab")).cast("double")).as("kappa"))
+  }
+
   /** Split-conformal prediction interval for a 1-feature regression —
     * the distribution-free uncertainty wrapper: fit on one hash slice,
     * take the ⌈(n+1)·q⌉-th smallest absolute residual on a disjoint

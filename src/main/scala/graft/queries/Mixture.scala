@@ -69,6 +69,24 @@ object Mixture {
     * probabilities all land in one bin — a degenerate diagram), and
     * its per-bin gap exposes exactly the miscalibration a reliability
     * diagram exists to show. */
+  /** Isotonic (PAV) calibration of the quality score against the
+    * lang=='en' label over the q_calibration bins (Eval.isotonicFit,
+    * minimax identity — pure dataflow, no sequential pooling): the
+    * non-decreasing calibration map a decision threshold can invert,
+    * where q_calibration only reports raw per-bin rates. */
+  def isotonic(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        TextAnalysis.qualityScore(size(col("toks")),
+          TextAnalysis.stopwordRatio("toks"), TextAnalysis.punctRatio("text")).as("p"))
+    Eval.isotonicFit(scored, "p", "y", bins = 10)
+      .select(col("bin"), col("n"),
+        rd(col("rate_raw"), 6).as("rate_raw"), rd(col("rate_iso"), 6).as("rate_iso"))
+      .orderBy("bin")
+  }
+
   def calibration(s: SparkSession, dir: String): DataFrame = {
     val scored = docs(s, dir)
       .withColumn("toks", TextAnalysis.tokens("text"))
@@ -309,6 +327,7 @@ object Mixture {
     "q_temp_mix" -> tempMix,
     "q_raking" -> raking,
     "q_calibration" -> calibration,
+    "q_isotonic" -> isotonic,
     "q_pca_top" -> pcaTop,
     "q_linkage" -> linkage,
     "q_diversity" -> diversity,
@@ -318,6 +337,22 @@ object Mixture {
     "CASE " + targets.toSeq.sortBy(_._1)
       .map { case (k, v) => s"WHEN $keyCol = '$k' THEN $v" }
       .mkString(" ") + " END"
+
+  /** Shared DuckDB CTE: the quality-score/label frame behind
+    * q_calibration AND q_isotonic — factored so the score formula
+    * can't drift between the raw-rate and isotonic oracles. */
+  private val qualityScoredCte =
+    """dq AS (
+      |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |mq AS (
+      |  SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_tokens,
+      |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
+      |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
+      |  FROM dq),
+      |sc AS (
+      |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+      |    0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio) AS p
+      |  FROM mq)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // the md5 52-bit uniform (weightedSample recipe) through the
@@ -689,17 +724,7 @@ object Mixture {
          |FROM s4 ORDER BY lang, source""".stripMargin
     },
     "q_calibration" ->
-      ("""WITH dq AS (
-        |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
-        |mq AS (
-        |  SELECT doc_id, lang, CAST(len(w) AS INTEGER) AS n_tokens,
-        |    1.0 * len(list_filter(w, t -> t IN ('the', 'a'))) / greatest(len(w), 1) AS stopword_ratio,
-        |    1.0 * (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio
-        |  FROM dq),
-        |sc AS (
-        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
-        |    0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio) AS p
-        |  FROM mq),
+      ("WITH " + qualityScoredCte + """,
         |pb AS (
         |  SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
         |    count(*) AS n,
@@ -722,6 +747,33 @@ object Mixture {
         |  floor((abs_gap)*1000000 + 0.5)/1000000 AS abs_gap,
         |  floor((ece)*1000000 + 0.5)/1000000 AS ece
         |FROM pbx CROSS JOIN tt ORDER BY bin""".stripMargin),
+    // PAV via the minimax identity over the same bin frame: every range
+    // rate is one division of exact prefix-sum differences; min/max
+    // never accumulate
+    "q_isotonic" ->
+      ("WITH " + qualityScoredCte + """,
+        |pb2 AS (
+        |  SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS npos
+        |  FROM sc GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, npos,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(sum(npos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |  FROM pb2),
+        |rng AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    k.cp - (j.cp - j.npos) AS p, k.cn - (j.cn - j.n) AS c
+        |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+        |im AS (
+        |  SELECT b.bin AS i, b.n, b.npos, r.j, min(CAST(r.p AS DOUBLE) / r.c) AS mn
+        |  FROM pb2 b JOIN rng r ON r.j <= b.bin AND b.bin <= r.k
+        |  GROUP BY 1, 2, 3, 4),
+        |iso AS (SELECT i AS bin, n, npos, max(mn) AS rate_iso FROM im GROUP BY 1, 2, 3)
+        |SELECT bin, n,
+        |  floor((CAST(npos AS DOUBLE) / n)*1000000 + 0.5)/1000000 AS rate_raw,
+        |  floor((rate_iso)*1000000 + 0.5)/1000000 AS rate_iso
+        |FROM iso ORDER BY bin""".stripMargin),
     "q_pca_top" ->
       """WITH ex AS (
         |  SELECT vec_id AS id, pos - 1 AS pos, x FROM (

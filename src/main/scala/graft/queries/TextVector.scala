@@ -989,6 +989,19 @@ object TextVector {
         graft.operators.NaiveBayes.fitPredict(docs(s, dir), "doc_id", "text", "lang"))
       .orderBy("label_true", "label_pred")
 
+  /** Cohen's kappa (Eval.cohensKappa, integer-cleared form) between
+    * the Naive Bayes language prediction and the true lang label —
+    * chance-corrected agreement, the honest version of "accuracy" when
+    * the label distribution is skewed (raw agreement flatters a
+    * majority-class guesser; κ doesn't). */
+  def kappaQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cohensKappa(
+        graft.operators.NaiveBayes.fitPredict(docs(s, dir), "doc_id", "text", "lang")
+          .select(col("label_true").as("a"), col("label_pred").as("b")),
+        "a", "b")
+      .select(col("n_pairs"), col("d"), rd(col("agreement"), 6).as("agreement"),
+        rd(col("kappa"), 8).as("kappa"))
+
   /** k-truss peel (Graphs.kTruss, k=4, 2 rounds) over the embedding
     * 3-NN graph: edges kept only while ≥2 triangles run through them —
     * the triangle-dense-core trajectory, strictly stronger cohesion
@@ -1590,6 +1603,7 @@ object TextVector {
     "q_diameter" -> diameterQ,
     "q_mutual_knn" -> mutualKnnQ,
     "q_label_spread" -> labelSpreadQ,
+    "q_kappa" -> kappaQ,
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
@@ -1923,6 +1937,39 @@ object TextVector {
       |    floor(pr*10000 + 0.5)/10000 AS punct_r,
       |    floor((0.5 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - sr) + 0.2 * (1.0 - pr))*10000 + 0.5)/10000 AS score
       |  FROM m)""".stripMargin
+
+  /** Shared DuckDB CTE chain: the full fixed-point Naive Bayes fit
+    * through the ranked `pred` relation — factored so q_naive_bayes
+    * (confusion) and q_kappa (chance-corrected agreement) cannot
+    * drift. */
+  private val naiveBayesPredCte =
+    """tk AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |            FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(w) AS term FROM tk WHERE len(w) >= 1),
+        |dt AS (SELECT doc_id, lang AS label_true, term, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2, 3),
+        |cls AS (SELECT lang AS label, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_c,
+        |        CAST(count(*) AS BIGINT) AS n_tok_c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
+        |tc AS (SELECT term, lang AS label, CAST(count(*) AS BIGINT) AS n_tc
+        |       FROM tok GROUP BY 1, 2),
+        |mdl AS (SELECT vt.term, c.label,
+        |  CAST(floor(ln(CAST(coalesce(tc.n_tc, 0) + 1 AS DOUBLE) / (c.n_tok_c + t.v))
+        |    * 1000000000 + 0.5) AS BIGINT) AS ll_fp
+        |  FROM (SELECT DISTINCT term FROM tok) vt CROSS JOIN cls c
+        |  LEFT JOIN tc ON tc.term = vt.term AND tc.label = c.label, tot t),
+        |pri AS (SELECT label,
+        |  CAST(floor(ln(CAST(n_docs_c AS DOUBLE) / t.n_docs) * 1000000000 + 0.5) AS BIGINT)
+        |    AS prior_fp
+        |  FROM cls, tot t),
+        |sc AS (SELECT dt.doc_id, dt.label_true, m.label,
+        |  CAST(sum(dt.c * m.ll_fp) AS BIGINT) + min(p.prior_fp) AS score
+        |  FROM dt JOIN mdl m ON m.term = dt.term JOIN pri p ON p.label = m.label
+        |  GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, label_true, label AS label_pred,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+        |  FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // NDCG discount/prefix literals are GENERATED from the same
@@ -3155,35 +3202,28 @@ object TextVector {
     // same 1e-9 fixed-point log quantization BEFORE the sum as the
     // Spark side — the argmax compares exact integers on both engines
     "q_naive_bayes" ->
-      """WITH tk AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-        |            FROM documents),
-        |tok AS (SELECT doc_id, lang, unnest(w) AS term FROM tk WHERE len(w) >= 1),
-        |dt AS (SELECT doc_id, lang AS label_true, term, CAST(count(*) AS BIGINT) AS c
-        |       FROM tok GROUP BY 1, 2, 3),
-        |cls AS (SELECT lang AS label, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_c,
-        |        CAST(count(*) AS BIGINT) AS n_tok_c FROM tok GROUP BY 1),
-        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |        CAST(count(DISTINCT term) AS BIGINT) AS v FROM tok),
-        |tc AS (SELECT term, lang AS label, CAST(count(*) AS BIGINT) AS n_tc
-        |       FROM tok GROUP BY 1, 2),
-        |mdl AS (SELECT vt.term, c.label,
-        |  CAST(floor(ln(CAST(coalesce(tc.n_tc, 0) + 1 AS DOUBLE) / (c.n_tok_c + t.v))
-        |    * 1000000000 + 0.5) AS BIGINT) AS ll_fp
-        |  FROM (SELECT DISTINCT term FROM tok) vt CROSS JOIN cls c
-        |  LEFT JOIN tc ON tc.term = vt.term AND tc.label = c.label, tot t),
-        |pri AS (SELECT label,
-        |  CAST(floor(ln(CAST(n_docs_c AS DOUBLE) / t.n_docs) * 1000000000 + 0.5) AS BIGINT)
-        |    AS prior_fp
-        |  FROM cls, tot t),
-        |sc AS (SELECT dt.doc_id, dt.label_true, m.label,
-        |  CAST(sum(dt.c * m.ll_fp) AS BIGINT) + min(p.prior_fp) AS score
-        |  FROM dt JOIN mdl m ON m.term = dt.term JOIN pri p ON p.label = m.label
-        |  GROUP BY 1, 2, 3),
-        |pred AS (SELECT doc_id, label_true, label AS label_pred,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
-        |  FROM sc)
+      ("WITH " + naiveBayesPredCte + """
         |SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // chance-corrected agreement of the NB prediction vs the true lang,
+    // integer-cleared form (D·N − Σr·c)/(N² − Σr·c)
+    "q_kappa" ->
+      ("WITH " + naiveBayesPredCte + """,
+        |p1 AS (SELECT label_true AS a, label_pred AS b FROM pred WHERE rn = 1),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p1 GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b AS a, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(r*c), 0) AS BIGINT) AS sab FROM ra JOIN cb USING (a)),
+        |tot2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS d FROM cells)
+        |SELECT n_pairs, d,
+        |  floor((CAST(d AS DOUBLE) / n_pairs)*1000000 + 0.5)/1000000 AS agreement,
+        |  CASE WHEN n_pairs*n_pairs <> sab THEN
+        |    floor((CAST(d*n_pairs - sab AS DOUBLE) / CAST(n_pairs*n_pairs - sab AS DOUBLE))
+        |      *100000000 + 0.5)/100000000
+        |  END AS kappa
+        |FROM tot2, pe""".stripMargin),
+    
     "q_ktruss" ->
       s"""WITH ${lshRankedCtes(queryPred = "TRUE")},
         |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),

@@ -258,4 +258,42 @@ class MixtureSpec extends AnyFunSuite {
     assert(cal.map(_._1).toSet == Set(0, 9), "mass sits in the extreme bins")
     cal.foreach { case (_, gap, ece) => assert(gap == 0.0 && ece == 0.0) }
   }
+
+  test("isotonicFit: PAV pools violators to the range mean; monotone output; exact on clean input") {
+    // bins 0 and 1 violate (0.8 then 0.2 with equal n) -> both pool to 0.5
+    val viol = Seq((0.05, 1.0), (0.05, 1.0), (0.05, 1.0), (0.05, 1.0), (0.05, 0.0),
+                   (0.15, 1.0), (0.15, 0.0), (0.15, 0.0), (0.15, 0.0), (0.15, 0.0))
+      .toDF("p", "y")
+    val r = operators.Eval.isotonicFit(viol, "p", "y", bins = 10)
+      .as[(Int, Long, Double, Double)].collect().map(x => x._1 -> x._4).toMap
+    assert(r == Map(0 -> 0.5, 1 -> 0.5), s"violators must pool to the joint mean: $r")
+
+    // already-monotone rates pass through unchanged
+    val clean = Seq((0.05, 0.0), (0.05, 0.0), (0.15, 1.0), (0.15, 0.0), (0.25, 1.0))
+      .toDF("p", "y")
+    val rc = operators.Eval.isotonicFit(clean, "p", "y", bins = 10)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rc.map(_._4).toSeq == Seq(0.0, 0.5, 1.0), s"got ${rc.toSeq}")
+    assert(rc.map(_._4).toSeq.sliding(2).forall(w => w.head <= w.last),
+      "isotonic output must be non-decreasing")
+  }
+
+  test("cohensKappa: perfect=1, constant-rater chance agreement=0, degenerate NULL") {
+    val perfect = Seq(("A","A"),("B","B")).toDF("a", "b")
+    val r1 = operators.Eval.cohensKappa(perfect, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r1._4.contains(1.0), s"got $r1")
+
+    // rater a is constant: any agreement is pure chance -> kappa 0
+    val const = Seq(("A","A"),("A","B")).toDF("a", "b")
+    val r2 = operators.Eval.cohensKappa(const, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r2._4.contains(0.0), s"got $r2")
+
+    // both constant and equal: p_e = 1, kappa undefined -> NULL
+    val degen = Seq(("A","A"),("A","A")).toDF("a", "b")
+    val r3 = operators.Eval.cohensKappa(degen, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r3._4.isEmpty, s"got $r3")
+  }
 }
