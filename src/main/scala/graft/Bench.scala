@@ -95,6 +95,14 @@ object Bench {
     // 59/130 per-query numbers to the tail cut), a committed file keeps
     // every round's record complete and diffable
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // and APPEND to a durable history: bench_out.json is clobbered by
+    // every run (incl. dev-loop sf0.01 runs), which left rounds 1-7
+    // with no per-query record at all once the driver's tail cut ate
+    // the log line. One stamped JSONL row per run can't be clobbered.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_history.jsonl"),
+      s"""{"at":"${java.time.Instant.now()}","line":$line}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo of shared intermediate frames, each cut to a
   * [[Lineage.truncate]] checkpoint leaf.
@@ -21,26 +22,32 @@ import org.apache.spark.sql.DataFrame
   * Contract: the builder must be DETERMINISTIC (every graft query is —
   * the driver hash-compares against DuckDB), so first-build vs reuse
   * can never change a result. Entries are keyed by the owning
-  * SparkContext and dropped when that context stops (tests spin up
-  * fresh sessions; a leaf from a dead context is unreadable).
+  * SparkContext OBJECT (reference identity — `hashCode()` alone can
+  * collide across contexts or be reused after a context dies, which
+  * could hand a new session a leaf whose checkpoint dir the dead
+  * context already owned) and dropped when that context stops (tests
+  * spin up fresh sessions; a leaf from a dead context is unreadable —
+  * its checkpoint dir may be gone).
   */
 object SharedFrames {
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String), DataFrame]()
 
   /** Return the checkpoint leaf for `key`, building it at most once per
-    * (SparkContext, key). Synchronized per map entry: two concurrent
-    * first-consumers (parallel test suites sharing a session) must not
-    * race the same eager checkpoint job — the round-5 shared-scan-race
-    * lesson. */
-  def memoize(df: => DataFrame, key: String): DataFrame = {
-    // drop entries whose context has stopped (fresh per-suite sessions)
-    memo.forEach { (k, v) =>
-      if (v.sparkSession.sparkContext.isStopped) memo.remove(k)
+    * (SparkContext, key). The builder is by-name and is NOT evaluated
+    * on a memo hit — plan construction for the big shared frames walks
+    * catalog/scan metadata, which is exactly the per-query constant
+    * this memo exists to avoid paying twice. Synchronized per map
+    * entry: two concurrent first-consumers (parallel test suites
+    * sharing a session) must not race the same eager checkpoint job —
+    * the round-5 shared-scan-race lesson. */
+  def memoize(s: SparkSession, key: String)(df: => DataFrame): DataFrame = {
+    // drop entries whose context has stopped (fresh per-suite sessions;
+    // their checkpoint leaves are unreadable once the context dies)
+    memo.forEach { (k, _) =>
+      if (k._1.isStopped) memo.remove(k)
     }
-    val plan = df // plan construction only — no job until truncate
-    val k = (plan.sparkSession.sparkContext.hashCode(), key)
-    memo.computeIfAbsent(k, _ => Lineage.truncate(plan))
+    memo.computeIfAbsent((s.sparkContext, key), _ => Lineage.truncate(df))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -139,27 +139,32 @@ object Eval {
     * (Cohen 1960), in the integer-cleared form: with diagonal count D,
     * marginal products Σ r_g·c_g and total N,
     *   κ = (D·N − Σ r_g·c_g) / (N² − Σ r_g·c_g)
-    * (multiply (p_o − p_e)/(1 − p_e) through by N²) — exact longs to
-    * one closing division, NULL when p_e = 1 (both raters constant and
-    * equal — κ undefined). Input is any (aCol, bCol) pair frame (e.g.
-    * predicted vs true, or two annotators). One pair groupBy + two
-    * marginal aggregates, all label-cardinality-sized. Integer-domain
-    * bound: N² must fit a long (N ≤ ~3·10⁹ pairs). */
+    * (multiply (p_o − p_e)/(1 − p_e) through by N²) — exact integer
+    * arithmetic to one closing division, NULL when p_e = 1 (both raters
+    * constant and equal — κ undefined). Input is any (aCol, bCol) pair
+    * frame (e.g. predicted vs true, or two annotators). One pair
+    * groupBy + two marginal aggregates, all label-cardinality-sized.
+    * The N²-order products (Σ r·c, d·N, N²) are computed in
+    * decimal(38,0), not int64 — exact to N ≤ 10¹⁹ pairs, so the
+    * 100 TB row count can't silently wrap a long (the closing
+    * decimal→double casts are value-identical to the long→double
+    * casts wherever a long would not have overflowed). */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
     val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("r"))
     val cb = cells.groupBy(col("b").as("a")).agg(sum(col("n")).as("c"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
     val pe = ra.join(cb, Seq("a"), "inner")
-      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("sab"))
+      .agg(coalesce(sum(dec(col("r")) * dec(col("c"))), lit(0).cast("decimal(38,0)")).as("sab"))
     cells.agg(sum(col("n")).as("n_pairs"),
         sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L))).as("d"))
       .crossJoin(broadcast(pe))
       .select(col("n_pairs"), col("d"),
         (col("d").cast("double") / col("n_pairs")).as("agreement"),
-        when(col("n_pairs") * col("n_pairs") =!= col("sab"),
-          (col("d") * col("n_pairs") - col("sab")).cast("double") /
-            (col("n_pairs") * col("n_pairs") - col("sab")).cast("double")).as("kappa"))
+        when(dec(col("n_pairs")) * dec(col("n_pairs")) =!= col("sab"),
+          (dec(col("d")) * dec(col("n_pairs")) - col("sab")).cast("double") /
+            (dec(col("n_pairs")) * dec(col("n_pairs")) - col("sab")).cast("double")).as("kappa"))
   }
 
   /** Split-conformal prediction interval for a 1-feature regression —

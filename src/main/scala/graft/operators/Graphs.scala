@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.Lineage
 
@@ -383,8 +383,10 @@ object Graphs {
     * counts; products of counts), so the two divisions composing r are
     * the only IEEE ops — tolerance-free. Scale shape: degree frame via
     * one hash aggregate, two equi-joins to attach endpoint degrees,
-    * one 1-row reduce. Degrees ≤ ~1e6 and m ≤ ~1e12 keep Σ j·k inside
-    * int64 for any graph this engine would see. */
+    * one 1-row reduce. The degree-product sums run in decimal(38,0):
+    * Σ j·k ≤ m·d_max² can exceed int64 on hub-heavy 100 TB graphs
+    * (m ~ 1e12, d_max ~ 1e6 → 1e24), and a wrapped long here would be
+    * a silently wrong sign, not an error. */
   def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // eager barrier — degree union and endpoint joins all consume it.
     // Stays cached until the caller clearCache()s: an unpersist here
@@ -400,11 +402,12 @@ object Graphs {
     val el = e
       .join(deg.select(col("id").as("u"), col("d").as("ju")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("jv")), "v")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
     val s = el.agg(
       count(lit(1)).as("m"),
-      sum(col("ju") * col("jv")).as("__sjk"),
+      sum(dec(col("ju")) * dec(col("jv"))).as("__sjk"),
       sum(col("ju") + col("jv")).as("__ssum"),
-      sum(col("ju") * col("ju") + col("jv") * col("jv")).as("__ssq"))
+      sum(dec(col("ju")) * dec(col("ju")) + dec(col("jv")) * dec(col("jv"))).as("__ssq"))
     val mean = col("__ssum").cast("double") / (lit(2) * col("m"))
     val num = col("__sjk").cast("double") / col("m") - mean * mean
     val den = col("__ssq").cast("double") / (lit(2) * col("m")) - mean * mean
@@ -871,11 +874,13 @@ object Graphs {
         // the cast is the identity µs mapping DuckDB's epoch_us uses
         unix_micros(col(tsCol).cast("timestamp")).as("ts_us"))
       .distinct())
-    // seed arrival = -1: earlier than any real epoch-µs in the data
-    // domain (epochs here are positive), so the first hop is free
+    // seed arrival = Long.MinValue: strictly earlier than ANY
+    // representable epoch-µs (including pre-1970 negatives — a -1L
+    // sentinel would wrongly block edges timestamped before the
+    // epoch), so the first hop is always free
     var state = Lineage.truncate(
       seeds.select(col(seedCol).as("seed")).distinct()
-        .select(col("seed"), col("seed").as("id"), lit(-1L).as("arr")))
+        .select(col("seed"), col("seed").as("id"), lit(Long.MinValue).as("arr")))
     val founds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to maxHops) {
       val relax = Lineage.truncate(

@@ -278,13 +278,13 @@ object Relational {
     * checkpoint leaf per session so the fact join runs once per sweep
     * (SharedFrames scaladoc has the contract). */
   private def purchaseBase(s: SparkSession, dir: String): DataFrame =
-    graft.core.SharedFrames.memoize({
+    graft.core.SharedFrames.memoize(s, s"purchase_base:$dir") {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"),
           col("l_shipdate").as("ship"), col("l_quantity").cast("long").as("qty"))
-    }, s"purchase_base:$dir")
+    }
 
   /** [[purchaseBase]] symmetrized to the undirected (src,dst) edge
     * list — its own leaf: four consumers read exactly this shape, and
@@ -292,12 +292,11 @@ object Relational {
     * re-derivations. Symmetrization stays a ONE-pass explode (a
     * self-union would run the base scan once per leg). */
   private def purchaseEdgesSym(s: SparkSession, dir: String): DataFrame =
-    graft.core.SharedFrames.memoize(
+    graft.core.SharedFrames.memoize(s, s"purchase_edges_sym:$dir")(
       purchaseBase(s, dir).select(explode(array(
           struct(col("c").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")),
-      s"purchase_edges_sym:$dir")
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
 
   /** Distributed PageRank (operators/Graphs) over the customer↔supplier
     * bipartite trade graph (symmetric edges from lineitem⋈orders).

@@ -24,20 +24,18 @@ object TextVector {
     * per session: first consumer pays the minhash → banding chain, the
     * rest read the leaf (SharedFrames scaladoc has the contract). */
   private def lshPairsShared(s: SparkSession, dir: String): DataFrame =
-    graft.core.SharedFrames.memoize(
+    graft.core.SharedFrames.memoize(s, s"lsh_pairs_k8_r2:$dir")(
       Dedup.lshCandidatePairs(
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
-        "doc_id", k = 8, rowsPerBand = 2),
-      s"lsh_pairs_k8_r2:$dir")
+        "doc_id", k = 8, rowsPerBand = 2))
 
   /** Shared LSH 3-NN graph over the embeddings — the edge list seven
     * graph queries consume (q_knn_triangles, q_link_pred,
     * q_triangles_oriented, q_kcore, q_label_prop, q_modularity,
     * q_assortativity). Same memo contract as [[lshPairsShared]]. */
   private def knn3(s: SparkSession, dir: String): DataFrame =
-    graft.core.SharedFrames.memoize(
-      Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3),
-      s"knn3:$dir")
+    graft.core.SharedFrames.memoize(s, s"knn3:$dir")(
+      Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3))
 
   /** Shared DuckDB CTE: tokens + distinct 3-gram shingles per doc. */
   private val shingleCte =

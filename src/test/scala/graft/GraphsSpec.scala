@@ -428,6 +428,17 @@ class GraphsSpec extends AnyFunSuite {
     assert(r == Map("b" -> 10000000L, "c" -> 20000000L), s"got $r")
   }
 
+  test("temporalReach: pre-1970 timestamps (negative epoch-us) are reachable from seeds") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L) // negative = pre-epoch
+    // both edges BEFORE the epoch; a -1L seed sentinel would block hop 1
+    val e = Seq(("a", "b", ts(-1000)), ("b", "c", ts(-500))).toDF("src", "dst", "t")
+    val seeds = Seq("a").toDF("id")
+    val r = Graphs.temporalReach(e, "src", "dst", "t", seeds, "id", maxHops = 2)
+      .as[(String, String, Long)].collect().map(x => x._2 -> x._3).toMap
+    assert(r == Map("b" -> -1000000000L, "c" -> -500000000L), s"got $r")
+  }
+
   test("temporalReach: static path exists but no temporal path -> unreachable") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000L)

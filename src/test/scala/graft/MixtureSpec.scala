@@ -296,4 +296,16 @@ class MixtureSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Option[Double])].head()
     assert(r3._4.isEmpty, s"got $r3")
   }
+
+  test("cohensKappa: multi-class hand computation survives the decimal(38,0) product path") {
+    // 2x2 confusion: AA=20, AB=5, BA=10, BB=15 -> N=50, D=35
+    // sab = rA*cA + rB*cB = 25*30 + 25*20 = 1250
+    // kappa = (35*50 - 1250) / (50*50 - 1250) = 500/1250 = 0.4
+    val rows = Seq.fill(20)(("A","A")) ++ Seq.fill(5)(("A","B")) ++
+      Seq.fill(10)(("B","A")) ++ Seq.fill(15)(("B","B"))
+    val r = operators.Eval.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r._1 == 50L && r._2 == 35L, s"got $r")
+    assert(r._4.contains(0.4), s"got $r")
+  }
 }
