@@ -740,15 +740,39 @@ object Dedup {
     *        the same banding, so the audit adds only the truth leg. The
     *        caller owns parameter consistency (same shingles, k,
     *        rowsPerBand) — the audit measures WHATEVER generator
-    *        produced the pairs. */
+    *        produced the pairs.
+    * @param sampleFraction SCALE CONTRACT for the exact-truth leg. The
+    *        PPJoin ground-truth discovery is worst-case quadratic in
+    *        prefix collisions — exact and affordable at audit-corpus
+    *        sizes, NOT runnable over a full 100 TB corpus. For large
+    *        corpora pass a fraction ≪ 1: the audit restricts to the
+    *        deterministic md5-hash-bucket document sample
+    *        (`Sampling.hashBucket(id, 10000) < fraction·10000` — a
+    *        pure function of the id, so membership is stable across
+    *        runs/engines/partitionings, and samples are NESTED: the
+    *        f=0.25 corpus ⊂ f=0.5 ⊂ f=1.0, so estimates converge
+    *        monotonically in coverage as f grows). Truth, candidates
+    *        (both endpoints), n_docs, and n_pairs_total all restrict
+    *        to the sample, so completeness/precision/reduction stay
+    *        internally consistent — the standard blocked-evaluation
+    *        estimator on a C(f·n, 2)-pair universe: truth cost drops
+    *        by f². The reference's verifiers run the same way — on
+    *        bounded lookbacks, never full history. */
   def blockingQuality(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2,
                       trueJaccard: Double = 0.5,
-                      candidates: Option[DataFrame] = None): DataFrame = {
+                      candidates: Option[DataFrame] = None,
+                      sampleFraction: Double = 1.0): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val cut = math.round(sampleFraction * 10000).toInt
+    val inSample = (c: Column) =>
+      if (cut >= 10000) lit(true) else Sampling.hashBucket(c, 10000) < cut
     // one tokenize pass feeds truth discovery AND the exact verify;
     // eager checkpoint leaf — multi-consumer barrier, plan cut, no
     // cache lifetime to manage (containmentPairs)
     val sh = graft.core.Lineage.truncate(docs
+      .filter(inSample(col(idCol)))
       .withColumn("__tokens", graft.functions.TextAnalysis.tokens(textCol))
       .select(col(idCol), graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
       .filter(size(col("sh")) > 0))
@@ -759,7 +783,10 @@ object Dedup {
     // Same multi-consumer truncate as `sh` above.
     val truth = graft.core.Lineage.truncate(
       blockingTruthPairs(sh, idCol, trueJaccard))
-    val cand = candidates.map(_.select("id_a", "id_b"))
+    // external candidates restrict to within-sample pairs via the same
+    // pure hash predicate on BOTH endpoints — no join, no id broadcast
+    val cand = candidates.map(
+        _.select("id_a", "id_b").filter(inSample(col("id_a")) && inSample(col("id_b"))))
       .getOrElse(graft.core.Lineage.truncate(lshCandidatePairs(
         minhashSignaturesFromShingles(sh, idCol, "sh", k), idCol, k, rowsPerBand)
         .select("id_a", "id_b")))
@@ -882,5 +909,72 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"), col("n_windows"))
+  }
+
+  /** [[repeatedSpans]] upgraded to the EXACT-substring form with BYTE
+    * offsets — the actual Lee et al. (ACL 2022) cut-list contract:
+    *
+    *  - windows hash the RAW text slice covering n consecutive tokens
+    *    (original casing, punctuation and spacing included), via
+    *    [[graft.plans.AsciiTokenOffsets]] — so "exact" means exact
+    *    bytes, not normalized-token equality: two docs whose token
+    *    sequences agree but whose intervening bytes differ do NOT
+    *    match, matching suffix-array semantics over the raw corpus;
+    *  - output spans carry 1-BASED INCLUSIVE BYTE OFFSETS
+    *    (`span_start`/`span_end` into the original text) plus the
+    *    span's md5 — cut exactly `[span_start, span_end]` and the
+    *    policy at boundaries is Lee et al.'s: the repeated run is
+    *    removed verbatim, the non-repeated prefix/suffix bytes
+    *    (including a window that merely touches the run) are kept.
+    *
+    * Maximality: a shared raw run of L ≥ n tokens appears as
+    * L − n + 1 shared windows; merging token-adjacent repeated windows
+    * (gaps-and-islands, as in [[repeatedSpans]]) recovers the maximal
+    * run. As there, window partners may differ along a merged span —
+    * the cut list is the union of repeated evidence, the conservative
+    * direction for dedup.
+    *
+    * Scale shape identical to [[repeatedSpans]] (explode → window-df
+    * hash agg → per-doc island merge) plus ONE id-keyed join back to
+    * the docs to md5 the final span slice — the text column never
+    * travels through the window/groupBy shuffles. */
+  def repeatedSpansExact(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val withOffs = docs
+      .withColumn("__offs", graft.plans.TextExpressions.asciiTokenOffsets(col(textCol)))
+      .filter(size(col("__offs")) >= n)
+    // window at token i covers raw bytes [start(tok i), end(tok i+n-1)]
+    val wins = withOffs
+      .select(col(idCol), col(textCol).as("__txt"), posexplode(expr(
+        s"""transform(sequence(1, size(__offs) - ${n - 1}),
+           |  i -> struct(
+           |    cast(shiftright(element_at(__offs, i), 32) as int) as ws,
+           |    cast(element_at(__offs, i + ${n - 1}) & 4294967295 as int) as we))""".stripMargin))
+        .as(Seq("__p0", "__w")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        col("__w.ws").as("__ws"), col("__w.we").as("__we"),
+        md5(expr("substring(__txt, __w.ws, __w.we - __w.ws + 1)")).as("__wh"))
+    val repeated = wins.groupBy(col("__wh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("__tend")).over(w.rowsBetween(W.unboundedPreceding, -1))
+    val spans = wins.join(repeated, "__wh")
+      .withColumn("__tend", col("pos") + lit(n - 1))
+      .withColumn("__brk", when(col("pos") > coalesce(prevEnd, lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(
+        min(col("pos")).as("tok_start"),
+        max(col("__tend")).as("tok_end"),
+        min(col("__ws")).as("span_start"),
+        max(col("__we")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+    spans.join(docs.select(col(idCol), col(textCol).as("__txt")), idCol :: Nil)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("tok_end") - col("tok_start") + 1).as("span_tokens"), col("n_windows"),
+        md5(expr("substring(__txt, span_start, span_end - span_start + 1)")).as("span_md5"))
   }
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata struct, with decode / feature-extract /
   * frame-sample operators.
   *
-  * The decode step is a clearly-marked deterministic STUB (no media
-  * libraries in this container); everything around it — schema, binary
-  * column plumbing, partition-parallel batch processing, feature
-  * vector shape — is real and tested. Swap `decodeStub` for a real
-  * codec (e.g. a JNI decoder or `mapInPandas`+PIL on a PySpark edge)
-  * without touching any other operator.
+  * Header decode ([[decodeImageMeta]]) is REAL binary parsing —
+  * PNG/JPEG/GIF/BMP magic sniffing and intrinsic width/height
+  * extraction from the container headers, as whole-stage-codegen'd
+  * Catalyst expressions (plans/ImageExpressions). Full pixel decode
+  * (which needs a codec library this container doesn't ship) slots in
+  * AFTER the header gate at the same column position — the header
+  * pass is what a 100 TB asset scan runs on everything, the pixel
+  * codec only on what survives it.
   */
 object Multimodal {
 
@@ -35,17 +37,33 @@ object Multimodal {
         col("source").as("origin"),
         col("n_chars").as("declared_chars")).as("meta"))
 
-  /** STUB decode: deterministic per-byte "feature extraction" standing in
-    * for image decode + embedding. Real implementation would decode
-    // content with a codec here; the mapPartitions shape (batched,
-    * partition-parallel, no driver involvement) is the production shape. */
-  def decodeStub(assets: DataFrame)(implicit spark: SparkSession): Dataset[AssetFeatures] = {
+  /** Container-header decode: format sniff + intrinsic width/height
+    * from the PNG/JPEG/GIF/BMP headers (plans/ImageExpressions — real
+    * byte parsing, codegen'd, scan-throughput). `format` is NULL for
+    * unrecognized magic; `width`/`height` are NULL whenever the header
+    * is truncated or corrupt; `valid` = dimensions parsed. Bad bytes
+    * classify, never throw — the quarantine contract. */
+  def decodeImageMeta(assets: DataFrame): DataFrame = {
+    import graft.plans.ImageExpressions._
+    assets.select(
+      col("asset_id"), col("kind"),
+      imageFormat(col("content")).as("format"),
+      imageWidth(col("content")).as("width"),
+      imageHeight(col("content")).as("height"),
+      imageWidth(col("content")).isNotNull.as("valid"))
+  }
+
+  /** Byte-level content features (mean byte, 8-bucket byte histogram):
+    * the cheap content fingerprint computed alongside header decode —
+    * drift/corruption signals that need no codec. The mapPartitions
+    * shape (batched, partition-parallel, no driver involvement) is
+    * where a real pixel-level embedding model slots in. */
+  def byteFeatures(assets: DataFrame)(implicit spark: SparkSession): Dataset[AssetFeatures] = {
     import spark.implicits._
     assets.select(col("asset_id"), col("kind"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
-          // STUB: byte-statistics pseudo-features (deterministic).
           val n = bytes.length.toLong
           val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
           val hist = new Array[Double](8)

@@ -147,9 +147,88 @@ object Md5Long {
   }
 }
 
+/** [[AsciiTokens]]' positional twin: the 1-based inclusive BYTE offset
+  * range of every `[A-Za-z0-9]+` run, packed `(start << 32) | end` into
+  * an `array<bigint>` (a struct array would cost an InternalRow per
+  * token; two bit-ops unpack the pair in any downstream SQL lambda).
+  * Token i of [[AsciiTokens]] is exactly bytes `start..end` of the raw
+  * input — the mapping exact-substring dedup needs to turn token-space
+  * spans into byte-offset cut lists (Lee et al., ACL 2022 §3.1 operate
+  * on raw bytes). Same single byte scan, same equivalence argument:
+  * UTF-8 multibyte bytes are ≥ 0x80, so they terminate runs exactly
+  * where the regex does, and for ASCII text byte offsets ARE character
+  * offsets (the oracle-facing contract). */
+case class AsciiTokenOffsets(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string column, got $t")
+    }
+
+  @inline private def isTok(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (isTok(bytes(i))) {
+        var j = i
+        while (j < n && isTok(bytes(j))) j += 1
+        out += ((i + 1).toLong << 32) | j.toLong // 1-based inclusive [i+1, j]
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("c")
+      val offs = ctx.freshName("offs")
+      s"""
+         |byte[] $bytes = $in.getBytes();
+         |int $n = $bytes.length;
+         |java.util.ArrayList $offs = new java.util.ArrayList();
+         |int $i = 0;
+         |while ($i < $n) {
+         |  byte $b = $bytes[$i];
+         |  if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z') || ($b >= '0' && $b <= '9')) {
+         |    int $j = $i;
+         |    while ($j < $n) {
+         |      byte $c = $bytes[$j];
+         |      if (!(($c >= 'a' && $c <= 'z') || ($c >= 'A' && $c <= 'Z') || ($c >= '0' && $c <= '9'))) break;
+         |      $j++;
+         |    }
+         |    $offs.add(java.lang.Long.valueOf((((long)($i + 1)) << 32) | (long)$j));
+         |    $i = $j;
+         |  } else $i++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($offs.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
 object TextExpressions {
   def asciiTokens(s: Column): Column =
     ColumnBridge.column(AsciiTokens(ColumnBridge.expression(s)))
+
+  def asciiTokenOffsets(s: Column): Column =
+    ColumnBridge.column(AsciiTokenOffsets(ColumnBridge.expression(s)))
 
   def md5Long(s: Column): Column =
     ColumnBridge.column(Md5Long(ColumnBridge.expression(s)))

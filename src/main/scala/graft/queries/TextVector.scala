@@ -213,6 +213,34 @@ object TextVector {
     Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", n = 6, minDocs = 2)
       .orderBy("doc_id", "span_start")
 
+  /** EXACT-substring repeated spans with byte offsets
+    * (Dedup.repeatedSpansExact): planted fixture texts built
+    * arithmetically over the documents ids — a 9-token block shared by
+    * each id%50 group, positioned at doc START / middle / doc END by
+    * id%3, wrapped in per-doc-unique preamble/tail tokens. The
+    * operator must recover, by raw-byte window hashing + island merge,
+    * exactly the planted block's 1-based byte range and md5 in every
+    * ≥2-member group; the oracle PREDICTS offsets from the
+    * construction arithmetic (duckdb length/md5 string-ops), so an
+    * off-by-one in the byte-scan offsets, the window slicing, or the
+    * boundary merge breaks the hash. */
+  def repeatedSpansExactQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val shared = concat(lit("shared block g"), (id % 50),
+      lit(" alpha beta gamma delta epsilon zeta"))
+    // every preamble/tail token embeds the doc id: a window crossing
+    // out of the shared block always contains a doc-unique token, so
+    // only the planted block can repeat
+    val pre = concat(lit("u"), id, lit(" v"), id, lit(" w"), id)
+    val tail = concat(lit("t"), id, lit(" ends"))
+    val text = when(id % 3 === 0, concat(shared, lit(" "), tail))
+      .when(id % 3 === 1, concat(pre, lit(" "), shared, lit(" "), tail))
+      .otherwise(concat(pre, lit(" "), shared))
+    val fix = docs(s, dir).select(id, text.as("text"))
+    Dedup.repeatedSpansExact(fix, "doc_id", "text", n = 6, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Distributed BPE tokenizer fit (Bpe.fitMerges): 3 merge rounds over
     * the corpus vocabulary — the merge ledger plus the corpus token
     * count under the tokenizer-so-far (the compression curve). */
@@ -1284,11 +1312,53 @@ object TextVector {
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
-    Multimodal.decodeStub(Multimodal.assetsFromDocuments(docs(s, dir)))
+    Multimodal.byteFeatures(Multimodal.assetsFromDocuments(docs(s, dir)))
       .toDF()
       .select(col("asset_id"), col("kind"), col("n_bytes"),
         rd(col("mean_byte"), 4).as("mean_byte"),
         rd(element_at(col("features"), 2), 4).as("f1"))
+      .orderBy("asset_id")
+  }
+
+  /** REAL container-header decode (Multimodal.decodeImageMeta →
+    * plans/ImageExpressions): per-doc PNG/JPEG/GIF/BMP fixture bytes
+    * are CONSTRUCTED from arithmetic dims (w = id%500+16,
+    * h = id%300+16) following the genuine public container layouts —
+    * big-endian IHDR uint32s, a JPEG APP0+SOF0 marker walk, GIF/BMP
+    * little-endian fields — then parsed BACK by the codegen'd header
+    * expressions. The oracle predicts the construction arithmetic, so
+    * any parsing defect (endianness, offset, marker-walk, truncation
+    * handling) breaks the hash. doc_id%5==4 plants bad bytes:
+    * %10==4 a truncated PNG (magic must sniff, dims must be NULL),
+    * %10==9 unrecognizable garbage (format NULL). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") % 500 + 16).cast("int").as("__w"),
+      (col("doc_id") % 300 + 16).cast("int").as("__h"))
+    val w4 = lpad(hex(col("__w")), 4, "0"); val h4 = lpad(hex(col("__h")), 4, "0")
+    val w8 = lpad(hex(col("__w")), 8, "0"); val h8 = lpad(hex(col("__h")), 8, "0")
+    def le16(x: org.apache.spark.sql.Column) = concat(substring(x, 3, 2), substring(x, 1, 2))
+    def le32(x: org.apache.spark.sql.Column) = concat(substring(x, 7, 2), substring(x, 5, 2),
+      substring(x, 3, 2), substring(x, 1, 2))
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"), w8, h8,
+      lit("080600000000000000"))
+    val jpegHex = concat(lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      h4, w4, lit("03011100021101031101FFD9"))
+    val gifHex = concat(lit("474946383961"), le16(w4), le16(h4), lit("F70000"))
+    // BM magic, file size, reserved, pixel offset 54, BITMAPINFOHEADER
+    // size 40, then LE32 width/height at byte offsets 18/22, then
+    // planes/bpp/compression/size/resolution/palette fields
+    val bmpHex = concat(lit("424D460000000000000036000000" + "28000000"), le32(w8), le32(h8),
+      lit("01001800" + "00000000" + "10000000" + "130B0000" + "130B0000" + "00000000" + "00000000"))
+    val hexCol = when(col("doc_id") % 5 === 0, pngHex)
+      .when(col("doc_id") % 5 === 1, jpegHex)
+      .when(col("doc_id") % 5 === 2, gifHex)
+      .when(col("doc_id") % 5 === 3, bmpHex)
+      .when(col("doc_id") % 10 === 4, substring(pngHex, 1, 24))
+      .otherwise(lit("00112233445566"))
+    Multimodal.decodeImageMeta(base.select(col("doc_id").as("asset_id"),
+        lit("image").as("kind"), unhex(hexCol).as("content")))
+      .select(col("asset_id"), col("format"), col("width"), col("height"), col("valid"))
       .orderBy("asset_id")
   }
 
@@ -1322,6 +1392,16 @@ object TextVector {
   def blockingEval(s: SparkSession, dir: String): DataFrame =
     Dedup.blockingQuality(docs(s, dir), "doc_id", "text",
       candidates = Some(lshPairsShared(s, dir)))
+
+  /** The 100 TB form of the blocking audit: same audit, exact-truth
+    * leg restricted to the deterministic md5-hash-bucket HALF of the
+    * corpus (`sampleFraction = 0.5` — nested-sample contract in the
+    * blockingQuality scaladoc; truth cost drops 4x). Candidates stay
+    * the session-shared LSH leaf, endpoint-filtered by the same pure
+    * hash predicate; the oracle applies the identical predicate. */
+  def blockingEvalSampled(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockingQuality(docs(s, dir), "doc_id", "text",
+      candidates = Some(lshPairsShared(s, dir)), sampleFraction = 0.5)
 
   /** Embedding-space decontamination (Similarity.crossCorpusLeakage):
     * training vectors (vec_id ≥ 25) sitting within cosine 0.2 of any
@@ -1528,6 +1608,7 @@ object TextVector {
     "q_dsir" -> dsirWeights,
     "q_water_fill" -> waterFill,
     "q_blocking_eval" -> blockingEval,
+    "q_blocking_eval_sampled" -> blockingEvalSampled,
     "q_embed_decon" -> embedDecon,
     "q_text_stats" -> textStats,
     "q_token_estimate" -> tokenEstimate,
@@ -1605,8 +1686,10 @@ object TextVector {
     "q_logreg" -> logregFit,
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
+    "q_multimodal_decode" -> multimodalDecode,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
+    "q_repeated_spans_exact" -> repeatedSpansExactQ,
     "q_bpe_merges" -> bpeMerges,
     "q_bpe_encode" -> bpeEncode,
     "q_pmi_bigrams" -> pmiBigrams,
@@ -1744,7 +1827,7 @@ object TextVector {
       |SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** Mirrors Multimodal.decodeStub byte statistics: bytes of the UTF-8
+  /** Mirrors Multimodal.byteFeatures byte statistics: bytes of the UTF-8
     * content recovered from hex(encode(text)) two chars at a time. All
     * sums are integer-valued doubles (exact below 2^53), so the
     * mean/fraction divisions are bit-identical across engines. */
@@ -2294,6 +2377,38 @@ object TextVector {
         |  SELECT id_a, id_b FROM tr
         |  WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5),
         |c AS (SELECT id_a, id_b FROM pairs),
+        |h AS (SELECT count(*) AS n_hit FROM truth JOIN c USING (id_a, id_b)),
+        |m AS (
+        |  SELECT (SELECT count(*) FROM d) AS n_docs,
+        |    (SELECT count(*) FROM truth) AS n_truth,
+        |    (SELECT count(*) FROM c) AS n_cand, (SELECT n_hit FROM h) AS n_hit)
+        |SELECT n_docs, CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_pairs_total,
+        |  n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth > 0
+        |    THEN floor((CAST(n_hit AS DOUBLE) / n_truth)*10000 + 0.5)/10000 END AS pair_completeness,
+        |  CASE WHEN n_cand > 0
+        |    THEN floor((CAST(n_hit AS DOUBLE) / n_cand)*10000 + 0.5)/10000 END AS precision,
+        |  floor((1.0 - CAST(n_cand AS DOUBLE) / (n_docs * (n_docs - 1) / 2))*10000 + 0.5)/10000
+        |    AS reduction_ratio
+        |FROM m""".stripMargin),
+    // the sampled audit: IDENTICAL pipeline with the deterministic
+    // md5-hash-bucket predicate applied to the corpus (d) and to both
+    // candidate endpoints — the same pure function of the id the Spark
+    // side evaluates (Sampling.hashBucket DuckDB equivalence)
+    "q_blocking_eval_sampled" ->
+      (s"""WITH $lshPairsCte,
+        |d AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+        |      AND CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 10000 < 5000),
+        |tr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |truth AS (
+        |  SELECT id_a, id_b FROM tr
+        |  WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.5),
+        |c AS (SELECT id_a, id_b FROM pairs
+        |      WHERE CAST('0x'||substr(md5(CAST(id_a AS VARCHAR)),1,8) AS BIGINT) % 10000 < 5000
+        |        AND CAST('0x'||substr(md5(CAST(id_b AS VARCHAR)),1,8) AS BIGINT) % 10000 < 5000),
         |h AS (SELECT count(*) AS n_hit FROM truth JOIN c USING (id_a, id_b)),
         |m AS (
         |  SELECT (SELECT count(*) FROM d) AS n_docs,
@@ -3596,6 +3711,29 @@ object TextVector {
         |  count(*) AS n_windows
         |FROM g GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    // the oracle PREDICTS the planted-fixture construction arithmetic
+    // (byte offsets + md5 of the shared block) — the Spark side must
+    // RECOVER it by raw-byte window hashing + island merge, so any
+    // off-by-one in the offset scan, window slicing, or boundary merge
+    // breaks the hash. Every id%50 group has >= 10 members at every SF,
+    // so all 4 in-block windows repeat and the merged maximal span is
+    // exactly the 9-token block at its placement-dependent byte range.
+    "q_repeated_spans_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'shared block g' || (doc_id % 50) || ' alpha beta gamma delta epsilon zeta' AS sh,
+        |    'u' || doc_id || ' v' || doc_id || ' w' || doc_id AS pre
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, sh,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE length(pre) + 2 END AS s
+        |  FROM f)
+        |SELECT doc_id, CAST(s AS INTEGER) AS span_start,
+        |  CAST(s + length(sh) - 1 AS INTEGER) AS span_end,
+        |  CAST(9 AS INTEGER) AS span_tokens,
+        |  CAST(4 AS BIGINT) AS n_windows,
+        |  md5(sh) AS span_md5
+        |FROM g ORDER BY doc_id, span_start""".stripMargin,
     // patterns interpolated from the SAME Curation constants the Spark
     // side compiles (common Java-regex/RE2 subset); DuckDB needs the
     // 'g' flag for replace-all, Spark's regexp_replace is all-match.
@@ -3849,6 +3987,20 @@ object TextVector {
         |ORDER BY ref_id, cand_id""".stripMargin,
     "q_lang_id" -> langIdOracle,
     "q_multimodal_features" -> multimodalFeaturesOracle,
+    // the oracle predicts the CONSTRUCTION arithmetic the fixture bytes
+    // were built from — the Spark side must recover it by PARSING the
+    // container headers, so the two legs are independent
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'png'
+        |       WHEN doc_id % 5 = 1 THEN 'jpeg'
+        |       WHEN doc_id % 5 = 2 THEN 'gif'
+        |       WHEN doc_id % 5 = 3 THEN 'bmp'
+        |       WHEN doc_id % 10 = 4 THEN 'png' END AS format,
+        |  CASE WHEN doc_id % 5 IN (0,1,2,3) THEN CAST(doc_id % 500 + 16 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 5 IN (0,1,2,3) THEN CAST(doc_id % 300 + 16 AS INTEGER) END AS height,
+        |  doc_id % 5 IN (0,1,2,3) AS valid
+        |FROM documents ORDER BY asset_id""".stripMargin,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);
     // the oracle predicts the exact-side invariants instead: every
     // query returns a full top-3 and recalls >= 1 true neighbor.

@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
+import graft.plans.ImageHeaders
 
-/** Multimodal plumbing: binary columns, decode-stub batch shape, frame
-  * sampling grain/spacing. */
+/** Multimodal plumbing: binary columns, REAL header decode
+  * (PNG/JPEG/GIF/BMP magic + dimensions, incl. truncated/corrupt
+  * headers), byte-feature batch shape, frame sampling grain/spacing. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -14,6 +16,75 @@ class MultimodalSpec extends AnyFunSuite {
     Seq((0L, "abcdefghijklmnopqrstuvwxyz0123456789", "web", 36L),
         (1L, "short", "pdf", 5L))
       .toDF("doc_id", "text", "source", "n_chars"))
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // genuine minimal headers, hand-laid-out from the public specs
+  private val png = hx("89504E470D0A1A0A 0000000D 49484452 00000140 000000F0 0806000000 00000000")
+  private val jpegApp0ThenSof = hx(
+    "FFD8 FFE00010 4A46494600010100000100010000 FFC00011 08 00F0 0140 03 011100 021101 031101 FFD9")
+  private val gif87 = hx("474946383761 4001 F000 F70000") // 320x240 little-endian
+  private val bmp = hx("424D46000000 00000000 36000000 28000000 40010000 F0000000 0100 1800" +
+    "00000000 10000000 130B0000 130B0000 00000000 00000000")
+  private val bmpTopDown = hx("424D46000000 00000000 36000000 28000000 40010000 10FFFFFF 0100 1800" +
+    "00000000 10000000 130B0000 130B0000 00000000 00000000") // height = -240 (top-down)
+
+  test("ImageHeaders: PNG/JPEG/GIF/BMP magic + dims parse from genuine layouts") {
+    assert(ImageHeaders.formatOf(png).toString == "png")
+    assert(ImageHeaders.widthOf(png) == 320 && ImageHeaders.heightOf(png) == 240)
+    assert(ImageHeaders.formatOf(jpegApp0ThenSof).toString == "jpeg")
+    // the SOF0 sits AFTER an APP0 segment: the marker walk must skip it
+    assert(ImageHeaders.widthOf(jpegApp0ThenSof) == 320)
+    assert(ImageHeaders.heightOf(jpegApp0ThenSof) == 240)
+    assert(ImageHeaders.formatOf(gif87).toString == "gif")
+    assert(ImageHeaders.widthOf(gif87) == 320 && ImageHeaders.heightOf(gif87) == 240)
+    assert(ImageHeaders.formatOf(bmp).toString == "bmp")
+    assert(ImageHeaders.widthOf(bmp) == 320 && ImageHeaders.heightOf(bmp) == 240)
+    // negative BMP height = top-down row order, magnitude is the height
+    assert(ImageHeaders.heightOf(bmpTopDown) == 240)
+  }
+
+  test("ImageHeaders: truncated/corrupt headers classify, never throw, never fabricate") {
+    // truncated PNG: magic sniffs, dims must be null (-1)
+    val trunc = png.take(12)
+    assert(ImageHeaders.formatOf(trunc).toString == "png")
+    assert(ImageHeaders.widthOf(trunc) == -1 && ImageHeaders.heightOf(trunc) == -1)
+    // PNG whose first chunk is not IHDR: dims unparseable
+    val notIhdr = png.clone(); notIhdr(12) = 'X'.toByte
+    assert(ImageHeaders.widthOf(notIhdr) == -1)
+    // JPEG cut before the SOF marker: walk must hit the end and give up
+    val jpegCut = jpegApp0ThenSof.take(20)
+    assert(ImageHeaders.formatOf(jpegCut).toString == "jpeg")
+    assert(ImageHeaders.widthOf(jpegCut) == -1)
+    // JPEG with EOI before any SOF: no dims
+    assert(ImageHeaders.widthOf(hx("FFD8FFD9")) == -1)
+    // JPEG that loses marker sync (non-FF where a marker must start)
+    assert(ImageHeaders.widthOf(hx("FFD8 00C0 0011")) == -1)
+    // zero-dimension GIF is invalid
+    assert(ImageHeaders.widthOf(hx("474946383961 0000 F000 F70000")) == -1)
+    // unknown magic / empty input
+    assert(ImageHeaders.formatOf(hx("00112233445566")) == null)
+    assert(ImageHeaders.formatOf(Array.emptyByteArray) == null)
+    assert(ImageHeaders.widthOf(Array.emptyByteArray) == -1)
+  }
+
+  test("decodeImageMeta: codegen'd expression path over a binary column, null semantics") {
+    val df = Seq(
+      (0L, png), (1L, jpegApp0ThenSof), (2L, gif87), (3L, bmp),
+      (4L, png.take(12)), (5L, hx("DEADBEEF")))
+      .toDF("asset_id", "content").withColumn("kind", lit("image"))
+    val r = Multimodal.decodeImageMeta(df)
+      .select($"asset_id", $"format", $"width", $"height", $"valid")
+      .as[(Long, Option[String], Option[Int], Option[Int], Boolean)]
+      .collect().sortBy(_._1)
+    assert(r(0) == ((0L, Some("png"), Some(320), Some(240), true)))
+    assert(r(1) == ((1L, Some("jpeg"), Some(320), Some(240), true)))
+    assert(r(2) == ((2L, Some("gif"), Some(320), Some(240), true)))
+    assert(r(3) == ((3L, Some("bmp"), Some(320), Some(240), true)))
+    assert(r(4) == ((4L, Some("png"), None, None, false)), "truncated: sniffs, no dims")
+    assert(r(5) == ((5L, None, None, None, false)), "garbage: nothing")
+  }
 
   test("frameSample: even spacing, fixed grain, correct slice content") {
     val frames = Multimodal.frameSample(assets, frames = 4, frameSize = 5)
@@ -29,9 +100,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(doc1 == Seq("short", "short", "short", "short"))
   }
 
-  test("decodeStub: histogram features normalized, mean in byte domain") {
+  test("byteFeatures: histogram features normalized, mean in byte domain") {
     implicit val s = spark
-    val f = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id)
+    val f = Multimodal.byteFeatures(assets).collect().sortBy(_.asset_id)
     assert(f.length == 2)
     f.foreach { a =>
       assert(a.features.length == 8)

@@ -96,6 +96,35 @@ class SelectionSpec extends AnyFunSuite {
     docs.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("blockingQuality sampleFraction: f=1 identical to unsampled; nested samples converge monotonically") {
+    // 40 docs = 20 planted near-dup pairs with distinct vocabularies, so
+    // truth pairs exist across many hash buckets
+    val docs = (0 until 20).flatMap { g =>
+      val words = (0 until 12).map(i => s"w${g}x$i").mkString(" ")
+      Seq((g * 2L, words), (g * 2L + 1, words + s" tail$g"))
+    }.toDF("doc_id", "text")
+    def audit(f: Double): (Long, Long, Long, Long, Long, Option[Double], Option[Double], Double) =
+      Dedup.blockingQuality(docs, "doc_id", "text", sampleFraction = f)
+        .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double], Double)].collect().head
+    val full = Dedup.blockingQuality(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double], Double)].collect().head
+    assert(audit(1.0) == full, "f=1.0 must be byte-identical to the unsampled audit")
+    // md5-bucket samples are NESTED (bucket < cut), so corpus, truth and
+    // candidate counts must be monotone non-decreasing in f — the
+    // deterministic face of "estimates converge as coverage grows"
+    val sweep = Seq(0.25, 0.5, 0.75, 1.0).map(audit)
+    assert(sweep.map(_._1).sliding(2).forall(w => w.head <= w.last), s"n_docs monotone: $sweep")
+    assert(sweep.map(_._3).sliding(2).forall(w => w.head <= w.last), s"n_truth monotone: $sweep")
+    assert(sweep.map(_._4).sliding(2).forall(w => w.head <= w.last), s"n_cand monotone: $sweep")
+    // determinism: membership is a pure function of the id
+    assert(audit(0.5) == audit(0.5), "sampled audit must be run-stable")
+    // the sampled estimator stays internally consistent on its own universe
+    val s05 = audit(0.5)
+    assert(s05._2 == s05._1 * (s05._1 - 1) / 2, "n_pairs_total = C(n_docs_sampled, 2)")
+    assert(s05._1 < full._1, "f=0.5 must actually drop documents on this corpus")
+    docs.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   // -- AUC ------------------------------------------------------------------
 
   test("auc: perfect separation 1.0, anti-ranker 0.0, ties counted half") {

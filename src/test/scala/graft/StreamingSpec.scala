@@ -187,6 +187,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(views == Seq(3L), s"expected 3 views after recovery, got $views")
   }
 
+  test("mid-batch crash replay: injected failure BETWEEN the swap renames, restart from " +
+    "checkpoint → gold identical to an uninterrupted run (exactly-once through the swap sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.faultfs.impl", classOf[FaultFs].getName)
+
+    // batch 1 carries BOTH a new window and a late update to a batch-0
+    // window, so the replayed merge exercises insert AND overwrite
+    val batch0 = Seq(json("c1", "2024-01-01T00:00:05Z"),
+      json("c2", "2024-01-01T00:00:40Z", user = "u2"))
+    val batch1 = Seq(json("c3", "2024-01-01T00:01:10Z"),
+      json("c4", "2024-01-01T00:00:50Z"))
+
+    def pipeline(events: MemoryStream[String], sink: ParquetUpsertSink, ckpt: String) =
+      EventPipeline.goldAggregate(
+          EventPipeline.annotate(EventPipeline.parse(raw(events))), watermark = "10 minutes")
+        .writeStream.foreachBatch(sink.foreachBatchFn)
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+
+    def gold(sink: ParquetUpsertSink): Seq[(String, String, Long, Long)] =
+      sink.read()
+        .select(col("user_id"), col("window_start").cast("string"),
+          col("views"), col("watch_time_sum_ms"))
+        .as[(String, String, Long, Long)].collect().toSeq.sorted
+
+    // ---- truth: the same batches, never interrupted -----------------------
+    val dirT = Files.createTempDirectory("graft_crash_truth").toString
+    val sinkT = new ParquetUpsertSink(spark, s"$dirT/gold",
+      keys = Seq("user_id", "window_start"), orderBy = Seq("processed_at"))
+    val evT = MemoryStream[String]
+    val qT = pipeline(evT, sinkT, s"$dirT/ckpt")
+    evT.addData(batch0: _*); qT.processAllAvailable()
+    evT.addData(batch1: _*); qT.processAllAvailable(); qT.stop()
+    val truth = gold(sinkT)
+    assert(truth.nonEmpty)
+
+    // ---- crashed run: rename 2 of the batch-1 swap throws on the real FS
+    // call path inside foreachBatch — the query dies with the table dir
+    // missing and the batch-0 snapshot parked (the worst crash point) ----
+    val dirC = Files.createTempDirectory("graft_crash_replay").toString
+    val goldPath = s"faultfs://$dirC/gold"
+    val sinkC = new ParquetUpsertSink(spark, goldPath,
+      keys = Seq("user_id", "window_start"), orderBy = Seq("processed_at"))
+    val evC1 = MemoryStream[String]
+    val qC1 = pipeline(evC1, sinkC, s"$dirC/ckpt")
+    evC1.addData(batch0: _*); qC1.processAllAvailable()
+    FaultFs.arm("gold")
+    try {
+      evC1.addData(batch1: _*)
+      val ex = intercept[Exception] { qC1.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("injected crash")), s"unexpected failure: $ex")
+      qC1.stop()
+    } finally FaultFs.disarm()
+    val fs = new org.apache.hadoop.fs.Path(goldPath).getFileSystem(hc)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(goldPath)),
+      "crash point: table directory must be missing")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"faultfs://$dirC"))
+      .exists(_.getPath.getName.startsWith("gold__old_")),
+      "crash point: prior snapshot must be parked")
+
+    // ---- restart from the SAME checkpoint: a fresh source re-fed the same
+    // data replays batch 1; recoverParked restores the snapshot first ----
+    val evC2 = MemoryStream[String]
+    evC2.addData(batch0: _*); evC2.addData(batch1: _*)
+    val qC2 = pipeline(evC2, sinkC, s"$dirC/ckpt")
+    qC2.processAllAvailable(); qC2.stop()
+    assert(gold(sinkC) == truth,
+      s"replayed gold must equal the uninterrupted run: ${gold(sinkC)} vs $truth")
+  }
+
   test("boundedDedupState: dropDuplicatesWithinWatermark dedups within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -278,6 +278,67 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 6, minDocs = 2).isEmpty)
   }
 
+  test("asciiTokenOffsets: positional twin of the tokenizer — raw slices lower to the tokens") {
+    // punctuation, casing, multi-space runs, and a UTF-8 multibyte char:
+    // the offset pairs must slice the RAW bytes of exactly the runs the
+    // tokenizer emits, in order
+    val txt = "Hello,  WORLD—42!x9  end"
+    val r = Seq(txt).toDF("text")
+      .select(graft.plans.TextExpressions.asciiTokens(col("text")).as("t"),
+        graft.plans.TextExpressions.asciiTokenOffsets(col("text")).as("o"))
+      .as[(Seq[String], Seq[Long])].collect().head
+    val (toks, offs) = r
+    assert(toks.length == offs.length)
+    val bytes = txt.getBytes("UTF-8")
+    val sliced = offs.map { p =>
+      val s = (p >>> 32).toInt; val e = (p & 0xffffffffL).toInt
+      new String(bytes.slice(s - 1, e), "UTF-8")
+    }
+    assert(sliced == Seq("Hello", "WORLD", "42", "x9", "end"), s"raw slices: $sliced")
+    assert(sliced.map(_.toLowerCase) == toks, "offset twin must mirror the tokenizer 1:1")
+    // empty / no-token inputs: empty array, never null elements
+    val e = Seq("—…—", "").toDF("text")
+      .select(graft.plans.TextExpressions.asciiTokenOffsets(col("text")).as("o"))
+      .as[Seq[Long]].collect()
+    assert(e.forall(_.isEmpty))
+  }
+
+  test("repeatedSpansExact: planted raw run recovered with exact byte offsets + md5, " +
+    "boundary bytes kept out of the span") {
+    // shared RAW run keeps original casing and punctuation — 'exact'
+    // means exact bytes; preamble/tail differ per doc
+    val shared = "The Quick-Brown fox JUMPS over the lazy DOG now"  // 10 tokens
+    val d1 = s"u1 u2 u3 $shared t1 t2"
+    val d2 = s"$shared v1 v2 v3 v4 v5"
+    val docs = Seq((1L, d1), (2L, d2),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansExact(docs, "doc_id", "text", n = 6, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows", "span_md5")
+      .as[(Long, Int, Int, Int, Long, String)].collect().toSet
+    val md5Shared = java.security.MessageDigest.getInstance("MD5")
+      .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc1: run starts after "u1 u2 u3 " = byte 10 (1-based), ends before " t1 t2"
+    val s1 = d1.indexOf(shared) + 1
+    val s2 = d2.indexOf(shared) + 1
+    assert(spans == Set(
+      (1L, s1, s1 + shared.length - 1, 10, 5L, md5Shared),
+      (2L, s2, s2 + shared.length - 1, 10, 5L, md5Shared)),
+      s"expected the exact byte range + md5 of the planted run, got $spans")
+  }
+
+  test("repeatedSpansExact: same token sequence, different raw bytes → NO match " +
+    "(byte-exactness, where token-normalized repeatedSpans DOES match)") {
+    // docs agree token-wise (case-folded, punct-stripped) but the raw
+    // bytes differ: double space + different casing + a comma
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "Alpha  beta gamma, delta epsilon zeta")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpansExact(docs, "doc_id", "text", n = 6, minDocs = 2).isEmpty,
+      "raw-byte windows must NOT match across normalization differences")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 6, minDocs = 2).count() == 2,
+      "sanity: the token-normalized form does match these docs")
+  }
+
   test("winnowing density: selection keeps a fraction of k-gram hashes, short docs keep one") {
     val long = (1 to 100).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, long), (2L, "just four small words"), (3L, "ab cd")).toDF("doc_id", "text")
