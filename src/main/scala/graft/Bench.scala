@@ -37,7 +37,14 @@ object Bench {
     try run(SparkEntry.queries("q_topk"))
     catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev-loop subset mode: `runMain graft.Bench q_a q_b` times only the
+    // named queries and SKIPS the record files (bench_out.json and the
+    // history are reserved for full-sweep records)
+    val subset = args.toSeq
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (subset.isEmpty) all else all.filter(subset.contains)
+    }
 
     // One timed sample of each query; failures must be VISIBLE (a
     // swallowed exception would record its short time-to-throw and read
@@ -65,6 +72,13 @@ object Bench {
       // FAILED lines) — same visibility as the single-pass harness had.
       val good = samples.collect { case (dt, true) => dt }
       name -> (if (good.nonEmpty) good.min else samples.map(_._1).min)
+    }
+
+    if (subset.nonEmpty) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"subset","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
     }
 
     // streaming-throughput micro-bench (reference's only published perf

@@ -31,7 +31,6 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 2, damping: Double = 0.85): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     // ONE persisted edge-scale frame: the deduped edge list WITH the
     // out-degree already joined on. The previous shape materialized
     // the plain edge list AND the degree-joined copy (two |E|-row
@@ -41,19 +40,46 @@ object Graphs {
     // Inside this one job the distinct's exchange is reused by the
     // degree aggregation, and AQE broadcasts the |V|-row degree frame
     // back onto the edges.
+    val (withDeg, nodes) = degreeGraphFrames(edges, srcCol, dstCol)
+    withDeg.persist().count()
+    nodes.persist()
+    val result = pageRankOn(withDeg, nodes, iters, damping)
+    nodes.unpersist()
+    withDeg.unpersist()
+    result
+  }
+
+  /** The two frames the pageRank family iterates over — the DISTINCT
+    * degree-joined edge list `(src, dst, out_deg)` and the node
+    * universe `(id)` — built but NOT materialized: callers either
+    * persist them for one run ([[pageRank]]) or cut them to
+    * SharedFrames checkpoint leaves and reuse them across every
+    * family member on the same graph (global + personalized PageRank
+    * re-derived this identical frame pair per query; at sf0.1 that
+    * was ~2 s of repeated distinct+degree shuffles per consumer). */
+  def degreeGraphFrames(edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val withDeg = e0
       .join(e0.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
-      .persist()
-    withDeg.count()
     val nodes = withDeg.select(col("src").as("id"))
       .union(withDeg.select(col("dst").as("id"))).distinct()
-      .persist() // read by the contract check, the n count, and every iteration
+    (withDeg, nodes)
+  }
+
+  /** PageRank core loop over a PREPARED graph: `withDeg` must be the
+    * DISTINCT `(src, dst, out_deg)` frame and `nodes` the node
+    * universe, both already materialized (persisted or checkpoint
+    * leaves — [[degreeGraphFrames]] builds the exact shapes). Runs the
+    * same contract check as [[pageRank]]; does NOT manage the input
+    * frames' cache lifetime (the caller owns them). */
+  def pageRankOn(withDeg: DataFrame, nodes: DataFrame,
+                 iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val deg = withDeg.groupBy(col("src")).agg(first(col("out_deg")).as("out_deg"))
     // ONE action answers both prechecks: node count + dangling count
     // (every node needs out-degree >= 1, or rank mass silently leaks —
     // a node missing from withDeg's src side has no out-edge). Reads
-    // only cached frames.
+    // only materialized frames.
     val Array(nl, dangling) = nodes.join(deg, nodes("id") === deg("src"), "left")
       .agg(count(lit(1)), count(when(col("src").isNull, 1))).head().toSeq.toArray
       .map(_.asInstanceOf[Long])
@@ -80,15 +106,11 @@ object Graphs {
       // small job); the contractual iters=2 path never pays it
       if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
     }
-    // materialize the final |V|-row result, then release the edge-sized
-    // intermediates — a repeated caller otherwise accumulates ~3 pinned
-    // edge-scale frames per invocation. The returned frame stays
+    // materialize the final |V|-row result. The returned frame stays
     // persisted (one |V|-row frame); the caller unpersists (or
     // clearCache()s) when done with it.
     val result = ranks.persist()
     result.count()
-    nodes.unpersist()
-    withDeg.unpersist()
     result
   }
 
@@ -447,13 +469,20 @@ object Graphs {
       e.select(col("src").as("id")).union(e.select(col("dst"))).distinct())
     var h = nodes.withColumn("h", lit(1L))
     var a = nodes.withColumn("a", lit(0L))
-    for (_ <- 1 to iters) {
-      a = Lineage.truncate(
-        e.join(h.select(col("id").as("src"), col("h")), "src")
-          .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a")))
-      h = Lineage.truncate(
-        e.join(a.select(col("id").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("id")).agg(sum(col("a")).as("h")))
+    for (i <- 1 to iters) {
+      a = e.join(h.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      h = e.join(a.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      // plan-depth bound only: each round nests 2 joins off the `e`
+      // leaf, so truncate every OTHER round (and never after the last
+      // — the final select is one action anyway). The previous
+      // per-round eager checkpoints were 2 extra jobs per iteration
+      // of pure fixed overhead at the contractual iters=2.
+      if (i % 2 == 0 && i < iters) {
+        a = Lineage.truncate(a)
+        h = Lineage.truncate(h)
+      }
     }
     nodes
       .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
@@ -534,13 +563,23 @@ object Graphs {
     // depth stays O(maxHops) trivially, so only the (shrinking) frontier
     // needs a checkpoint per round, not the whole settled set
     var settled = frontier
-    for (r <- 1 to maxHops) {
+    var r = 1
+    var saturated = false
+    while (r <= maxHops && !saturated) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(r.toLong))
       frontier = Lineage.truncate(next)
-      settled = settled.union(frontier)
+      // saturation early-exit: an empty frontier makes every later
+      // round provably empty, so stop — result-identical, and on
+      // small-world graphs swept with a generous hop budget (the
+      // diameter double sweep runs maxHops=8) it halves the round
+      // count. The probe reads the just-checkpointed leaf (~ms), not
+      // the join lineage.
+      if (frontier.isEmpty) saturated = true
+      else settled = settled.union(frontier)
+      r += 1
     }
     settled
   }
@@ -597,15 +636,23 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String,
                            iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    val (withDeg, nodes) = degreeGraphFrames(edges, srcCol, dstCol)
+    withDeg.persist().count()
+    nodes.persist()
+    val result = personalizedPageRankOn(withDeg, nodes, seeds, seedCol, iters, damping)
+    nodes.unpersist()
+    withDeg.unpersist()
+    result
+  }
+
+  /** Personalized-PageRank core loop over a PREPARED graph — same
+    * prepared-frame contract as [[pageRankOn]] (`withDeg` distinct
+    * degree-joined, `nodes` the universe, both materialized, lifetime
+    * caller-owned). */
+  def personalizedPageRankOn(withDeg: DataFrame, nodes: DataFrame,
+                             seeds: DataFrame, seedCol: String,
+                             iters: Int = 2, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val withDeg = e0
-      .join(e0.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
-      .persist()
-    withDeg.count()
-    val nodes = withDeg.select(col("src").as("id"))
-      .union(withDeg.select(col("dst").as("id"))).distinct()
-      .persist()
     val sd = seeds.select(col(seedCol).as("id")).distinct()
     val deg = withDeg.groupBy(col("src")).agg(first(col("out_deg")).as("out_deg"))
     val Array(dangling, nSeeds) = nodes.join(deg, nodes("id") === deg("src"), "left")
@@ -634,8 +681,6 @@ object Graphs {
     }
     val result = ranks.persist()
     result.count()
-    nodes.unpersist()
-    withDeg.unpersist()
     teleport.unpersist()
     result
   }
@@ -762,13 +807,18 @@ object Graphs {
       seeds.select(col(seedCol).as("seed")).distinct()
         .select(col("seed"), col("seed").as("id"), lit(0L).as("dist")))
     var settled = frontier
-    for (r <- 1 to maxHops) {
+    var r = 1
+    var saturated = false
+    while (r <= maxHops && !saturated) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("seed"), col("dst").as("id")).distinct()
         .join(settled.select("seed", "id"), Seq("seed", "id"), "left_anti")
         .withColumn("dist", lit(r.toLong))
       frontier = Lineage.truncate(next)
-      settled = settled.union(frontier)
+      // same saturation early-exit as bfsHops: result-identical
+      if (frontier.isEmpty) saturated = true
+      else settled = settled.union(frontier)
+      r += 1
     }
     settled
   }

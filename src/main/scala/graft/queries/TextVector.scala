@@ -37,6 +37,28 @@ object TextVector {
     graft.core.SharedFrames.memoize(s, s"knn3:$dir")(
       Similarity.knnGraph(embs(s, dir), "vec_id", "embedding", k = 3))
 
+  /** Canonical deduped (a < b) edge pairs of the 3-NN graph — the
+    * shape every undirected graph operator reduces its input to
+    * internally; its own leaf so q_modularity / q_label_prop /
+    * q_diameter start from the deduped pairs instead of re-deriving
+    * them from the raw kNN frame. */
+  private def knnCanon(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.memoize(s, s"knn_canon:$dir")(
+      knn3(s, dir).select(
+          least(col("query_id"), col("neighbor_id")).as("a"),
+          greatest(col("query_id"), col("neighbor_id")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+
+  /** 2-round LPA labels over the kNN graph — q_label_prop summarizes
+    * them and q_modularity scores them, so the propagation loop runs
+    * ONCE per session instead of once per consumer. LPA symmetrizes +
+    * dedups its input internally, and the canonical pairs' symmetrized
+    * edge set is identical to the raw kNN frame's, so labels are
+    * unchanged for both consumers. */
+  private def knnLpaLabels(s: SparkSession, dir: String): DataFrame =
+    graft.core.SharedFrames.memoize(s, s"knn_lpa2:$dir")(
+      graft.operators.Graphs.labelPropagation(knnCanon(s, dir), "a", "b", iters = 2))
+
   /** Shared DuckDB CTE: tokens + distinct 3-gram shingles per doc. */
   private val shingleCte =
     """toks AS (
@@ -729,10 +751,8 @@ object TextVector {
     * Similarity.knnGraph (corpus-as-queries, no broadcast) with
     * Graphs.triangleStats — the clustering-structure probe over the
     * embedding space. */
-  def knnTriangles(s: SparkSession, dir: String): DataFrame = {
-    val knn = knn3(s, dir)
-    graft.operators.Graphs.triangleStats(knn, "query_id", "neighbor_id")
-  }
+  def knnTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.triangleStats(knnCanon(s, dir), "a", "b")
 
   /** Link prediction on the LSH 3-NN graph (Graphs.linkPrediction):
     * top-20 NON-edges by common-neighbor count with the Adamic-Adar
@@ -740,8 +760,7 @@ object TextVector {
     * discover". Degree is k-bounded, so the wedge join is safe by
     * construction. */
   def linkPred(s: SparkSession, dir: String): DataFrame = {
-    val knn = knn3(s, dir)
-    graft.operators.Graphs.linkPrediction(knn, "query_id", "neighbor_id", topK = 20)
+    graft.operators.Graphs.linkPrediction(knnCanon(s, dir), "a", "b", topK = 20)
       .select(col("id_a"), col("id_b"), col("common_neighbors"),
         rd(col("adamic_adar"), 6).as("adamic_adar"))
   }
@@ -750,17 +769,14 @@ object TextVector {
     * degree-oriented, skew-proof variant: identical n_triangles (each
     * triangle counted once at its ≺-smallest corner), n_wedges bounded
     * by orientation instead of Σ deg². */
-  def trianglesOriented(s: SparkSession, dir: String): DataFrame = {
-    val knn = knn3(s, dir)
-    graft.operators.Graphs.triangleStatsOriented(knn, "query_id", "neighbor_id")
-  }
+  def trianglesOriented(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.triangleStatsOriented(knnCanon(s, dir), "a", "b")
 
   /** k-core peel ledger of the LSH 3-NN graph (k=4, 3 synchronized
     * rounds): the density-structure probe — how fast the graph sheds
     * its low-degree fringe. Same edge derivation as q_knn_triangles. */
   def kcorePeel(s: SparkSession, dir: String): DataFrame = {
-    val knn = knn3(s, dir)
-    graft.operators.Graphs.kCorePeel(knn, "query_id", "neighbor_id", k = 4, rounds = 3)
+    graft.operators.Graphs.kCorePeel(knnCanon(s, dir), "a", "b", k = 4, rounds = 3)
       .orderBy("round")
   }
 
@@ -789,8 +805,7 @@ object TextVector {
     * graph (2 synchronized rounds, min-label ties), summarized per
     * surviving label. */
   def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val knn = knn3(s, dir)
-    graft.operators.Graphs.labelPropagation(knn, "query_id", "neighbor_id", iters = 2)
+    knnLpaLabels(s, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
       .orderBy("label")
@@ -810,13 +825,8 @@ object TextVector {
     // and every downstream ACTION re-analyzes the full tree before the
     // cache substitutes — a 4k-row frame was costing seconds of
     // planning per job until cut to a checkpoint leaf
-    val knn = knn3(s, dir)
-    val edges = graft.core.Lineage.truncate(knn.select(
-        least(col("query_id"), col("neighbor_id")).as("a"),
-        greatest(col("query_id"), col("neighbor_id")).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
-    val labels = graft.core.Lineage.truncate(
-      graft.operators.Graphs.labelPropagation(edges, "a", "b", iters = 2))
+    val edges = knnCanon(s, dir)
+    val labels = knnLpaLabels(s, dir)
     graft.operators.Graphs.modularity(edges, "a", "b", labels)
       .select(col("label"), col("n_nodes"), col("degree_sum"), col("intra_edges"),
         rd(col("contrib"), 8).as("contrib"),
@@ -841,8 +851,7 @@ object TextVector {
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     // operator's canonical-edge barrier still re-derives knn once; at
     // one consumer no query-side persist is needed
-    val knn = knn3(s, dir)
-    graft.operators.Graphs.degreeAssortativity(knn, "query_id", "neighbor_id")
+    graft.operators.Graphs.degreeAssortativity(knnCanon(s, dir), "a", "b")
       .select(col("n_nodes"), col("m"),
         rd(col("assortativity"), 8).as("assortativity"))
   }
@@ -999,7 +1008,7 @@ object TextVector {
     * Peel predicate is exact integer math (deg·n ≤ 2m), so the oracle
     * unrolls bit-stably. */
   def densestQ(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graphs.densestSubgraphPeel(knn3(s, dir), "query_id", "neighbor_id",
+    graft.operators.Graphs.densestSubgraphPeel(knnCanon(s, dir), "a", "b",
         rounds = 2)
       .select(col("round"), col("n_nodes"), col("n_edges"), rd(col("density"), 6).as("density"))
       .orderBy("round")
@@ -1033,7 +1042,7 @@ object TextVector {
     * the triangle-dense-core trajectory, strictly stronger cohesion
     * than q_kcore's degree peel on the same graph. */
   def ktrussQ(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graphs.kTruss(knn3(s, dir), "query_id", "neighbor_id",
+    graft.operators.Graphs.kTruss(knnCanon(s, dir), "a", "b",
         k = 4, rounds = 2)
       .orderBy("round")
 
@@ -1045,7 +1054,7 @@ object TextVector {
     * mixing) can't give. */
   def homophilyQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graphs.attributeAssortativity(
-        knn3(s, dir), "query_id", "neighbor_id", embs(s, dir), "vec_id", "label")
+        knnCanon(s, dir), "a", "b", embs(s, dir), "vec_id", "label")
       .select(col("m2"), col("t_same"), rd(col("same_frac"), 6).as("same_frac"),
         rd(col("assortativity"), 8).as("assortativity"))
 
@@ -1054,9 +1063,9 @@ object TextVector {
     * the embedding manifold's neighbor structure; two BFS sweeps, the
     * argmax travels as a 1-row broadcast (no collect). */
   def diameterQ(s: SparkSession, dir: String): DataFrame = {
-    val knn = knn3(s, dir)
-    val und = knn.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-      .union(knn.select(col("neighbor_id").as("src"), col("query_id").as("dst")))
+    val canon = knnCanon(s, dir)
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .union(canon.select(col("b").as("src"), col("a").as("dst")))
     graft.operators.Graphs.diameterDoubleSweep(und, "src", "dst", maxHops = 8)
   }
 
@@ -1068,7 +1077,7 @@ object TextVector {
   def labelSpreadQ(s: SparkSession, dir: String): DataFrame = {
     val seeds = embs(s, dir).filter(col("vec_id") < 30)
       .select(col("vec_id"), col("label"))
-    graft.operators.Graphs.labelSpread(knn3(s, dir), "query_id", "neighbor_id",
+    graft.operators.Graphs.labelSpread(knnCanon(s, dir), "a", "b",
         seeds, "vec_id", "label", rounds = 2)
       .orderBy("id")
   }
