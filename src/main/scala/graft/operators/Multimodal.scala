@@ -53,6 +53,25 @@ object Multimodal {
       imageWidth(col("content")).isNotNull.as("valid"))
   }
 
+  /** Audio/video container-header decode (plans/MediaExpressions —
+    * real byte parsing, codegen'd, scan-throughput): format sniff
+    * (wav/mp4/ogg/flac/webm/mp3) plus the cheap typed metadata the
+    * headers carry — duration (WAV fmt+data walk, MP4 moov/mvhd box
+    * walk) and the WAV fmt fields (sample rate, channels). `valid` =
+    * a duration was parsed; magic-only sniffs and corrupt headers
+    * classify with NULLs, never throw — the same quarantine contract
+    * as [[decodeImageMeta]]. */
+  def decodeMediaMeta(assets: DataFrame): DataFrame = {
+    import graft.plans.MediaExpressions._
+    assets.select(
+      col("asset_id"), col("kind"),
+      mediaFormat(col("content")).as("format"),
+      mediaDurationMs(col("content")).as("duration_ms"),
+      mediaSampleRate(col("content")).as("sample_rate"),
+      mediaChannels(col("content")).as("channels"),
+      mediaDurationMs(col("content")).isNotNull.as("valid"))
+  }
+
   /** Byte-level content features (mean byte, 8-bucket byte histogram):
     * the cheap content fingerprint computed alongside header decode —
     * drift/corruption signals that need no codec. The mapPartitions

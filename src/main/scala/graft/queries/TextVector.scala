@@ -1371,6 +1371,62 @@ object TextVector {
       .orderBy("asset_id")
   }
 
+  /** REAL audio/video container-header decode
+    * (Multimodal.decodeMediaMeta → plans/MediaExpressions): per-doc
+    * WAV / MP4(mvhd v0) / MP4(mvhd v1) / OGG fixture bytes are
+    * CONSTRUCTED from arithmetic parameters following the genuine
+    * public layouts — a RIFF chunk walk with LE fmt/data fields, an
+    * ISO-BMFF box walk with BE sizes (the v1 case adds a `free` box
+    * before moov to exercise box skipping, and a 64-bit duration) —
+    * then parsed BACK by the codegen'd header expressions. The oracle
+    * predicts the construction arithmetic, so any endianness, offset,
+    * chunk-pad, or box-walk defect breaks the hash. doc_id%10==4
+    * plants a truncated WAV (magic sniffs, fields NULL), %10==9
+    * unrecognizable garbage. */
+  def multimodalMedia(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val base = docs(s, dir).select(id,
+      (id % 32000 + 8000).as("__rate"), (id % 2 + 1).as("__ch"),
+      (id % 30 + 1).as("__secs"),
+      (lit(3) * (id % 10000 + 200)).as("__dur0"),
+      (id % 90000 + 1000).as("__dur1"))
+    def h8(x: org.apache.spark.sql.Column) = lpad(hex(x), 8, "0")
+    def h4(x: org.apache.spark.sql.Column) = lpad(hex(x), 4, "0")
+    def le16(x: org.apache.spark.sql.Column) = { val v = h4(x)
+      concat(substring(v, 3, 2), substring(v, 1, 2)) }
+    def le32(x: org.apache.spark.sql.Column) = { val v = h8(x)
+      concat(substring(v, 7, 2), substring(v, 5, 2), substring(v, 3, 2), substring(v, 1, 2)) }
+    val byteRate = col("__rate") * col("__ch") * 2
+    val dataSize = byteRate * col("__secs")
+    // RIFF size WAVE | fmt_ 16 LE | pcm ch rate byteRate blockAlign bits | data size
+    val wavHex = concat(lit("52494646"), le32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), le16(col("__ch")),
+      le32(col("__rate")), le32(byteRate), le16(col("__ch") * 2), lit("1000"),
+      lit("64617461"), le32(dataSize))
+    // ftyp isom | moov(36) > mvhd(28) v0: ctime mtime timescale=600 duration
+    val mp4V0Hex = concat(lit("0000001066747970" + "69736F6D00000000"),
+      lit("000000246D6F6F76"), lit("0000001C6D766864"), lit("00000000"),
+      lit("0000000000000000"), h8(lit(600)), h8(col("__dur0")))
+    // ftyp | free(8) skipped | moov(48) > mvhd(40) v1: 64-bit times,
+    // timescale=1000, 64-bit duration
+    val mp4V1Hex = concat(lit("0000001066747970" + "69736F6D00000000"),
+      lit("0000000866726565"),
+      lit("000000306D6F6F76"), lit("000000286D766864"), lit("01000000"),
+      lit("0000000000000000" * 2), h8(lit(1000)), lit("00000000"), h8(col("__dur1")))
+    val oggHex = lit("4F67675300020000")
+    val hexCol = when(id % 5 === 0, wavHex)
+      .when(id % 5 === 1, mp4V0Hex)
+      .when(id % 5 === 2, mp4V1Hex)
+      .when(id % 5 === 3, oggHex)
+      .when(id % 10 === 4, substring(wavHex, 1, 24)) // RIFF..WAVE, nothing else
+      .otherwise(lit("00112233445566"))
+    Multimodal.decodeMediaMeta(base.select(id.as("asset_id"),
+        lit("media").as("kind"), unhex(hexCol).as("content")))
+      .select(col("asset_id"), col("format"), col("duration_ms"),
+        col("sample_rate"), col("channels"), col("valid"))
+      .orderBy("asset_id")
+  }
+
   // ---- selection / mixing / audit -----------------------------------------
 
   /** DSIR importance weights (Dsir.importanceWeights): every document
@@ -1696,6 +1752,7 @@ object TextVector {
     "q_multimodal_assets" -> multimodalAssets,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_decode" -> multimodalDecode,
+    "q_multimodal_media" -> multimodalMedia,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -4009,6 +4066,24 @@ object TextVector {
         |  CASE WHEN doc_id % 5 IN (0,1,2,3) THEN CAST(doc_id % 500 + 16 AS INTEGER) END AS width,
         |  CASE WHEN doc_id % 5 IN (0,1,2,3) THEN CAST(doc_id % 300 + 16 AS INTEGER) END AS height,
         |  doc_id % 5 IN (0,1,2,3) AS valid
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // same independence argument as q_multimodal_decode: the oracle
+    // predicts the WAV/MP4 construction arithmetic (secs*1000;
+    // 3x*1000/600 = 5x; the v1 64-bit duration verbatim), the Spark
+    // side must recover it by genuinely walking RIFF chunks and
+    // ISO-BMFF boxes
+    "q_multimodal_media" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'wav'
+        |       WHEN doc_id % 5 IN (1,2) THEN 'mp4'
+        |       WHEN doc_id % 5 = 3 THEN 'ogg'
+        |       WHEN doc_id % 10 = 4 THEN 'wav' END AS format,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST((doc_id % 30 + 1) * 1000 AS BIGINT)
+        |       WHEN doc_id % 5 = 1 THEN CAST(5 * (doc_id % 10000 + 200) AS BIGINT)
+        |       WHEN doc_id % 5 = 2 THEN CAST(doc_id % 90000 + 1000 AS BIGINT) END AS duration_ms,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 32000 + 8000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+        |  doc_id % 5 IN (0,1,2) AS valid
         |FROM documents ORDER BY asset_id""".stripMargin,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);
     // the oracle predicts the exact-side invariants instead: every

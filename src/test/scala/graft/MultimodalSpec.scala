@@ -86,6 +86,116 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(5) == ((5L, None, None, None, false)), "garbage: nothing")
   }
 
+  // ---- media containers (WAV / MP4 / magic sniffs) ------------------------
+
+  private def le16h(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+  private def le32h(v: Int) =
+    f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+  private def be32h(v: Int) = f"$v%08X"
+
+  /** Minimal WAV: RIFF/WAVE + fmt(16) + optional extra chunk + data. */
+  private def wav(rate: Int, ch: Int, dataSize: Int, extraChunk: String = ""): Array[Byte] = {
+    val byteRate = rate * ch * 2
+    hx("52494646" + le32h(36 + dataSize) + "57415645" + extraChunk +
+      "666D7420" + "10000000" + "0100" + le16h(ch) + le32h(rate) + le32h(byteRate) +
+      le16h(ch * 2) + "1000" + "64617461" + le32h(dataSize))
+  }
+
+  test("MediaHeaders: WAV fmt/data walk — rate, channels, exact integer duration") {
+    val b = wav(rate = 16000, ch = 2, dataSize = 16000 * 2 * 2 * 3) // 3 s
+    assert(graft.plans.MediaHeaders.formatOf(b).toString == "wav")
+    assert(graft.plans.MediaHeaders.sampleRateOf(b) == 16000)
+    assert(graft.plans.MediaHeaders.channelsOf(b) == 2)
+    assert(graft.plans.MediaHeaders.durationMsOf(b) == 3000L)
+    // an ODD-size chunk before fmt must be skipped with the RIFF pad
+    // byte (chunk walk that forgets the pad desyncs on the next 4cc)
+    val odd = wav(8000, 1, 8000 * 2, extraChunk = "4C495354" + le32h(3) + "414243" + "00")
+    assert(graft.plans.MediaHeaders.sampleRateOf(odd) == 8000)
+    assert(graft.plans.MediaHeaders.durationMsOf(odd) == 1000L)
+  }
+
+  test("MediaHeaders: WAV corrupt/truncated classify as invalid, never fabricate") {
+    // RIFF..WAVE only: sniffs wav, no fields
+    val trunc = wav(16000, 2, 100).take(12)
+    assert(graft.plans.MediaHeaders.formatOf(trunc).toString == "wav")
+    assert(graft.plans.MediaHeaders.sampleRateOf(trunc) == -1)
+    assert(graft.plans.MediaHeaders.durationMsOf(trunc) == -1L)
+    // fmt that declares 16 bytes but is cut mid-payload
+    val cutFmt = wav(16000, 2, 100).take(24)
+    assert(graft.plans.MediaHeaders.sampleRateOf(cutFmt) == -1)
+    // zero byte-rate would divide by zero — must classify instead
+    val zeroRate = wav(0, 1, 100)
+    assert(graft.plans.MediaHeaders.durationMsOf(zeroRate) == -1L)
+    // data chunk missing: duration unknowable
+    val noData = hx("52494646" + le32h(36) + "57415645" +
+      "666D7420" + "10000000" + "0100" + le16h(1) + le32h(8000) + le32h(16000) +
+      le16h(2) + "1000")
+    assert(graft.plans.MediaHeaders.durationMsOf(noData) == -1L)
+  }
+
+  /** mvhd v0 payload: version+flags, ctime, mtime, timescale, duration. */
+  private def mvhdV0(timescale: Int, duration: Int) =
+    "0000001C6D766864" + "00000000" + "00000000" + "00000000" +
+      be32h(timescale) + be32h(duration)
+  private val ftyp = "0000001066747970" + "69736F6D00000000"
+
+  test("MediaHeaders: MP4 box walk — v0, v1, box skipping, mdat-first, largesize") {
+    val v0 = hx(ftyp + "000000246D6F6F76" + mvhdV0(600, 1800))
+    assert(graft.plans.MediaHeaders.formatOf(v0).toString == "mp4")
+    assert(graft.plans.MediaHeaders.mp4DurationMs(v0) == 3000L)
+    // moov AFTER an mdat box (streaming-unfriendly but common layout):
+    // the top-level walk must skip mdat by its declared size
+    val mdatFirst = hx(ftyp + "0000000C6D646174" + "DEADBEEF" +
+      "000000246D6F6F76" + mvhdV0(1000, 2500))
+    assert(graft.plans.MediaHeaders.mp4DurationMs(mdatFirst) == 2500L)
+    // 64-bit LARGESIZE mdat (size field 1 + u64), then moov
+    val large = hx(ftyp + "00000001" + "6D646174" + "0000000000000014" + "00000000" +
+      "000000246D6F6F76" + mvhdV0(100, 250))
+    assert(graft.plans.MediaHeaders.mp4DurationMs(large) == 2500L)
+    // mvhd v1: 64-bit times and duration
+    val v1 = hx(ftyp + "000000306D6F6F76" + "000000286D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" + be32h(1000) + "00000000" + be32h(7250))
+    assert(graft.plans.MediaHeaders.mp4DurationMs(v1) == 7250L)
+  }
+
+  test("MediaHeaders: MP4 corrupt classify — zero timescale, no mvhd, cut walk") {
+    assert(graft.plans.MediaHeaders.mp4DurationMs(
+      hx(ftyp + "000000246D6F6F76" + mvhdV0(0, 1800))) == -1L, "zero timescale")
+    assert(graft.plans.MediaHeaders.mp4DurationMs(
+      hx(ftyp + "000000106D6F6F76" + "0000000866726565")) == -1L, "moov without mvhd")
+    assert(graft.plans.MediaHeaders.mp4DurationMs(
+      hx(ftyp + "000000246D6F6F76" + mvhdV0(600, 1800)).take(30)) == -1L, "cut mid-mvhd")
+    assert(graft.plans.MediaHeaders.formatOf(hx(ftyp).take(8)) == null,
+      "ftyp needs its full 12-byte probe")
+    // magic-only sniffs carry no duration
+    assert(graft.plans.MediaHeaders.formatOf(hx("4F676753AABB")).toString == "ogg")
+    assert(graft.plans.MediaHeaders.formatOf(hx("664C6143")).toString == "flac")
+    assert(graft.plans.MediaHeaders.formatOf(hx("1A45DFA3")).toString == "webm")
+    assert(graft.plans.MediaHeaders.formatOf(hx("494433040000")).toString == "mp3")
+    assert(graft.plans.MediaHeaders.formatOf(hx("FFFB9000")).toString == "mp3")
+    assert(graft.plans.MediaHeaders.durationMsOf(hx("4F676753AABB")) == -1L)
+    assert(graft.plans.MediaHeaders.formatOf(Array.emptyByteArray) == null)
+  }
+
+  test("decodeMediaMeta: codegen'd expression path, null semantics per format") {
+    val df = Seq(
+      (0L, wav(44100, 2, 44100 * 2 * 2 * 2)),
+      (1L, hx(ftyp + "000000246D6F6F76" + mvhdV0(600, 3600))),
+      (2L, hx("4F67675300020000")),
+      (3L, wav(44100, 2, 100).take(12)),
+      (4L, hx("DEADBEEF")))
+      .toDF("asset_id", "content").withColumn("kind", lit("media"))
+    val r = Multimodal.decodeMediaMeta(df)
+      .select($"asset_id", $"format", $"duration_ms", $"sample_rate", $"channels", $"valid")
+      .as[(Long, Option[String], Option[Long], Option[Int], Option[Int], Boolean)]
+      .collect().sortBy(_._1)
+    assert(r(0) == ((0L, Some("wav"), Some(2000L), Some(44100), Some(2), true)))
+    assert(r(1) == ((1L, Some("mp4"), Some(6000L), None, None, true)))
+    assert(r(2) == ((2L, Some("ogg"), None, None, None, false)), "magic-only: no duration")
+    assert(r(3) == ((3L, Some("wav"), None, None, None, false)), "truncated: sniffs only")
+    assert(r(4) == ((4L, None, None, None, None, false)), "garbage: nothing")
+  }
+
   test("frameSample: even spacing, fixed grain, correct slice content") {
     val frames = Multimodal.frameSample(assets, frames = 4, frameSize = 5)
       .orderBy("asset_id", "frame_no")
