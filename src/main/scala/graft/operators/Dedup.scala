@@ -545,7 +545,8 @@ object Dedup {
     * rows for 436k candidates) and strictly worse at scale. Never
     * all-pairs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       maxDf: Int = 10, minContainment: Double = 0.8): DataFrame = {
+                       maxDf: Int = 10, minContainment: Double = 0.8,
+                       shingled: Option[DataFrame] = None): DataFrame = {
     // one row per doc, the full distinct-shingle set as an array —
     // shingles() already emits the deduped array, so this is a pure
     // map-side projection (no explode → collect_list round trip, which
@@ -555,11 +556,11 @@ object Dedup {
     // Eager checkpoint leaf (Lineage.truncate): materializes like the
     // old persist+count barrier but also CUTS the logical plan, so the
     // three consumers don't each re-analyze the tokenize chain — and
-    // there's no cache lifetime for the caller to manage.
-    val arrs = graft.core.Lineage.truncate(docs
-      .withColumn("__tokens", TextAnalysis.tokens(textCol))
-      .select(col(idCol), TextAnalysis.shingles("__tokens", 3).as("sh"))
-      .filter(size(col("sh")) > 0))
+    // there's no cache lifetime for the caller to manage. A caller
+    // holding a session-shared [[shingled3]] LEAF passes it via
+    // `shingled` and the tokenize pass is skipped.
+    val arrs = shingled.getOrElse(
+      graft.core.Lineage.truncate(shingled3(docs, idCol, textCol)))
     // candidate pairs straight from df-bounded shingle buckets: ONE
     // groupBy computes the df filter and the per-shingle doc list
     // together, and the ordered pairs unfold from the list in codegen —
@@ -762,7 +763,8 @@ object Dedup {
                       k: Int = 8, rowsPerBand: Int = 2,
                       trueJaccard: Double = 0.5,
                       candidates: Option[DataFrame] = None,
-                      sampleFraction: Double = 1.0): DataFrame = {
+                      sampleFraction: Double = 1.0,
+                      shingled: Option[DataFrame] = None): DataFrame = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val cut = math.round(sampleFraction * 10000).toInt
@@ -770,12 +772,16 @@ object Dedup {
       if (cut >= 10000) lit(true) else Sampling.hashBucket(c, 10000) < cut
     // one tokenize pass feeds truth discovery AND the exact verify;
     // eager checkpoint leaf — multi-consumer barrier, plan cut, no
-    // cache lifetime to manage (containmentPairs)
-    val sh = graft.core.Lineage.truncate(docs
-      .filter(inSample(col(idCol)))
-      .withColumn("__tokens", graft.functions.TextAnalysis.tokens(textCol))
-      .select(col(idCol), graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
-      .filter(size(col("sh")) > 0))
+    // cache lifetime to manage (containmentPairs). A caller holding a
+    // session-shared [[shingled3]] LEAF passes it via `shingled` and
+    // the tokenize pass is skipped entirely (filtered + re-cut for
+    // f < 1 — the filter is the same pure id predicate either way).
+    val sh = shingled match {
+      case Some(leaf) if cut >= 10000 => leaf
+      case Some(leaf) => graft.core.Lineage.truncate(leaf.filter(inSample(col(idCol))))
+      case None => graft.core.Lineage.truncate(
+        shingled3(docs.filter(inSample(col(idCol))), idCol, textCol))
+    }
     // truth and cand are each consumed TWICE below (their own count
     // agg + the hit join) — without a leaf barrier both expensive
     // subtrees (the PPJoin verify chain; the LSH banding chain) are
@@ -813,6 +819,18 @@ object Dedup {
     * checkpoint leaf, which hides the expression from the final
     * realized plan. `sh` must be (idCol, sh: array<string>) with
     * non-empty arrays. */
+  /** The canonical deduped 3-shingle frame `(idCol, sh)` (empty-shingle
+    * docs dropped) that [[blockingQuality]] and [[containmentPairs]]
+    * reduce their input to — exposed so multi-query sessions can build
+    * it ONCE (SharedFrames leaf) and pass it to both via their
+    * `shingled` parameter instead of re-tokenizing the corpus per
+    * audit. */
+  def shingled3(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__tokens", graft.functions.TextAnalysis.tokens(textCol))
+      .select(col(idCol), graft.functions.TextAnalysis.shingles("__tokens", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   private[graft] def blockingTruthPairs(sh: DataFrame, idCol: String,
                                         trueJaccard: Double): DataFrame = {
     val ex = sh.select(col(idCol), size(col("sh")).as("__n"), explode(col("sh")).as("__g"))

@@ -165,9 +165,13 @@ object Sampling {
     * a |pairs|-scale frame); everything after is one left equi-join +
     * the zero-shuffle hash ladder. */
   def leakageSafeSplit(df: DataFrame, idCol: String, dupPairs: DataFrame,
-                       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
-      : DataFrame = {
-    val cc = Dedup.connectedComponents(dupPairs)
+                       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                       labels: Option[DataFrame] = None): DataFrame = {
+    // `labels` short-circuits the CC run for callers that already hold
+    // the (id, cluster_id) labeling of dupPairs — e.g. a session-shared
+    // leaf also feeding the cluster/canonical queries. Caller contract:
+    // labels IS the CC labeling of dupPairs (min-id clusters).
+    val cc = labels.getOrElse(Dedup.connectedComponents(dupPairs))
       .select(col("id").as(idCol), col("cluster_id"))
     val clustered = df
       .join(cc, Seq(idCol), "left")
