@@ -1473,6 +1473,31 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** HTML boilerplate strip (plans/HtmlExpressions.stripHtml): per-doc
+    * fixture markup wraps the document text with a full head (script
+    * whose CONTENT contains `<`, `//` and a `</scripty>` fakeout that
+    * must NOT end it, a style block, a comment), heading and entity
+    * text — the extractor must return exactly the predictable
+    * surviving text. %10==9 plants an unclosed tag (swallows to EOF →
+    * empty), %10==4 entities with no markup. The oracle writes the
+    * expected extraction straight from the construction. */
+  def htmlStripQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val wrapped = when(id % 10 === 9, concat(lit("<div "), col("text")))
+      .when(id % 10 === 4, concat(lit("R&amp;D "), col("text")))
+      .otherwise(concat(
+        lit("<html><head><title>t</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2; // </scripty> fake</script>" +
+          "<style>.a { color: red; }</style></head><body><!-- comment --><h1>Doc "),
+        id,
+        lit("</h1><p>&quot;intro&quot; &amp; more</p><div>"), col("text"),
+        lit("</div><br/></body></html>")))
+    docs(s, dir).select(id,
+        graft.plans.HtmlExpressions.stripHtml(wrapped).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")))
+      .orderBy("doc_id")
+  }
+
   // ---- selection / mixing / audit -----------------------------------------
 
   /** DSIR importance weights (Dsir.importanceWeights): every document
@@ -1802,6 +1827,7 @@ object TextVector {
     "q_multimodal_decode" -> multimodalDecode,
     "q_multimodal_media" -> multimodalMedia,
     "q_url_canon" -> urlCanonQ,
+    "q_html_strip" -> htmlStripQ,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -4149,6 +4175,19 @@ object TextVector {
         |       WHEN doc_id%5=3 THEN 'ex' || (doc_id%50) || '.com' END AS host,
         |  doc_id%5 IN (0,1,2,3) AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle writes the expected extraction straight from the
+    // fixture construction (documents.text verified free of <,>,&,
+    // multi-space) — the Spark side must actually strip markup,
+    // skip script/style/comment content, and decode entities
+    "q_html_strip" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id%10=9 THEN ''
+        |         WHEN doc_id%10=4 THEN 'R&D ' || text
+        |         ELSE 't Doc ' || doc_id || ' "intro" & more ' || text END AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INTEGER) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);
     // the oracle predicts the exact-side invariants instead: every
     // query returns a full top-3 and recalls >= 1 true neighbor.
