@@ -107,6 +107,66 @@ object Privacy {
       .select(qc ++ Seq(col("class_size"), col("emd"), col("violates_t")): _*)
   }
 
+  /** The two STRONGER l-diversity instantiations from Machanavajjhala
+    * et al. 2007 that distinct-count l-diversity ([[kAnonymity]]'s
+    * `l_diversity` column) provably misses:
+    *
+    *  - **entropy l-diversity**: H(class) = −Σ p·ln p ≥ ln(l). A class
+    *    can hold l distinct sensitive values yet be 98% one value —
+    *    distinct-count passes, the adversary still wins; entropy
+    *    doesn't.
+    *  - **recursive (c,l)-diversity**: with per-class value counts
+    *    r₁ ≥ r₂ ≥ … ≥ r_m, require r₁ < c·(r_l + r_{l+1} + … + r_m).
+    *    The skew gate that tolerates a common value only while the
+    *    tail beyond rank l−1 stays proportionally heavy; m < l fails
+    *    by definition.
+    *
+    * Both flags compare 6-dp-rounded quantities (the shared
+    * oracle-stable formula) so the booleans are engine-stable; the
+    * entropy threshold ln(l) is itself rounded once to 6 dp and the
+    * SAME literal is used by any cross-engine auditor.
+    *
+    * Scale shape: one (class, value) hash aggregate, then windows
+    * PARTITIONED BY CLASS (per-class value lists are small by the
+    * nature of a sensitive attribute — the window never sees more
+    * rows than distinct sensitive values in one class). No global
+    * sort, no cross join, no driver round-trip.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Int = 2, c: Double = 2.0): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2 (l=1 is vacuous), got $l")
+    require(c > 0, s"c must be positive, got $c")
+    val qc = quasiCols.map(col)
+    val counts = df.groupBy(qc :+ col(sensitiveCol).cast("string").as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // deterministic rank: count desc, value asc (ties broken stably)
+    val wRank = Window.partitionBy(qc: _*)
+      .orderBy(col("__cnt").desc, col("__v").asc)
+    val wCls = Window.partitionBy(qc: _*)
+    val p6 = math.pow(10, 6)
+    val lnL = math.floor(math.log(l.toDouble) * p6 + 0.5) / p6
+    val ranked = counts
+      .withColumn("__rank", row_number().over(wRank))
+      .withColumn("class_size", sum(col("__cnt")).over(wCls))
+      .withColumn("__p", col("__cnt").cast("double") / col("class_size").cast("double"))
+    ranked
+      .groupBy(qc :+ col("class_size"): _*)
+      .agg(
+        count(lit(1)).as("distinct_l"),
+        (-sum(col("__p") * log(col("__p")))).as("__entropy"),
+        max(col("__cnt")).as("__r1"),
+        sum(when(col("__rank") >= l, col("__cnt")).otherwise(0L)).as("__tail"))
+      .select(qc ++ Seq(
+        col("class_size"), col("distinct_l"),
+        (floor(col("__entropy") * p6 + lit(0.5)) / p6).as("entropy"),
+        (floor(col("__entropy") * p6 + lit(0.5)) / p6 >= lnL).as("entropy_ok"),
+        col("__r1").as("top_count"),
+        (col("__r1").cast("double") <
+          floor(lit(c) * col("__tail").cast("double") * p6 + lit(0.5)) / p6)
+          .as("recursive_ok")): _*)
+  }
+
   /** ε-differentially-private group counts (Laplace mechanism,
     * b = sensitivity/ε) with SEEDED hash-derived noise: the 52-bit
     * md5-uniform (the weightedSample recipe) through the Laplace
