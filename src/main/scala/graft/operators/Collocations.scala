@@ -17,7 +17,7 @@ import graft.functions.TextAnalysis
   *
   * Reference baseline: the reference has no corpus-LM surface at all
   * (its text analytics stop at count batteries,
-  * dashboards_and_validation.sql); these are pure training-pipeline
+  * realtime-metrics-sql-pack.sql); these are pure training-pipeline
   * additions.
   */
 object Collocations {

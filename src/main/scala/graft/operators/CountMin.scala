@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * comparable, not tolerance-checked.
   *
   * Reference baseline: the reference keeps only exact GROUP BY
-  * counters (dashboards_and_validation.sql count batteries); CMS is
+  * counters (realtime-metrics-sql-pack.sql count batteries); CMS is
   * the bounded-memory swap for 100 TB streams, paired here with the
   * standard `est ≥ exact` / `est ≤ exact + εN` guarantees (ε = e/width,
   * Cormode & Muthukrishnan 2005).

@@ -995,4 +995,37 @@ object Dedup {
         (col("tok_end") - col("tok_start") + 1).as("span_tokens"), col("n_windows"),
         md5(expr("substring(__txt, span_start, span_end - span_start + 1)")).as("span_md5"))
   }
+
+  /** Paragraph-grain exact dedup — the cheap FIRST pass real pipelines
+    * run before any MinHash: nav bars, footers, and license blurbs
+    * repeat verbatim across pages at paragraph grain, and dropping
+    * them there costs one hash + one keyed window instead of a
+    * shingle pipeline.
+    *
+    * Paragraphs: CRLF-normalized text split on blank lines
+    * (`\n[ \t]*\n`), each trimmed, empties dropped, 1-based index.
+    * Keep rule: the globally FIRST occurrence of each paragraph hash —
+    * deterministic (doc_id, para_idx) order — survives; every later
+    * copy is a cut. Emits the per-occurrence cut-list with `n_copies`
+    * so a curator can whitelist high-copy boilerplate separately.
+    *
+    * Scale shape: one projection (split is per-row), one shuffle keyed
+    * by paragraph hash; the window sees one hash-group at a time. At
+    * 100 TB swap md5 for xxhash64 (same plan; md5 here because the
+    * cross-engine oracle speaks it). */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = docs.select(col(idCol),
+        posexplode(filter(
+          transform(split(regexp_replace(col(textCol), "\r\n", "\n"), "\n[ \t]*\n"),
+            p => trim(p, " \t\r\n")),
+          p => length(p) > 0)).as(Seq("__pos", "__para")))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("para_idx"),
+        md5(col("__para")).as("para_hash"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("para_hash"))
+    val wFirst = org.apache.spark.sql.expressions.Window.partitionBy(col("para_hash"))
+      .orderBy(col(idCol).asc, col("para_idx").asc)
+    paras
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", row_number().over(wFirst) === 1)
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * shrinkage, and uplift (Qini) deciles.
   *
   * Extends the reference's dashboard surface (daily-grain metric
-  * views, e.g. dashboard_m1_health_check.sql's per-day aggregates)
+  * views, e.g. realtime-metrics-sql-pack.sql A1's per-minute health trend)
   * with the rolling/decomposition layer those views feed.
   *
   * Every operator is a keyed shuffle shape — no driver loops, no

@@ -45,12 +45,16 @@ object Multimodal {
     * classify, never throw — the quarantine contract. */
   def decodeImageMeta(assets: DataFrame): DataFrame = {
     import graft.plans.ImageExpressions._
+    // ONE struct decode per row, fields projected off it (the four
+    // identical subtrees collapse to a single parse under codegen CSE
+    // — MultimodalSpec asserts one decodeStruct() call site)
+    val h = decodeImageHeader(col("content"))
     assets.select(
       col("asset_id"), col("kind"),
-      imageFormat(col("content")).as("format"),
-      imageWidth(col("content")).as("width"),
-      imageHeight(col("content")).as("height"),
-      imageWidth(col("content")).isNotNull.as("valid"))
+      h.getField("format").as("format"),
+      h.getField("width").as("width"),
+      h.getField("height").as("height"),
+      h.getField("width").isNotNull.as("valid"))
   }
 
   /** Audio/video container-header decode (plans/MediaExpressions —
@@ -63,13 +67,15 @@ object Multimodal {
     * as [[decodeImageMeta]]. */
   def decodeMediaMeta(assets: DataFrame): DataFrame = {
     import graft.plans.MediaExpressions._
+    // ONE container walk per row (see decodeImageMeta)
+    val h = decodeMediaHeader(col("content"))
     assets.select(
       col("asset_id"), col("kind"),
-      mediaFormat(col("content")).as("format"),
-      mediaDurationMs(col("content")).as("duration_ms"),
-      mediaSampleRate(col("content")).as("sample_rate"),
-      mediaChannels(col("content")).as("channels"),
-      mediaDurationMs(col("content")).isNotNull.as("valid"))
+      h.getField("format").as("format"),
+      h.getField("duration_ms").as("duration_ms"),
+      h.getField("sample_rate").as("sample_rate"),
+      h.getField("channels").as("channels"),
+      h.getField("duration_ms").isNotNull.as("valid"))
   }
 
   /** Byte-level content features (mean byte, 8-bucket byte histogram):

@@ -150,11 +150,14 @@ object Privacy {
       .withColumn("__rank", row_number().over(wRank))
       .withColumn("class_size", sum(col("__cnt")).over(wCls))
       .withColumn("__p", col("__cnt").cast("double") / col("class_size").cast("double"))
+    // entropy accumulates FIXED-POINT longs (each p·ln p rounded at
+    // 1e-12 before the sum): bit-stable under any shuffle order
     ranked
       .groupBy(qc :+ col("class_size"): _*)
       .agg(
         count(lit(1)).as("distinct_l"),
-        (-sum(col("__p") * log(col("__p")))).as("__entropy"),
+        (-sum(floor(col("__p") * log(col("__p")) * lit(1e12) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e12)).as("__entropy"),
         max(col("__cnt")).as("__r1"),
         sum(when(col("__rank") >= l, col("__cnt")).otherwise(0L)).as("__tail"))
       .select(qc ++ Seq(

@@ -30,12 +30,22 @@ import org.apache.spark.sql.functions._
   * designer needs per-rule kill counts (which rule fires on which
   * slice), not just the conjunction. Ratios are 6-dp rounded with the
   * shared oracle-stable formula so the booleans compare identically
-  * cross-engine.
+  * cross-engine. Null text is deterministically REJECTED (every rule
+  * flag and `keep` coalesce to false; metrics stay null) — a null doc
+  * must land on exactly one side of a keep/drop split.
   *
-  * Reference anchor: the reference's content-quality gate is a fixed
-  * CASE ladder over counter thresholds (etl/content_quality_rules.py);
-  * this battery is the corpus-quality analog the survey's §5 training
-  * -data extension prescribes.
+  * Crawl-reality hygiene: lines split on `\r?\n` (CRLF corpora keep no
+  * trailing `\r`, so the ellipsis-END rule still fires), words split
+  * on any whitespace run (`\s+` — tabs don't glue words), and the
+  * stopword probe matches LOWERCASED ALPHANUMERIC TOKENS (the
+  * TextAnalysis.tokens grain), not raw splits — 'The', 'the,' and
+  * 'the.' all count, as the rule intends.
+  *
+  * Reference anchor: the reference's quality gate is the fixed
+  * CASE-ladder validation precedence over declared thresholds
+  * (rt_content_events_validation.py:33-52); this battery is the
+  * corpus-quality analog the survey's §5 training-data extension
+  * prescribes.
   */
 object QualityRules {
 
@@ -64,13 +74,14 @@ object QualityRules {
     * conjunction `keep`. Passes `idCols` through untouched. */
   def gopherRules(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
     val txt = col(textCol)
-    // lines: newline split; blank lines (crawl artifacts) don't count
-    val lines = filter(split(txt, "\n"), l => length(l) > 0)
-    // words: whitespace runs (space or newline) split, empties dropped
-    val words = filter(split(txt, "[ \n]+"), w => length(w) > 0)
+    // lines: CRLF-aware split; blank lines (crawl artifacts) don't count
+    val lines = filter(split(txt, "\r?\n"), l => length(l) > 0)
+    // words: any whitespace run (space/tab/CR/LF) splits, empties dropped
+    val words = filter(split(txt, "\\s+"), w => length(w) > 0)
 
     val withArrays = df.select(
-      (idCols.map(col) ++ Seq(lines.as("__lines"), words.as("__words"), txt.as("__t"))): _*)
+      (idCols.map(col) ++ Seq(lines.as("__lines"), words.as("__words"), txt.as("__t"),
+        graft.functions.TextAnalysis.tokens(textCol).as("__toks"))): _*)
 
     val nLines = greatest(size(col("__lines")), lit(1)).cast("long")
     val nWords = size(col("__words")).cast("long")
@@ -96,8 +107,9 @@ object QualityRules {
       .cast("double") / nWordsSafe.cast("double")
     val dupLineFrac = lit(1.0) -
       size(array_distinct(col("__lines"))).cast("double") / nLines.cast("double")
+    // probe against lowercased alphanumeric TOKENS (case/punct-blind)
     val stopHits = StopProbe.map(w =>
-      array_contains(col("__words"), w).cast("long")).reduce(_ + _)
+      array_contains(col("__toks"), w).cast("long")).reduce(_ + _)
 
     val metrics = withArrays.select(
       (idCols.map(col) ++ Seq(
@@ -111,18 +123,21 @@ object QualityRules {
         rd6(dupLineFrac).as("dup_line_frac"),
         stopHits.as("stop_hits"))): _*)
 
-    // rule booleans compare the ROUNDED metrics: bit-stable cross-engine
+    // rule booleans compare the ROUNDED metrics (bit-stable
+    // cross-engine) and coalesce to false: null text fails every rule
+    // deterministically instead of vanishing from both filter sides
+    def r(c: Column): Column = coalesce(c, lit(false))
     metrics
       .withColumn("r_wordcount",
-        col("n_words") >= MinWords && col("n_words") <= MaxWords)
+        r(col("n_words") >= MinWords && col("n_words") <= MaxWords))
       .withColumn("r_meanlen",
-        col("mean_word_len") >= MinMeanWordLen && col("mean_word_len") <= MaxMeanWordLen)
-      .withColumn("r_symbol", col("symbol_ratio") <= MaxSymbolRatio)
-      .withColumn("r_bullet", col("bullet_frac") <= MaxBulletFrac)
-      .withColumn("r_ellipsis", col("ellipsis_frac") <= MaxEllipsisFrac)
-      .withColumn("r_alpha", col("alpha_frac") >= MinAlphaFrac)
-      .withColumn("r_stop", col("stop_hits") >= MinStopHits)
-      .withColumn("r_dupline", col("dup_line_frac") <= MaxDupLineFrac)
+        r(col("mean_word_len") >= MinMeanWordLen && col("mean_word_len") <= MaxMeanWordLen))
+      .withColumn("r_symbol", r(col("symbol_ratio") <= MaxSymbolRatio))
+      .withColumn("r_bullet", r(col("bullet_frac") <= MaxBulletFrac))
+      .withColumn("r_ellipsis", r(col("ellipsis_frac") <= MaxEllipsisFrac))
+      .withColumn("r_alpha", r(col("alpha_frac") >= MinAlphaFrac))
+      .withColumn("r_stop", r(col("stop_hits") >= MinStopHits))
+      .withColumn("r_dupline", r(col("dup_line_frac") <= MaxDupLineFrac))
       .withColumn("keep",
         col("r_wordcount") && col("r_meanlen") && col("r_symbol") && col("r_bullet") &&
           col("r_ellipsis") && col("r_alpha") && col("r_stop") && col("r_dupline"))

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * core of PrefixSpan, Pei et al. 2001): for every ordered pair of
   * event types (a → b), the number of users with SOME a-event strictly
   * before SOME b-event, and its support over the active-user base.
-  * This is the "what do users do next" sequence signal the reference's
-  * funnel query hardcodes for one path (view→click→purchase —
-  * metabase_dashboard_pack.sql's funnel CTE); here every type pair is
-  * scored in one pass.
+  * This is the "what do users do next" sequence signal: the reference
+  * has no funnel/sequence surface (its dashboards stop at per-minute
+  * rate trends, realtime-metrics-sql-pack.sql); here every type pair
+  * is scored in one pass — a pure training-pipeline addition.
   *
   * Scale shape: the naive form self-joins the raw event log per user
   * (quadratic in events/user). Instead, "∃ a before b" is decided

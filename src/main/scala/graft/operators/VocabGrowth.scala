@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextAnalysis
@@ -37,7 +37,14 @@ object VocabGrowth {
   /** Per-bucket curve: (bucket, n_docs, bucket_tokens, cum_tokens,
     * new_types, cum_vocab) plus the fitted heaps_beta / heaps_k
     * repeated on every row (6-dp rounded). Buckets with zero new
-    * types still appear (token mass drives the bucket universe). */
+    * types still appear (token mass drives the bucket universe).
+    *
+    * Determinism contract: the OLS sums accumulate FIXED-POINT longs
+    * (each ln() value rounded at 1e-9 before summation), so the fit is
+    * bit-stable under any partition/summation order — the same recipe
+    * the divergence queries use. Degenerate curves (fewer than 2
+    * valid checkpoints, or zero OLS denominator) yield NULL
+    * heaps_beta / heaps_k explicitly rather than ±Inf/NaN. */
   def heapsCurve(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  bucketSize: Long = 25L): DataFrame = {
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
@@ -62,19 +69,26 @@ object VocabGrowth {
       .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wCum))
       .withColumn("cum_vocab", sum(col("new_types")).over(wCum))
 
-    // OLS of ln(cum_vocab) on ln(cum_tokens) over the checkpoints
-    val x = log(col("cum_tokens").cast("double"))
-    val y = log(col("cum_vocab").cast("double"))
-    val fit = curve.filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+    // OLS of ln(cum_vocab) on ln(cum_tokens) over the checkpoints —
+    // fixed-point (1e-9) long accumulation: summation-order-proof
+    def f9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val x9 = f9(log(col("cum_tokens").cast("double"))).cast("double") / lit(1e9)
+    val y9 = f9(log(col("cum_vocab").cast("double"))).cast("double") / lit(1e9)
+    val fit0 = curve.filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
       .agg(count(lit(1)).cast("double").as("__n"),
-        sum(x).as("__sx"), sum(y).as("__sy"),
-        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
-      .select(
-        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))).as("__beta"),
+        sum(f9(x9)).cast("double").as("__sx"), sum(f9(y9)).cast("double").as("__sy"),
+        sum(f9(x9 * y9)).cast("double").as("__sxy"),
+        sum(f9(x9 * x9)).cast("double").as("__sxx"))
+    // scales: __sx/__sy = Σv·1e9, __sxy/__sxx = Σv·1e9 → numerator and
+    // denominator both carry 1e18; the ratio is scale-free
+    val den = col("__n") * col("__sxx") * lit(1e9) - col("__sx") * col("__sx")
+    val num = col("__n") * col("__sxy") * lit(1e9) - col("__sx") * col("__sy")
+    val fit = fit0
+      .select(when(col("__n") >= 2 && den =!= 0.0, num / den).as("__beta"),
         col("__sx"), col("__sy"), col("__n"))
       .select(col("__beta"),
-        exp((col("__sy") - col("__beta") * col("__sx")) / col("__n")).as("__k"))
+        exp((col("__sy") / lit(1e9) - col("__beta") * col("__sx") / lit(1e9)) / col("__n"))
+          .as("__k"))
     val p6 = math.pow(10, 6)
     curve.crossJoin(broadcast(fit))
       .select(col("__bucket").as("bucket"), col("n_docs"), col("bucket_tokens"),

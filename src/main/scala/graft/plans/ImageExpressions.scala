@@ -136,6 +136,27 @@ object ImageHeaders {
   def heightOf(b: Array[Byte]): Int = {
     val d = dims(b); if (d < 0L) -1 else (d & 0xffffffffL).toInt
   }
+
+  /** ONE-parse struct decode: (format, width, height) as an
+    * InternalRow — format null for unknown magic, dims null when the
+    * header doesn't fully parse. The multi-column form: project the
+    * fields off one [[DecodeImageHeader]] so a row is parsed once, not
+    * once per output column. */
+  def decodeStruct(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val f = formatOf(b)
+    if (f == null)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null, null))
+    else {
+      val d = dims(b)
+      if (d < 0L)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](f, null, null))
+      else
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](f, (d >>> 32).toInt, (d & 0xffffffffL).toInt))
+    }
+  }
 }
 
 private[plans] trait BinaryInputExpr extends UnaryExpression {
@@ -192,7 +213,31 @@ case class ImageHeight(child: Expression) extends BinaryInputExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Single-pass header decode: struct<format,width,height> from ONE
+  * parse of the payload (the three scalar expressions each re-walk the
+  * header — fine for one answer, 3–4× redundant for all of them; at
+  * 100 TB scan grain the struct form is the multi-column contract).
+  * Never null itself (bad bytes classify as null FIELDS) so the
+  * quarantine semantics live in the fields, input NULL stays NULL. */
+case class DecodeImageHeader(child: Expression) extends BinaryInputExpr {
+  override def dataType: DataType = DecodeImageHeader.schema
+  override def nullSafeEval(input: Any): Any =
+    ImageHeaders.decodeStruct(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ImageHeaders.decodeStruct($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object DecodeImageHeader {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+}
+
 object ImageExpressions {
+  def decodeImageHeader(c: Column): Column =
+    ColumnBridge.column(DecodeImageHeader(ColumnBridge.expression(c)))
   def imageFormat(c: Column): Column = ColumnBridge.column(ImageFormat(ColumnBridge.expression(c)))
   def imageWidth(c: Column): Column = ColumnBridge.column(ImageWidth(ColumnBridge.expression(c)))
   def imageHeight(c: Column): Column = ColumnBridge.column(ImageHeight(ColumnBridge.expression(c)))

@@ -173,6 +173,26 @@ object MediaHeaders {
   def channelsOf(b: Array[Byte]): Int = {
     val i = wavInfo(b); if (i < 0) -1 else ((i >>> 32) & 0xff).toInt
   }
+
+  /** ONE-parse struct decode: (format, duration_ms, sample_rate,
+    * channels) — format null for unknown magic, the other fields null
+    * whenever that container doesn't carry them or the header is
+    * corrupt. One WAV chunk walk / one MP4 box walk per row total. */
+  def decodeStruct(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    def row(vs: Array[Any]) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+    val f = formatOf(b)
+    if (f == null) row(Array[Any](null, null, null, null))
+    else if (hasWavMagic(b)) {
+      val i = wavInfo(b)
+      if (i < 0L) row(Array[Any](f, null, null, null))
+      else row(Array[Any](f, i & 0xffffffffL, (i >>> 40).toInt, ((i >>> 32) & 0xff).toInt))
+    } else if (hasMp4Magic(b)) {
+      val d = mp4DurationMs(b)
+      if (d < 0L) row(Array[Any](f, null, null, null))
+      else row(Array[Any](f, d, null, null))
+    } else row(Array[Any](f, null, null, null))
+  }
 }
 
 /** Media container format by magic — 'wav' | 'mp4' | 'ogg' | 'flac' |
@@ -238,7 +258,30 @@ case class MediaChannels(child: Expression) extends BinaryInputExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Single-pass container decode: struct<format,duration_ms,
+  * sample_rate,channels> from ONE walk of the header — the
+  * multi-column contract (the scalar expressions each re-walk; fine
+  * for one answer, redundant for all of them). Never null itself;
+  * quarantine semantics live in the fields, input NULL stays NULL. */
+case class DecodeMediaHeader(child: Expression) extends BinaryInputExpr {
+  override def dataType: DataType = DecodeMediaHeader.schema
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaders.decodeStruct(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MediaHeaders.decodeStruct($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object DecodeMediaHeader {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType), StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType)))
+}
+
 object MediaExpressions {
+  def decodeMediaHeader(c: Column): Column =
+    ColumnBridge.column(DecodeMediaHeader(ColumnBridge.expression(c)))
   def mediaFormat(c: Column): Column = ColumnBridge.column(MediaFormat(ColumnBridge.expression(c)))
   def mediaDurationMs(c: Column): Column = ColumnBridge.column(MediaDurationMs(ColumnBridge.expression(c)))
   def mediaSampleRate(c: Column): Column = ColumnBridge.column(MediaSampleRate(ColumnBridge.expression(c)))

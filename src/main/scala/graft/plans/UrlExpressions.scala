@@ -28,11 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     verbatim (case-significant on most servers).
   *
   * [[UrlHost]] additionally extracts the lowercased host with a
-  * leading `www.` removed — the grouping key for per-site caps and
-  * domain blocklists. (Registrable-domain extraction against the
-  * Public Suffix List needs the PSL snapshot; host-minus-www is the
-  * deterministic approximation that needs no external data, stated
-  * here so nobody mistakes it for PSL semantics.)
+  * leading `www.` removed — the cheap per-host key. [[UrlDomain]]
+  * extracts the REGISTRABLE domain against the embedded Public
+  * Suffix List snapshot ([[PublicSuffixes]]) — the key per-site caps
+  * and blocklists actually group by at 100 TB (`a.blogs.co.uk` ≡
+  * `b.blogs.co.uk` one site; `a.github.io` ≠ `b.github.io` two
+  * sites — host-minus-www gets both wrong).
   */
 object UrlCanon {
 
@@ -93,9 +94,9 @@ object UrlCanon {
     sb.toString
   }
 
-  /** Lowercased host minus a leading `www.`, or null when the URL
-    * doesn't canonicalize. */
-  def hostOf(url: String): String = {
+  /** Lowercased canonical host, unmodified — the PSL matcher's input
+    * (`www.` is a real label to the exception rules: !www.ck). */
+  def rawHostOf(url: String): String = {
     val c = canonicalize(url)
     if (c == null) return null
     val start = c.indexOf("://") + 3
@@ -105,8 +106,23 @@ object UrlCanon {
       val ch = c.charAt(i)
       if (ch == '/' || ch == ':' || ch == '?') end = i else i += 1
     }
-    val h = c.substring(start, end)
-    if (h.startsWith("www.") && h.length > 4) h.substring(4) else h
+    c.substring(start, end)
+  }
+
+  /** Lowercased host minus a leading `www.`, or null when the URL
+    * doesn't canonicalize. */
+  def hostOf(url: String): String = {
+    val h = rawHostOf(url)
+    if (h == null) null
+    else if (h.startsWith("www.") && h.length > 4) h.substring(4) else h
+  }
+
+  /** Registrable domain (PSL snapshot semantics) of the URL's host, or
+    * null when the URL doesn't canonicalize or the host has no
+    * registrable domain (bare public suffix, IP literal). */
+  def domainOf(url: String): String = {
+    val h = rawHostOf(url)
+    if (h == null) null else PublicSuffixes.registrableDomain(h)
   }
 
   def canonicalizeU(u: UTF8String): UTF8String = {
@@ -118,6 +134,12 @@ object UrlCanon {
   def hostOfU(u: UTF8String): UTF8String = {
     if (u == null) return null
     val r = hostOf(u.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  def domainOfU(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val r = domainOf(u.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
 }
@@ -158,9 +180,26 @@ case class UrlHost(child: Expression) extends StringInputExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Registrable domain against the embedded PSL snapshot — the per-SITE
+  * grouping key (public suffix + one label); NULL when the URL doesn't
+  * canonicalize or the host is a bare public suffix / IP literal. */
+case class UrlDomain(child: Expression) extends StringInputExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UrlCanon.domainOfU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.plans.UrlCanon.domainOfU($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object UrlExpressions {
   def urlCanonicalize(c: Column): Column =
     ColumnBridge.column(UrlCanonicalize(ColumnBridge.expression(c)))
   def urlHost(c: Column): Column =
     ColumnBridge.column(UrlHost(ColumnBridge.expression(c)))
+  def urlDomain(c: Column): Column =
+    ColumnBridge.column(UrlDomain(ColumnBridge.expression(c)))
 }

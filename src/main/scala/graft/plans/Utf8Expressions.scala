@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Encoding audit over raw `binary` payloads — the "is this actually
@@ -39,6 +39,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * codegen'd into a call on the shared static scanner, which packs all
   * five answers into one long — decode-at-scan-throughput, zero
   * allocation, no UDF, partition-parallel. NULL input stays NULL.
+  *
+  * Selecting SEVERAL audit columns: use [[Utf8AuditPacked]] once and
+  * bit-extract ([[Utf8Expressions.unpack*]]) — the five identical
+  * packed subtrees collapse to ONE audit() call under whole-stage
+  * codegen subexpression elimination (asserted by Utf8AuditSpec on
+  * the generated code, not assumed). The five single-column
+  * expressions are for point use (one answer, one scan).
   */
 object Utf8Audit {
 
@@ -153,7 +160,40 @@ case class Utf8MojibakeCount(child: Expression) extends BinaryInputExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** The whole audit in one scan: the packed long of
+  * [[Utf8Audit.audit]] (bit 62 wellFormed, 48–61 mojibake, 32–47
+  * control, 16–31 replacement, 0–15 invalid). Derive columns with the
+  * [[Utf8Expressions]] unpack helpers — the multi-column form that
+  * guarantees one pass per payload structurally. */
+case class Utf8AuditPacked(child: Expression) extends BinaryInputExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Utf8Audit.audit(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Utf8Audit.audit($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 object Utf8Expressions {
+  import org.apache.spark.sql.functions.{lit, shiftright}
+
+  def utf8AuditPacked(c: Column): Column =
+    ColumnBridge.column(Utf8AuditPacked(ColumnBridge.expression(c)))
+
+  /** Bit-extraction twins of the five single-column expressions —
+    * apply to the SAME [[utf8AuditPacked]] column so codegen CSE
+    * collapses the scans to one (bit 63 is always 0, so arithmetic
+    * shiftright is safe). */
+  def unpackWellFormed(packed: Column): Column = shiftright(packed, 62) === lit(1L)
+  def unpackInvalid(packed: Column): Column =
+    packed.bitwiseAND(lit(0xffffL)).cast("int")
+  def unpackReplacement(packed: Column): Column =
+    shiftright(packed, 16).bitwiseAND(lit(0xffffL)).cast("int")
+  def unpackControl(packed: Column): Column =
+    shiftright(packed, 32).bitwiseAND(lit(0xffffL)).cast("int")
+  def unpackMojibake(packed: Column): Column =
+    shiftright(packed, 48).bitwiseAND(lit(0x3fffL)).cast("int")
+
   def utf8WellFormed(c: Column): Column =
     ColumnBridge.column(Utf8WellFormed(ColumnBridge.expression(c)))
   def utf8InvalidCount(c: Column): Column =

@@ -311,7 +311,19 @@ object Mixture {
         rd(col("n_dp"), 6).as("n_dp"), rd(col("noise"), 6).as("noise"), col("epsilon"))
       .orderBy("event_type", "day")
 
+  /** Entropy + recursive (c,l)-diversity (Privacy.lDiversity, l=2,
+    * c=2.0) over the q_kanon quasi-identifier classes — the two
+    * STRONGER gates distinct-count l-diversity provably misses: a
+    * class can hold 2 langs yet be 98% one of them. Entropy sums are
+    * fixed-point (1e-12 longs), bit-stable cross-engine. */
+  def lDiversityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversity(
+        docs(s, dir).withColumn("len_band", floor(col("n_chars") / 500)),
+        Seq("source", "len_band"), "lang", l = 2, c = 2.0)
+      .orderBy("source", "len_band")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ldiversity" -> lDiversityQ,
     "q_dp_counts" -> dpCountsQ,
     "q_curriculum" -> curriculum,
     "q_sorted_blocking" -> sortedBlocking,
@@ -599,6 +611,31 @@ object Mixture {
         |  floor((res / n)*100000000 + 0.5)/100000000 AS resolution,
         |  floor((yb * (1.0 - yb))*100000000 + 0.5)/100000000 AS uncertainty
         |FROM ag""".stripMargin,
+    // the oracle recomputes both gates: deterministic (count desc,
+    // value asc) ranking, fixed-point (1e-12) entropy sum, ln(2)
+    // threshold rounded once at 6 dp — the engine's exact contract
+    "q_ldiversity" ->
+      """WITH c AS (
+        |  SELECT source, CAST(floor(n_chars / 500) AS BIGINT) AS len_band,
+        |    CAST(lang AS VARCHAR) AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source, len_band ORDER BY cnt DESC, v ASC) AS rnk,
+        |    CAST(sum(cnt) OVER (PARTITION BY source, len_band) AS BIGINT) AS class_size
+        |  FROM c),
+        |p AS (SELECT *, CAST(cnt AS DOUBLE) / class_size AS pp FROM r),
+        |a AS (
+        |  SELECT source, len_band, class_size, count(*) AS distinct_l,
+        |    -CAST(sum(CAST(floor(pp * ln(pp) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS ent,
+        |    max(cnt) AS r1,
+        |    CAST(sum(CASE WHEN rnk >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS tail
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT source, len_band, class_size, distinct_l,
+        |  floor(ent*1000000 + 0.5)/1000000 AS entropy,
+        |  floor(ent*1000000 + 0.5)/1000000 >= 0.693147 AS entropy_ok,
+        |  r1 AS top_count,
+        |  CAST(r1 AS DOUBLE) < floor(2.0*tail*1000000 + 0.5)/1000000 AS recursive_ok
+        |FROM a ORDER BY source, len_band""".stripMargin,
     "q_kanon" ->
       """WITH c AS (
         |  SELECT source, CAST(floor(n_chars / 500) AS BIGINT) AS len_band,

@@ -1498,6 +1498,130 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Gopher structural-quality battery (QualityRules.gopherRules):
+    * per-doc fixture text CONSTRUCTED with the exact pathologies each
+    * rule exists to catch — CRLF line endings with an ellipsis-ended
+    * line (the \r?\n split must strip the \r or r_ellipsis silently
+    * dies), tab-glued words (the \s+ split must separate them), a
+    * bullet-heavy listicle, a repeated nav-bar line, and a NULL
+    * document (must land deterministically on the drop side). The
+    * oracle recomputes every metric and rule flag from the same
+    * construction in DuckDB. */
+  def gopherRulesQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val fix = when(id % 10 === 7, lit(null).cast("string"))
+      .when(id % 5 === 0, concat(col("text"),
+        lit("\r\n- bullet point\r\n* second bullet\r\ntrailing thought...\r\n# heading" +
+          "\r\nthat said we have to be done with the rest of it")))
+      .when(id % 5 === 1, concat(col("text"),
+        lit("\tlots\tof\ttabs here… and that is the point of it all to be sure")))
+      .when(id % 5 === 2, concat(lit("• item one\n• item two\n• item three\n"),
+        substring(col("text"), 1, 60)))
+      .when(id % 5 === 3, concat(lit("nav bar\nnav bar\nnav bar\n"), col("text")))
+      .otherwise(col("text"))
+    graft.operators.QualityRules.gopherRules(
+        docs(s, dir).select(id, fix.as("text")), "text", Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Heaps'-law vocabulary-growth curve (VocabGrowth.heapsCurve,
+    * bucketSize=25 → 20 checkpoints over the corpus in doc_id order):
+    * per-bucket token mass, first-sighting new-type counts, cumulative
+    * curve, and the OLS-fitted β/K (fixed-point sums — bit-stable
+    * cross-engine). The corpus-composition diagnostic a tokenizer
+    * designer reads before freezing a vocab budget. */
+  def vocabGrowthQ(s: SparkSession, dir: String): DataFrame = {
+    // the raw corpus has a CLOSED 31-word vocabulary (flat V(n) from
+    // bucket 0 — a degenerate fit); mint id-derived rare types at two
+    // cadences so every checkpoint sees genuine growth
+    val id = col("doc_id")
+    val fix = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" uniq"), id)).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" band"), id % 97)).otherwise(lit("")))
+    graft.operators.VocabGrowth.heapsCurve(
+        docs(s, dir).select(id, fix.as("text")), "doc_id", "text", bucketSize = 25L)
+      .orderBy("bucket")
+  }
+
+  /** Paragraph-grain exact dedup (Dedup.paragraphDedup) — the cheap
+    * first pass before MinHash: fixture docs share a verbatim header
+    * and footer paragraph (planted across two construction branches,
+    * one of them CRLF so the normalize matters, plus a whitespace-only
+    * pseudo-paragraph that must vanish); the globally first occurrence
+    * of each paragraph keeps, every later copy is a cut. */
+  def paraDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val fix = when(id % 4 === 0, concat(lit("SHARED HEADER PARA\n\nunique "), id,
+        lit(" body\n\nSHARED FOOTER")))
+      .when(id % 4 === 1, concat(lit("SHARED HEADER PARA\r\n\r\nsecond unique "), id))
+      .when(id % 4 === 2, concat(substring(col("text"), 1, 80), lit("\n\n \t \n\nSHARED FOOTER")))
+      .otherwise(concat(lit("solo para only "), id))
+    Dedup.paragraphDedup(docs(s, dir).select(id, fix.as("text")), "doc_id", "text")
+      .orderBy("doc_id", "para_idx")
+  }
+
+  /** PSL registrable-domain extraction (plans/UrlExpressions.urlDomain
+    * against the embedded Public Suffix List snapshot): fixture URLs
+    * CONSTRUCTED to hit every branch of the PSL algorithm — multi-label
+    * ccTLD rules (co.uk, com.au), private-section hosting (github.io:
+    * each user a separate SITE), flat-TLD default, the wildcard rule
+    * (*.ck), the exception rule (!www.ck), a bare public suffix (no
+    * registrable domain), an IP literal, and an unlisted TLD (PSL
+    * default `*` fallback). The oracle writes the expected key straight
+    * from the construction. */
+  def urlDomainQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val g = id % 50
+    val raw = when(id % 10 === 0, concat(lit("https://News.Site"), g, lit(".CO.UK/a")))
+      .when(id % 10 === 1,
+        concat(lit("http://Shop"), g, lit(".example.COM.AU:80/x?utm_source=t")))
+      .when(id % 10 === 2, concat(lit("https://User"), g, lit(".GitHub.IO/repo")))
+      .when(id % 10 === 3, concat(lit("http://a.b.site"), g, lit(".de/p")))
+      .when(id % 10 === 4, lit("https://www.ck/x"))
+      .when(id % 10 === 5, concat(lit("http://shop"), g, lit(".stuff.ck/y")))
+      .when(id % 10 === 6, lit("https://co.uk/path"))
+      .when(id % 10 === 7, lit("http://192.168.10.1:8080/admin"))
+      .when(id % 10 === 8, concat(lit("https://blog"), g, lit(".weird-tld.xyzzy/p")))
+      .otherwise(concat(lit("junk "), id))
+    docs(s, dir).select(id,
+        graft.plans.UrlExpressions.urlHost(raw).as("host"),
+        graft.plans.UrlExpressions.urlDomain(raw).as("site_key"))
+      .withColumn("has_site", col("site_key").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  /** UTF-8 encoding audit (plans/Utf8Expressions, ONE packed scan +
+    * bit extraction): per-doc fixture byte payloads CONSTRUCTED hex-
+    * wise with known pathologies — clean multi-script UTF-8, planted
+    * U+FFFD replacement chars (lossy prior transcode), C0 controls +
+    * DEL (smuggled binary), U+00C2/U+00C3 mojibake tells (double
+    * encoding), and malformed sequences (stray lead/continuation, a
+    * truncated 3-byte sequence at EOF — counted once under the
+    * maximal-subpart policy). The oracle predicts every count from
+    * the construction arithmetic, so any state-machine defect in the
+    * RFC 3629 table walk breaks the hash. %10==7 plants NULL payloads
+    * (all columns NULL — the quarantine contract). */
+  def utf8AuditQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ascii = expr("repeat('41', cast(doc_id % 7 as int) + 1)")
+    val hexCol = when(id % 10 === 7, lit(null).cast("string"))
+      .when(id % 5 === 0, concat(ascii,
+        expr("repeat('C3A9', cast(doc_id % 3 as int) + 1)"), lit("E282ACF09F9880")))
+      .when(id % 5 === 1, concat(ascii, expr("repeat('EFBFBD', cast(doc_id % 3 as int) + 1)")))
+      .when(id % 5 === 2, concat(ascii, expr("repeat('02', cast(doc_id % 2 as int) + 1)"), lit("7F")))
+      .when(id % 5 === 3, concat(ascii, expr("repeat('C382', cast(doc_id % 4 as int) + 1)"), lit("C383")))
+      .otherwise(concat(ascii, lit("FFC080E0A0")))
+    val packed = graft.plans.Utf8Expressions.utf8AuditPacked(unhex(hexCol))
+    import graft.plans.Utf8Expressions._
+    docs(s, dir).select(id,
+        unpackWellFormed(packed).as("well_formed"),
+        unpackInvalid(packed).as("n_invalid"),
+        unpackReplacement(packed).as("n_replacement"),
+        unpackControl(packed).as("n_control"),
+        unpackMojibake(packed).as("n_mojibake"))
+      .orderBy("doc_id")
+  }
+
   // ---- selection / mixing / audit -----------------------------------------
 
   /** DSIR importance weights (Dsir.importanceWeights): every document
@@ -1828,6 +1952,11 @@ object TextVector {
     "q_multimodal_media" -> multimodalMedia,
     "q_url_canon" -> urlCanonQ,
     "q_html_strip" -> htmlStripQ,
+    "q_gopher_rules" -> gopherRulesQ,
+    "q_vocab_growth" -> vocabGrowthQ,
+    "q_utf8_audit" -> utf8AuditQ,
+    "q_url_domain" -> urlDomainQ,
+    "q_para_dedup" -> paraDedupQ,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -4188,6 +4317,154 @@ object TextVector {
         |  FROM documents)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS INTEGER) AS n_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the oracle RECOMPUTES every Gopher metric and rule flag from the
+    // same fixture construction (CRLF-aware line split, \s+ word
+    // split, lowercased-alnum stopword tokens, null text -> all-false)
+    "q_gopher_rules" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 10 = 7 THEN NULL
+        |      WHEN doc_id % 5 = 0 THEN text || e'\r\n- bullet point\r\n* second bullet\r\ntrailing thought...\r\n# heading\r\nthat said we have to be done with the rest of it'
+        |      WHEN doc_id % 5 = 1 THEN text || e'\tlots\tof\ttabs here… and that is the point of it all to be sure'
+        |      WHEN doc_id % 5 = 2 THEN e'• item one\n• item two\n• item three\n' || substr(text, 1, 60)
+        |      WHEN doc_id % 5 = 3 THEN e'nav bar\nnav bar\nnav bar\n' || text
+        |      ELSE text END AS t
+        |  FROM documents),
+        |ar AS (SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '\r?\n'), l -> length(l) > 0) AS ls,
+        |    list_filter(string_split_regex(t, '\s+'), w -> length(w) > 0) AS ws,
+        |    regexp_extract_all(lower(t), '[a-z0-9]+') AS toks FROM fx),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(greatest(coalesce(len(ls), 0), 1) AS BIGINT) AS n_lines,
+        |    CASE WHEN ws IS NULL THEN NULL ELSE coalesce(list_sum(list_transform(ws, w -> length(w))), 0) END AS total_chars,
+        |    CAST(length(t) - length(regexp_replace(t, '#', '', 'g')) AS BIGINT) AS n_hash,
+        |    CAST(floor((length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3) AS BIGINT) AS n_e3,
+        |    CAST(length(t) - length(regexp_replace(t, '…', '', 'g')) AS BIGINT) AS n_e1,
+        |    len(list_filter(ls, l -> regexp_matches(l, '^[-*•] '))) AS n_bullet,
+        |    len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS n_ell,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+        |    len(list_distinct(ls)) AS n_dist,
+        |    (CAST(list_contains(toks,'the') AS BIGINT) + CAST(list_contains(toks,'be') AS BIGINT)
+        |     + CAST(list_contains(toks,'to') AS BIGINT) + CAST(list_contains(toks,'of') AS BIGINT)
+        |     + CAST(list_contains(toks,'and') AS BIGINT) + CAST(list_contains(toks,'that') AS BIGINT)
+        |     + CAST(list_contains(toks,'have') AS BIGINT) + CAST(list_contains(toks,'with') AS BIGINT)) AS stop_hits FROM ar),
+        |x AS (SELECT doc_id, n_words, n_lines, stop_hits,
+        |    floor((CAST(total_chars AS DOUBLE) / greatest(coalesce(n_words,0), 1))*1000000 + 0.5)/1000000 AS mean_word_len,
+        |    floor((CAST(n_hash + n_e3 + n_e1 AS DOUBLE) / greatest(coalesce(n_words,0), 1))*1000000 + 0.5)/1000000 AS symbol_ratio,
+        |    floor((CAST(n_bullet AS DOUBLE) / n_lines)*1000000 + 0.5)/1000000 AS bullet_frac,
+        |    floor((CAST(n_ell AS DOUBLE) / n_lines)*1000000 + 0.5)/1000000 AS ellipsis_frac,
+        |    floor((CAST(n_alpha AS DOUBLE) / greatest(coalesce(n_words,0), 1))*1000000 + 0.5)/1000000 AS alpha_frac,
+        |    floor((1.0 - CAST(n_dist AS DOUBLE) / n_lines)*1000000 + 0.5)/1000000 AS dup_line_frac FROM m),
+        |r AS (SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio, bullet_frac,
+        |    ellipsis_frac, alpha_frac, dup_line_frac, stop_hits,
+        |    coalesce(n_words >= 50 AND n_words <= 100000, false) AS r_wordcount,
+        |    coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false) AS r_meanlen,
+        |    coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
+        |    coalesce(bullet_frac <= 0.9, false) AS r_bullet,
+        |    coalesce(ellipsis_frac <= 0.3, false) AS r_ellipsis,
+        |    coalesce(alpha_frac >= 0.8, false) AS r_alpha,
+        |    coalesce(stop_hits >= 2, false) AS r_stop,
+        |    coalesce(dup_line_frac <= 0.3, false) AS r_dupline FROM x)
+        |SELECT *, r_wordcount AND r_meanlen AND r_symbol AND r_bullet AND r_ellipsis
+        |  AND r_alpha AND r_stop AND r_dupline AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the oracle RECOMPUTES the whole curve: per-bucket token mass,
+    // min-doc-id first sightings, cumulative sums, and the SAME
+    // fixed-point OLS accumulation (1e-9 longs) as the engine
+    "q_vocab_growth" ->
+      """WITH fx AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' uniq' || doc_id ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' band' || (doc_id % 97) ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS w FROM fx),
+        |b AS (SELECT doc_id, w, CAST(floor(doc_id / 25) AS BIGINT) AS bucket FROM tk),
+        |pb AS (SELECT bucket, count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS bucket_tokens FROM b GROUP BY 1),
+        |fs AS (SELECT term, min(doc_id) AS first_id FROM (SELECT doc_id, unnest(w) AS term FROM b) GROUP BY 1),
+        |nt AS (SELECT CAST(floor(first_id / 25) AS BIGINT) AS bucket, count(*) AS new_types FROM fs GROUP BY 1),
+        |curve AS (
+        |  SELECT p.bucket, p.n_docs, p.bucket_tokens, CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+        |    CAST(sum(p.bucket_tokens) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_tokens,
+        |    CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_vocab
+        |  FROM pb p LEFT JOIN nt n USING (bucket)),
+        |pts AS (
+        |  SELECT CAST(floor(ln(CAST(cum_tokens AS DOUBLE))*1e9 + 0.5) AS BIGINT)/1e9 AS x9,
+        |         CAST(floor(ln(CAST(cum_vocab AS DOUBLE))*1e9 + 0.5) AS BIGINT)/1e9 AS y9
+        |  FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0),
+        |ols AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(floor(x9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(floor(y9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(floor(x9*y9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(floor(x9*x9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx
+        |  FROM pts),
+        |fit AS (
+        |  SELECT CASE WHEN n >= 2 AND (n*sxx*1e9 - sx*sx) <> 0.0
+        |              THEN (n*sxy*1e9 - sx*sy) / (n*sxx*1e9 - sx*sx) END AS beta, sx, sy, n FROM ols),
+        |fit2 AS (SELECT beta, exp((sy/1e9 - beta*sx/1e9) / n) AS k FROM fit)
+        |SELECT bucket, n_docs, bucket_tokens, cum_tokens, new_types, cum_vocab,
+        |  floor(beta*1000000 + 0.5)/1000000 AS heaps_beta,
+        |  floor(k*1000000 + 0.5)/1000000 AS heaps_k
+        |FROM curve CROSS JOIN fit2 ORDER BY bucket""".stripMargin,
+    // the oracle RECOMPUTES the cut-list: CRLF normalize (replacement
+    // must be the e'' literal — DuckDB eats '\n' in replacements),
+    // blank-line split, trim/drop, md5, first-occurrence window
+    "q_para_dedup" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN 'SHARED HEADER PARA' || e'\n\n' || 'unique ' || doc_id || ' body' || e'\n\nSHARED FOOTER'
+        |      WHEN doc_id % 4 = 1 THEN 'SHARED HEADER PARA' || e'\r\n\r\n' || 'second unique ' || doc_id
+        |      WHEN doc_id % 4 = 2 THEN substr(text, 1, 80) || e'\n\n \t \n\nSHARED FOOTER'
+        |      ELSE 'solo para only ' || doc_id END AS t
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, p, idx FROM (
+        |    SELECT doc_id,
+        |      list_filter(list_transform(string_split_regex(regexp_replace(t, '\r\n', e'\n', 'g'), '\n[ \t]*\n'), x -> trim(x, e' \t\r\n')), x -> length(x) > 0) AS l
+        |    FROM fx), LATERAL (SELECT unnest(l) AS p, generate_subscripts(l, 1) AS idx)),
+        |h AS (SELECT doc_id, CAST(idx AS BIGINT) AS para_idx, md5(p) AS para_hash FROM pr)
+        |SELECT doc_id, para_idx, para_hash,
+        |  CAST(count(*) OVER (PARTITION BY para_hash) AS BIGINT) AS n_copies,
+        |  row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, para_idx) = 1 AS keep
+        |FROM h ORDER BY doc_id, para_idx""".stripMargin,
+    // the oracle writes host + registrable domain straight from the
+    // construction: which PSL branch each fixture URL must take
+    "q_url_domain" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%10=0 THEN 'news.site' || (doc_id%50) || '.co.uk'
+        |       WHEN doc_id%10=1 THEN 'shop' || (doc_id%50) || '.example.com.au'
+        |       WHEN doc_id%10=2 THEN 'user' || (doc_id%50) || '.github.io'
+        |       WHEN doc_id%10=3 THEN 'a.b.site' || (doc_id%50) || '.de'
+        |       WHEN doc_id%10=4 THEN 'ck'
+        |       WHEN doc_id%10=5 THEN 'shop' || (doc_id%50) || '.stuff.ck'
+        |       WHEN doc_id%10=6 THEN 'co.uk'
+        |       WHEN doc_id%10=7 THEN '192.168.10.1'
+        |       WHEN doc_id%10=8 THEN 'blog' || (doc_id%50) || '.weird-tld.xyzzy' END AS host,
+        |  CASE WHEN doc_id%10=0 THEN 'site' || (doc_id%50) || '.co.uk'
+        |       WHEN doc_id%10=1 THEN 'example.com.au'
+        |       WHEN doc_id%10=2 THEN 'user' || (doc_id%50) || '.github.io'
+        |       WHEN doc_id%10=3 THEN 'site' || (doc_id%50) || '.de'
+        |       WHEN doc_id%10=4 THEN 'www.ck'
+        |       WHEN doc_id%10=5 THEN 'shop' || (doc_id%50) || '.stuff.ck'
+        |       WHEN doc_id%10=8 THEN 'weird-tld.xyzzy' END AS site_key,
+        |  doc_id%10 IN (0,1,2,3,4,5,8) AS has_site
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle predicts every audit count straight from the fixture
+    // construction: which branch planted how many bad sequences
+    "q_utf8_audit" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE doc_id % 5 <> 4 END AS well_formed,
+        |  CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+        |            WHEN doc_id % 5 = 4 THEN 4 ELSE 0 END AS INTEGER) AS n_invalid,
+        |  CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+        |            WHEN doc_id % 5 = 1 THEN doc_id % 3 + 1 ELSE 0 END AS INTEGER) AS n_replacement,
+        |  CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+        |            WHEN doc_id % 5 = 2 THEN doc_id % 2 + 2 ELSE 0 END AS INTEGER) AS n_control,
+        |  CAST(CASE WHEN doc_id % 10 = 7 THEN NULL
+        |            WHEN doc_id % 5 = 3 THEN doc_id % 4 + 2 ELSE 0 END AS INTEGER) AS n_mojibake
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The k-means ranking detail isn't SQL-expressible (Lloyd loop);
     // the oracle predicts the exact-side invariants instead: every
     // query returns a full top-3 and recalls >= 1 true neighbor.

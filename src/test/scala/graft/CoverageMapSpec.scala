@@ -50,6 +50,33 @@ class CoverageMapSpec extends AnyFunSuite {
       s"README.md says ${readmeCount.getOrElse("<missing 'driver contract: N queries'>")}, ledger has $n")
   }
 
+  test("no dead operators: every public def in operators/ and plans/ is referenced " +
+    "outside its own file (r8 hygiene: ~440 LoC landed with zero call sites)") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val main = Paths.get("src/main/scala/graft")
+    val test = Paths.get("src/test/scala/graft")
+    def scalaFiles(p: java.nio.file.Path) =
+      Files.walk(p).iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+    val all = (scalaFiles(main) ++ scalaFiles(test))
+      .map(p => p.toString -> new String(Files.readAllBytes(p), "UTF-8")).toMap
+    // top-level members only (2-space indent — deeper is a local helper);
+    // a def is live if its name appears ANYWHERE beyond the definition
+    // site (call site, codegen template string, scaladoc link, spec)
+    val defRe = """(?m)^  def\s+([A-Za-z][A-Za-z0-9_]*)""".r
+    val scoped = all.filter { case (path, _) =>
+      path.contains("/operators/") || path.contains("/plans/") }
+    val dead = for {
+      (path, src) <- scoped.toSeq
+      name <- defRe.findAllMatchIn(src).map(_.group(1)).distinct
+      if !Set("apply", "unapply", "main", "toString", "equals", "hashCode").contains(name)
+      refs = all.valuesIterator.map(s => name.r.findAllIn(s).size).sum
+      if refs <= 1
+    } yield s"${path.split('/').last}.$name"
+    assert(dead.isEmpty,
+      s"public defs with zero references beyond their definition (${dead.size}): ${dead.sorted.mkString(", ")}")
+  }
+
   test("every query key has a DuckDB oracle (the 130/130 invariant holds as the suite grows)") {
     val missing = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     assert(missing.isEmpty,

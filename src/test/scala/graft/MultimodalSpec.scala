@@ -196,6 +196,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(4) == ((4L, None, None, None, None, false)), "garbage: nothing")
   }
 
+  test("struct decode ≡ scalar point expressions; codegen CSE gives ONE parse per row") {
+    import org.apache.spark.sql.functions.{col, concat, encode, lit, unhex}
+    // struct fields must agree with the single-column expressions on
+    // every container + corrupt case
+    val df = Seq(
+      (0L, wav(8000, 1, 8000 * 2)),
+      (1L, hx(ftyp + "000000246D6F6F76" + mvhdV0(600, 1800))),
+      (2L, hx("89504E470D0A1A0A0000000D49484452000000400000002008")),
+      (3L, hx("DEADBEEF")), (4L, hx("4F67675300020000")))
+      .toDF("asset_id", "content")
+    import graft.plans.{ImageExpressions => I, MediaExpressions => M}
+    val ih = I.decodeImageHeader(col("content"))
+    val mh = M.decodeMediaHeader(col("content"))
+    df.select(
+      ih.getField("format") <=> I.imageFormat(col("content")),
+      ih.getField("width") <=> I.imageWidth(col("content")),
+      ih.getField("height") <=> I.imageHeight(col("content")),
+      mh.getField("format") <=> M.mediaFormat(col("content")),
+      mh.getField("duration_ms") <=> M.mediaDurationMs(col("content")),
+      mh.getField("sample_rate") <=> M.mediaSampleRate(col("content")),
+      mh.getField("channels") <=> M.mediaChannels(col("content")))
+      .collect().foreach { r =>
+        (0 until 7).foreach(i => assert(r.getBoolean(i), s"field $i disagrees: $r"))
+      }
+    // CSE: the 4 image projections + 5 media projections in the meta
+    // operators compile to ONE decodeStruct call each (non-foldable input)
+    val nf = spark.range(3).select(col("id").as("asset_id"), lit("x").as("kind"),
+      encode(concat(lit("p"), col("id").cast("string")), "UTF-8").as("content"))
+    def calls(plan: org.apache.spark.sql.DataFrame, marker: String): Int = {
+      val gen = org.apache.spark.sql.execution.debug.codegenString(
+        plan.queryExecution.executedPlan)
+      java.util.regex.Pattern.quote(marker).r.findAllIn(gen).size
+    }
+    assert(calls(Multimodal.decodeImageMeta(nf), "ImageHeaders.decodeStruct(") === 1)
+    assert(calls(Multimodal.decodeMediaMeta(nf), "MediaHeaders.decodeStruct(") === 1)
+  }
+
   test("frameSample: even spacing, fixed grain, correct slice content") {
     val frames = Multimodal.frameSample(assets, frames = 4, frameSize = 5)
       .orderBy("asset_id", "frame_no")

@@ -98,6 +98,15 @@ class ParserFuzzSpec extends AnyFunSuite {
         assert(c.startsWith("http://") || c.startsWith("https://"))
         assert(!c.contains("#"), s"fragment survived: '$s' -> '$c'")
       }
+      // PSL extraction: never throws; a domain implies a canonical host
+      // that ENDS WITH it (suffix-of-host invariant)
+      val d = UrlCanon.domainOf(s)
+      if (d != null) {
+        val h = UrlCanon.rawHostOf(s)
+        assert(h != null && (h == d || h.endsWith("." + d)),
+          s"domain not a host suffix: '$s' host '$h' domain '$d'")
+        assert(d.contains("."), s"registrable domain needs ≥2 labels: '$d'")
+      }
     }
   }
 

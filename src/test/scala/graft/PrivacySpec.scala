@@ -36,6 +36,39 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity: entropy gate catches the skew distinct-count passes") {
+    // both classes hold 2 distinct values (distinct-count l=2 passes
+    // both); 'skewed' is 9-vs-1 → H = 0.325 < ln 2 → entropy_ok false
+    val df = (Seq.fill(9)(("skewed", "flu")) ++ Seq(("skewed", "hiv")) ++
+      Seq(("even", "flu"), ("even", "hiv"), ("even", "flu"), ("even", "hiv")))
+      .toDF("grp", "diag")
+    val r = Privacy.lDiversity(df, Seq("grp"), "diag", l = 2, c = 2.0)
+      .select("grp", "class_size", "distinct_l", "entropy", "entropy_ok",
+        "top_count", "recursive_ok")
+      .as[(String, Long, Long, Double, Boolean, Long, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("skewed")._3 == 2L && !r("skewed")._5, s"skewed ${r("skewed")}")
+    // recursive (2,2): r1=9 < 2·(tail=1)=2 is false
+    assert(r("skewed")._6 == 9L && !r("skewed")._7)
+    // even 50/50: H = ln 2 exactly → ok at the boundary; r1=2 < 2·2=4 ok
+    assert(r("even")._4 == 0.693147 && r("even")._5 && r("even")._7,
+      s"even ${r("even")}")
+  }
+
+  test("lDiversity: single-value class fails both gates; contracts hold") {
+    val df = Seq(("mono", "flu"), ("mono", "flu"), ("mono", "flu")).toDF("grp", "diag")
+    val r = Privacy.lDiversity(df, Seq("grp"), "diag", l = 2, c = 2.0)
+      .select("distinct_l", "entropy", "entropy_ok", "recursive_ok")
+      .as[(Long, Double, Boolean, Boolean)].collect().head
+    assert(r._1 == 1L && r._2 == 0.0 && !r._3 && !r._4)
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversity(df, Seq.empty, "diag")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversity(df, Seq("grp"), "diag", l = 1)
+    }
+  }
+
   test("emd is normalized by the bin range: spreading the domain does not inflate it") {
     // same 2-class split but sensitive values spanning 4 bins: the
     // /(m−1) normalization keeps a full-concentration class at ≤ 1

@@ -469,4 +469,29 @@ class TextDedupSpec extends AnyFunSuite {
     val pruned = TfIdf.shingleCosinePairs(docs, "doc_id", "text", maxDf = 1, minCosine = 0.0)
     assert(pruned.isEmpty, "df cutoff must remove all candidate keys")
   }
+
+  test("paragraphDedup: shared para cut once, CRLF ≡ LF, whitespace pseudo-para dropped") {
+    val df = Seq(
+      (1L, "HEADER\n\nbody one\n\nFOOTER"),
+      (2L, "HEADER\r\n\r\nbody two"),          // CRLF must normalize → same HEADER hash
+      (3L, "intro\n\n \t \n\nFOOTER"),          // whitespace-only para must vanish
+      (4L, "  HEADER  \n\nbody four"))          // trim → same HEADER hash
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id", "para_idx")
+      .as[(Long, Long, String, Long, Boolean)].collect()
+    val byDoc = r.groupBy(_._1)
+    // doc 3: exactly 2 paragraphs survive (intro, FOOTER) — no empty third
+    assert(byDoc(3L).length === 2)
+    val headerRows = r.filter(_._3 == r.find(x => x._1 == 1L && x._2 == 1L).get._3)
+    assert(headerRows.map(_._1).toSet === Set(1L, 2L, 4L), "CRLF + trimmed share the hash")
+    assert(headerRows.count(_._5) === 1, "exactly one HEADER occurrence keeps")
+    assert(headerRows.find(_._5).get._1 === 1L, "the globally first one")
+    assert(headerRows.forall(_._4 === 3L), "n_copies = 3")
+    val footerRows = r.filter(x => (x._1 == 1L && x._2 == 3L) || (x._1 == 3L && x._2 == 2L))
+    assert(footerRows.map(_._3).distinct.length === 1)
+    assert(footerRows.count(_._5) === 1 && footerRows.find(_._5).get._1 === 1L)
+    // every non-duplicated paragraph keeps
+    assert(r.filter(_._4 == 1L).forall(_._5))
+  }
 }

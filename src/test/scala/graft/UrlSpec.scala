@@ -64,6 +64,43 @@ class UrlSpec extends AnyFunSuite {
     assert(UrlCanon.hostOf("ftp://x.com/") == null)
   }
 
+  test("domainOf: PSL registrable-domain branches — rules, wildcard, exception, fallback") {
+    import graft.plans.PublicSuffixes.registrableDomain
+    // multi-label ICANN rules: the suffix wins over the naive 2-label cut
+    assert(UrlCanon.domainOf("https://News.BBC.CO.UK/x") == "bbc.co.uk")
+    assert(UrlCanon.domainOf("http://a.b.shop.com.au/") == "shop.com.au")
+    // private-section hosting: each user subdomain is its own site
+    assert(UrlCanon.domainOf("https://Alice.GitHub.IO/r") == "alice.github.io")
+    assert(UrlCanon.domainOf("https://bob.github.io/r") == "bob.github.io")
+    // www. is a real label to the matcher (and strips out of the key)
+    assert(UrlCanon.domainOf("http://www.example.co.uk/") == "example.co.uk")
+    // flat-TLD default rule: unlisted TLD → suffix is the bare TLD
+    assert(UrlCanon.domainOf("http://a.b.site.de/") == "site.de")
+    assert(UrlCanon.domainOf("https://x.y.weird.xyzzy/") == "weird.xyzzy")
+    // wildcard *.ck: every label under ck is itself a public suffix
+    assert(registrableDomain("shop.stuff.ck") == "shop.stuff.ck")
+    assert(registrableDomain("stuff.ck") == null, "one-label-under-wildcard IS a suffix")
+    // exception !www.ck beats the wildcard
+    assert(registrableDomain("www.ck") == "www.ck")
+    assert(registrableDomain("deep.www.ck") == "www.ck")
+    // no registrable domain: bare suffixes, TLDs, IP literals, junk
+    assert(registrableDomain("co.uk") == null)
+    assert(registrableDomain("github.io") == null)
+    assert(registrableDomain("com") == null)
+    assert(registrableDomain("192.168.10.1") == null)
+    assert(registrableDomain("ex..com") == null)
+    assert(registrableDomain(".com") == null)
+    assert(UrlCanon.domainOf("ftp://x.co.uk/") == null, "non-canonicalizable stays null")
+  }
+
+  test("urlDomain expression: codegen'd, null semantics") {
+    val r = Seq("https://A.B.Example.CO.UK/p?utm_source=x", "http://10.0.0.1/",
+      "https://co.uk/", null)
+      .toDF("u").select(UrlExpressions.urlDomain(col("u")).as("d"))
+      .as[Option[String]].collect()
+    assert(r.toSeq == Seq(Some("example.co.uk"), None, None, None))
+  }
+
   test("expression path: codegen'd over a string column, null semantics") {
     val r = Seq("HTTP://A.com:80/x?utm_source=1&k=2#f", "gopher://old.net", null)
       .toDF("u")
