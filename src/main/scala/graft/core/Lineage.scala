@@ -17,4 +17,17 @@ object Lineage {
   def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Truncate AND count in ONE job — the saturation probe an iterative
+    * loop otherwise pays a second job submission for every round
+    * (r8 verdict: per-iteration job overhead dominates the BFS-family
+    * queries at sf0.1). Local mode materializes into a persisted RDD
+    * whose count() is the materializing job; with a reliable
+    * checkpoint dir configured (the cluster fault-tolerance contract)
+    * it keeps checkpoint semantics and pays the count against the
+    * already-checkpointed leaf (cheap, and executor-loss-safe). */
+  def truncateCounted(df: DataFrame): (DataFrame, Long) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val t = df.checkpoint(); (t, t.count())
+    } else org.apache.spark.sql.graftbridge.DatasetBridge.materializeCounted(df)
 }

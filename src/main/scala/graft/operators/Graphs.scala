@@ -558,30 +558,35 @@ object Graphs {
     val e = Lineage.truncate(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     var frontier = Lineage.truncate(
-      seeds.select(col(seedCol).as("id")).distinct().withColumn("dist", lit(0L)))
-    // settled is a UNION of already-truncated frontier leaves — plan
-    // depth stays O(maxHops) trivially, so only the (shrinking) frontier
-    // needs a checkpoint per round, not the whole settled set
+      seeds.select(col(seedCol).as("id")).distinct())
+    // per-round frontiers are collected WITHOUT their dist literal and
+    // stamped at the end: a literal inside the loop makes every
+    // round's generated code unique (codegen cache miss per round);
+    // without it the round plan is source-identical and the compiled
+    // stages are reused. settled is a UNION of already-truncated
+    // frontier leaves — plan depth stays O(maxHops) trivially, so only
+    // the (shrinking) frontier needs a checkpoint per round.
+    val rounds = scala.collection.mutable.ArrayBuffer[(DataFrame, Long)]((frontier, 0L))
     var settled = frontier
     var r = 1
     var saturated = false
     while (r <= maxHops && !saturated) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
-        .join(settled.select("id"), Seq("id"), "left_anti")
-        .withColumn("dist", lit(r.toLong))
-      frontier = Lineage.truncate(next)
+        .join(settled, Seq("id"), "left_anti")
       // saturation early-exit: an empty frontier makes every later
       // round provably empty, so stop — result-identical, and on
       // small-world graphs swept with a generous hop budget (the
       // diameter double sweep runs maxHops=8) it halves the round
-      // count. The probe reads the just-checkpointed leaf (~ms), not
-      // the join lineage.
-      if (frontier.isEmpty) saturated = true
-      else settled = settled.union(frontier)
+      // count. truncateCounted folds the probe into the one
+      // materializing job — no second submission per round.
+      val (f, n) = Lineage.truncateCounted(next)
+      frontier = f
+      if (n == 0L) saturated = true
+      else { settled = settled.union(frontier); rounds += ((frontier, r.toLong)) }
       r += 1
     }
-    settled
+    rounds.map { case (df, d) => df.withColumn("dist", lit(d)) }.reduce(_.union(_))
   }
 
   /** Single-source(s) WEIGHTED shortest paths with a fixed round
@@ -805,22 +810,25 @@ object Graphs {
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     var frontier = Lineage.truncate(
       seeds.select(col(seedCol).as("seed")).distinct()
-        .select(col("seed"), col("seed").as("id"), lit(0L).as("dist")))
+        .select(col("seed"), col("seed").as("id")))
+    // dist literals stamped after the loop (codegen-cache-friendly
+    // rounds) — same shape as bfsHops
+    val rounds = scala.collection.mutable.ArrayBuffer[(DataFrame, Long)]((frontier, 0L))
     var settled = frontier
     var r = 1
     var saturated = false
     while (r <= maxHops && !saturated) {
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("seed"), col("dst").as("id")).distinct()
-        .join(settled.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .withColumn("dist", lit(r.toLong))
-      frontier = Lineage.truncate(next)
-      // same saturation early-exit as bfsHops: result-identical
-      if (frontier.isEmpty) saturated = true
-      else settled = settled.union(frontier)
+        .join(settled, Seq("seed", "id"), "left_anti")
+      // same one-job saturation early-exit as bfsHops: result-identical
+      val (f, n) = Lineage.truncateCounted(next)
+      frontier = f
+      if (n == 0L) saturated = true
+      else { settled = settled.union(frontier); rounds += ((frontier, r.toLong)) }
       r += 1
     }
-    settled
+    rounds.map { case (df, d) => df.withColumn("dist", lit(d)) }.reduce(_.union(_))
   }
 
   /** Landmark harmonic centrality: C_H(v) = Σ_{s ∈ seeds, s≠v} 1/d(s,v)
@@ -1048,34 +1056,48 @@ object Graphs {
     val e = Lineage.truncate(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
-    // forward sweep: levels(h) = (seed, id, sigma) first reached at hop h
+    // forward sweep: levels(h) = (seed, id, sigma) first reached at hop
+    // h, with the SAME one-job saturation exit as bfsHops — an empty
+    // level makes every deeper level provably empty, so the backward
+    // sweep starts at the last NON-empty level (identical result:
+    // deepest-level nodes have no successors, so their delta is 0
+    // either way)
     val levels = new Array[DataFrame](maxHops + 1)
     levels(0) = Lineage.truncate(
       seeds.select(col(seedCol).as("seed")).distinct()
         .select(col("seed"), col("seed").as("id"), lit(1L).as("sigma")))
     var settled = levels(0).select("seed", "id")
-    for (h <- 1 to maxHops) {
-      val next = levels(h - 1).join(e, levels(h - 1)("id") === e("src"))
+    var top = 0
+    var h0 = 1
+    var done = false
+    while (h0 <= maxHops && !done) {
+      val next = levels(h0 - 1).join(e, levels(h0 - 1)("id") === e("src"))
         .groupBy(col("seed"), col("dst").as("id"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(settled, Seq("seed", "id"), "left_anti")
-      levels(h) = Lineage.truncate(next)
-      settled = settled.union(levels(h).select("seed", "id"))
+      val (lv, n) = Lineage.truncateCounted(next)
+      levels(h0) = lv
+      if (n == 0L) done = true
+      else {
+        settled = settled.union(levels(h0).select("seed", "id"))
+        top = h0
+      }
+      h0 += 1
     }
-    // backward sweep: delta_fp(level maxHops) = 0; each inner level sums
-    // quantized per-successor terms over the shortest-path DAG edges
-    var deltaNext = levels(maxHops).select(col("seed"), col("id"), lit(0L).as("delta_fp"))
+    // backward sweep: delta_fp(level top) = 0; each inner level sums
+    // quantized per-successor terms over the shortest-path DAG edges.
+    // deltaNext CARRIES the level's sigma so the successor lookup is
+    // ONE equi-join per level, not two (sigma and delta separately)
+    var deltaNext = levels(top)
+      .select(col("seed"), col("id"), col("sigma"), lit(0L).as("delta_fp"))
     val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    perLevel += deltaNext
-    for (h <- (maxHops - 1) to 0 by -1) {
-      val succSigma = levels(h + 1)
-        .select(col("seed"), col("id").as("dst"), col("sigma").as("__sw"))
-      val succDelta = deltaNext
-        .select(col("seed"), col("id").as("dst"), col("delta_fp").as("__dw"))
+    perLevel += deltaNext.select("seed", "id", "delta_fp")
+    for (h <- (top - 1) to 0 by -1) {
+      val succ = deltaNext.select(col("seed"), col("id").as("dst"),
+        col("sigma").as("__sw"), col("delta_fp").as("__dw"))
       val contribs = levels(h).join(e, levels(h)("id") === e("src"))
         .select(col("seed"), levels(h)("id").as("id"), col("dst"), col("sigma"))
-        .join(succSigma, Seq("seed", "dst")) // keeps only shortest-path DAG edges
-        .join(succDelta, Seq("seed", "dst"))
+        .join(succ, Seq("seed", "dst")) // keeps only shortest-path DAG edges
         .select(col("seed"), col("id"),
           floor(col("sigma").cast("double") / col("__sw") *
             (lit(1.0) + col("__dw").cast("double") / 1e9) * lit(1000000000L) + lit(0.5))
@@ -1083,11 +1105,11 @@ object Graphs {
         .groupBy(col("seed"), col("id"))
         .agg(sum(col("t")).as("delta_fp"))
       deltaNext = Lineage.truncate(
-        levels(h).select(col("seed"), col("id"))
+        levels(h).select(col("seed"), col("id"), col("sigma"))
           .join(contribs, Seq("seed", "id"), "left")
-          .select(col("seed"), col("id"),
+          .select(col("seed"), col("id"), col("sigma"),
             coalesce(col("delta_fp"), lit(0L)).as("delta_fp")))
-      if (h > 0) perLevel += deltaNext
+      if (h > 0) perLevel += deltaNext.select("seed", "id", "delta_fp")
     }
     perLevel.reduce(_.union(_))
       .groupBy(col("id"))

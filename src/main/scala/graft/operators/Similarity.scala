@@ -730,4 +730,63 @@ object Similarity {
     }
     chosen.select(col("rank"), col("id"), col("dist"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix recipe for aligning parallel text across two
+    * embedding spaces): every x-side vector is paired with its best
+    * y-side candidate by the RATIO margin
+    *   margin(x,y) = cos(x,y) / ((a_x + b_y) / 2),
+    * a_x = mean cosine of x to its k nearest in Y, b_y likewise in X.
+    * An absolute-cosine threshold fails because hub vectors score high
+    * against EVERYTHING; dividing by the neighborhood mean cancels the
+    * hub term — the reason the margin criterion is the published
+    * standard for corpus-scale mining.
+    *
+    * Determinism: per-pair cosines quantize to 1e-9 longs up front and
+    * the margin is composed ENTIRELY in integer arithmetic with one
+    * closing double division —
+    *   margin = 2·c9·n_x·n_y / (a9_x·n_y + b9_y·n_x)
+    * (all products ≤ ~3·10¹⁰, exact in doubles) — so ranking and
+    * thresholding are engine-stable without float-sum luck.
+    *
+    * Output (one row per x): the margin-best y, its cosine and margin,
+    * `mutual` (x is also y's margin-best among y's own candidates) and
+    * `mined` (margin ≥ threshold) — mined ∧ mutual is the
+    * high-precision pair set real pipelines keep.
+    *
+    * Scale shape: two top-k passes (brute-force here; swap
+    * [[ivfTopKWith]] buckets at corpus scale — same output contract),
+    * two k-row-per-id aggregates, two windows partitioned by id. No
+    * all-pairs materialization beyond the top-k candidates. */
+  def marginBitext(xs: DataFrame, ys: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def c9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val fwd = bruteForceTopK(ys, xs, idCol, vecCol, k)
+      .select(col("query_id").as("x_id"), col("neighbor_id").as("y_id"),
+        c9(col("cosine")).as("c9"))
+    val rev = bruteForceTopK(xs, ys, idCol, vecCol, k)
+      .select(col("query_id").as("y_id"), col("neighbor_id").as("x_id"),
+        c9(col("cosine")).as("c9"))
+    val aX = fwd.groupBy(col("x_id")).agg(sum(col("c9")).as("a9"), count(lit(1)).as("na"))
+    val bY = rev.groupBy(col("y_id")).agg(sum(col("c9")).as("b9"), count(lit(1)).as("nb"))
+    def withMargin(cand: DataFrame): DataFrame = cand
+      .join(aX, Seq("x_id")).join(bY, Seq("y_id"))
+      .withColumn("margin",
+        (lit(2.0) * col("c9") * col("na") * col("nb")) /
+          (col("a9") * col("nb") + col("b9") * col("na")))
+    val wX = Window.partitionBy(col("x_id")).orderBy(col("margin").desc, col("y_id"))
+    val bestFwd = withMargin(fwd)
+      .withColumn("__r", row_number().over(wX)).filter(col("__r") === 1)
+    val wY = Window.partitionBy(col("y_id")).orderBy(col("margin").desc, col("x_id"))
+    val bestRev = withMargin(rev)
+      .withColumn("__r", row_number().over(wY)).filter(col("__r") === 1)
+      .select(col("y_id"), col("x_id").as("__rx"))
+    bestFwd.join(bestRev, Seq("y_id"), "left")
+      .select(col("x_id"), col("y_id"),
+        (col("c9").cast("double") / 1e9).as("cosine"),
+        col("margin"),
+        coalesce(col("__rx") === col("x_id"), lit(false)).as("mutual"),
+        (col("margin") >= threshold).as("mined"))
+  }
 }

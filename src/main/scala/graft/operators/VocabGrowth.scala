@@ -96,4 +96,50 @@ object VocabGrowth {
         (floor(col("__beta") * p6 + lit(0.5)) / p6).as("heaps_beta"),
         (floor(col("__k") * p6 + lit(0.5)) / p6).as("heaps_k"))
   }
+
+  /** Zipf's-law fit over the term-frequency spectrum: freq(r) ≈ C·r^−α
+    * — Heaps' dual (the two exponents are linked; a corpus that obeys
+    * one obeys the other). A healthy natural-language slice fits
+    * α ≈ 1; far-off α flags boilerplate floods (α high — a few
+    * templates dominate) or ID/noise floods (α low — a flat spectrum).
+    *
+    * Emits the top-`topN` spectrum rows (rank, term, freq — rank by
+    * count desc then term asc, deterministic) with the OLS fit of
+    * ln freq on ln rank repeated on every row, SAME fixed-point recipe
+    * as [[heapsCurve]] (1e-9 longs; <2 points or zero denominator →
+    * NULL α/C).
+    *
+    * Scale shape: one explode+count keyed shuffle (map-side
+    * combinable), then ranking/fit over topN rows only — the global
+    * sort is a TakeOrdered of the aggregated term frame, never the
+    * corpus. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2 for a fit, got $topN")
+    val counts = df.select(explode(TextAnalysis.tokens(textCol)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(topN)
+    val ranked = counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("term").asc)).cast("long"))
+    def f9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val x9 = f9(log(col("rank").cast("double"))).cast("double") / lit(1e9)
+    val y9 = f9(log(col("freq").cast("double"))).cast("double") / lit(1e9)
+    val fit0 = ranked.agg(count(lit(1)).cast("double").as("__n"),
+      sum(f9(x9)).cast("double").as("__sx"), sum(f9(y9)).cast("double").as("__sy"),
+      sum(f9(x9 * y9)).cast("double").as("__sxy"),
+      sum(f9(x9 * x9)).cast("double").as("__sxx"))
+    val den = col("__n") * col("__sxx") * lit(1e9) - col("__sx") * col("__sx")
+    val num = col("__n") * col("__sxy") * lit(1e9) - col("__sx") * col("__sy")
+    val fit = fit0
+      .select(when(col("__n") >= 2 && den =!= 0.0, num / den).as("__slope"),
+        col("__sx"), col("__sy"), col("__n"))
+      .select((-col("__slope")).as("__alpha"),
+        exp((col("__sy") / lit(1e9) - col("__slope") * col("__sx") / lit(1e9)) / col("__n"))
+          .as("__c"))
+    val p6 = math.pow(10, 6)
+    ranked.crossJoin(broadcast(fit))
+      .select(col("rank"), col("term"), col("freq"),
+        (floor(col("__alpha") * p6 + lit(0.5)) / p6).as("zipf_alpha"),
+        (floor(col("__c") * p6 + lit(0.5)) / p6).as("zipf_c"))
+  }
 }

@@ -1543,6 +1543,24 @@ object TextVector {
       .orderBy("bucket")
   }
 
+  /** Margin-based bitext mining (Similarity.marginBitext, k=4): the
+    * LASER/CCMatrix ratio-margin criterion over two embedding slices
+    * standing in for two languages' spaces (vec_id < 40 vs ≥ 40) —
+    * per x-side vector its margin-best y candidate, hub-corrected by
+    * both neighborhoods' mean cosine, with the mutual-best and
+    * threshold flags a mining pipeline keeps. Margins compose in
+    * integer arithmetic from 1e-9-quantized cosines (one closing
+    * division), so ranking is engine-stable. */
+  def bitextMiningQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.operators.Similarity.marginBitext(
+        e.filter(col("vec_id") < 40), e.filter(col("vec_id") >= 40),
+        "vec_id", "embedding", k = 4, threshold = 1.2)
+      .select(col("x_id"), col("y_id"), rd(col("cosine"), 4).as("cosine"),
+        rd(col("margin"), 6).as("margin"), col("mutual"), col("mined"))
+      .orderBy("x_id")
+  }
+
   /** Paragraph-grain exact dedup (Dedup.paragraphDedup) — the cheap
     * first pass before MinHash: fixture docs share a verbatim header
     * and footer paragraph (planted across two construction branches,
@@ -1589,6 +1607,14 @@ object TextVector {
       .withColumn("has_site", col("site_key").isNotNull)
       .orderBy("doc_id")
   }
+
+  /** Zipf's-law spectrum fit (VocabGrowth.zipfFit, top-30 terms):
+    * rank-frequency spectrum with the fitted α/C — Heaps' dual, the
+    * "is this slice natural language or template/ID flood" diagnostic.
+    * Same fixed-point OLS recipe as q_vocab_growth. */
+  def zipfFitQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.VocabGrowth.zipfFit(docs(s, dir), "text", topN = 30)
+      .orderBy("rank")
 
   /** UTF-8 encoding audit (plans/Utf8Expressions, ONE packed scan +
     * bit extraction): per-doc fixture byte payloads CONSTRUCTED hex-
@@ -1957,6 +1983,8 @@ object TextVector {
     "q_utf8_audit" -> utf8AuditQ,
     "q_url_domain" -> urlDomainQ,
     "q_para_dedup" -> paraDedupQ,
+    "q_bitext_mining" -> bitextMiningQ,
+    "q_zipf_fit" -> zipfFitQ,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -4407,6 +4435,64 @@ object TextVector {
         |  floor(beta*1000000 + 0.5)/1000000 AS heaps_beta,
         |  floor(k*1000000 + 0.5)/1000000 AS heaps_k
         |FROM curve CROSS JOIN fit2 ORDER BY bucket""".stripMargin,
+    // the oracle recomputes the spectrum and the fixed-point OLS fit
+    "q_zipf_fit" ->
+      """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM tk GROUP BY 1),
+        |r AS (SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM c),
+        |t AS (SELECT CAST(rank AS BIGINT) AS rank, term, freq FROM r WHERE rank <= 30),
+        |pts AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE))*1e9 + 0.5) AS BIGINT)/1e9 AS x9,
+        |               CAST(floor(ln(CAST(freq AS DOUBLE))*1e9 + 0.5) AS BIGINT)/1e9 AS y9 FROM t),
+        |ols AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(floor(x9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(floor(y9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(floor(x9*y9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(floor(x9*x9*1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx
+        |  FROM pts),
+        |fit AS (
+        |  SELECT CASE WHEN n >= 2 AND (n*sxx*1e9 - sx*sx) <> 0.0
+        |              THEN (n*sxy*1e9 - sx*sy) / (n*sxx*1e9 - sx*sx) END AS slope, sx, sy, n FROM ols),
+        |f2 AS (SELECT -slope AS alpha, exp((sy/1e9 - slope*sx/1e9) / n) AS c FROM fit)
+        |SELECT rank, term, freq,
+        |  floor(alpha*1000000 + 0.5)/1000000 AS zipf_alpha,
+        |  floor(c*1000000 + 0.5)/1000000 AS zipf_c
+        |FROM t CROSS JOIN f2 ORDER BY rank""".stripMargin,
+    // the oracle recomputes both top-k sweeps and the integer-exact
+    // ratio margins (2·c9·na·nb / (a9·nb + b9·na)) from scratch
+    "q_bitext_mining" ->
+      """WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 40),
+        |y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 40),
+        |px AS (
+        |  SELECT x_id, y_id,
+        |    list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+        |  FROM x, y),
+        |fwd AS (
+        |  SELECT x_id, y_id, CAST(floor(cos*1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk FROM px)
+        |  WHERE rk <= 4),
+        |rev AS (
+        |  SELECT y_id, x_id, CAST(floor(cos*1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk FROM px)
+        |  WHERE rk <= 4),
+        |ax AS (SELECT x_id, CAST(sum(c9) AS BIGINT) AS a9, count(*) AS na FROM fwd GROUP BY 1),
+        |by_ AS (SELECT y_id, CAST(sum(c9) AS BIGINT) AS b9, count(*) AS nb FROM rev GROUP BY 1),
+        |mf AS (
+        |  SELECT f.x_id, f.y_id, f.c9,
+        |    (2.0 * f.c9 * a.na * b.nb) / (a.a9 * b.nb + b.b9 * a.na) AS margin
+        |  FROM fwd f JOIN ax a USING (x_id) JOIN by_ b USING (y_id)),
+        |mr AS (
+        |  SELECT r.y_id, r.x_id,
+        |    (2.0 * r.c9 * a.na * b.nb) / (a.a9 * b.nb + b.b9 * a.na) AS margin
+        |  FROM rev r JOIN ax a USING (x_id) JOIN by_ b USING (y_id)),
+        |bf AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk FROM mf) WHERE rk = 1),
+        |br AS (SELECT y_id, x_id AS rx FROM (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rk FROM mr) WHERE rk = 1)
+        |SELECT bf.x_id, bf.y_id,
+        |  floor((CAST(bf.c9 AS DOUBLE)/1e9)*10000 + 0.5)/10000 AS cosine,
+        |  floor(margin*1000000 + 0.5)/1000000 AS margin,
+        |  coalesce(br.rx = bf.x_id, false) AS mutual,
+        |  margin >= 1.2 AS mined
+        |FROM bf LEFT JOIN br USING (y_id) ORDER BY x_id""".stripMargin,
     // the oracle RECOMPUTES the cut-list: CRLF normalize (replacement
     // must be the e'' literal — DuckDB eats '\n' in replacements),
     // blank-line split, trim/drop, md5, first-occurrence window

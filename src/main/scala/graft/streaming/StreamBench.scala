@@ -36,7 +36,14 @@ final case class StreamBenchResult(
     quarantineRows: Long,
     goldRows: Long,
     dropRatio: Double,
-    lateRatioConfigured: Double)
+    lateRatioConfigured: Double,
+    /** Per stateful micro-batch, in batch order: total state-store
+      * rows and bytes summed across the gold query's state operators
+      * (dedup + window agg) — the state-GROWTH probe: with watermark
+      * eviction these plateau at horizon content; without, they grow
+      * with the whole history. */
+    stateRowsPerBatch: Seq[Long] = Seq.empty,
+    stateMemPerBatch: Seq[Long] = Seq.empty)
 
 object StreamBench {
 
@@ -46,12 +53,20 @@ object StreamBench {
     val cfg = Generator.RunConfig("streambench", seed = 7L, totalEvents = totalEvents,
       startAt = Instant.parse("2024-01-01T00:00:00Z"))
     val out = Generator.run(cfg)
-    val jsons = out.events.map(_.json)
+    runRaw(spark, out.events.map(_.json), chunks, totalEvents, cfg.lateEventRatio)
+  }
 
+  /** Drive the same 3-sink fan-out over caller-built JSONL event lines
+    * — the state-scale probe's entry: the caller controls key
+    * cardinality and event-time span directly (the generator's
+    * registry fixes one video per scenario, far too few keys to
+    * exercise state growth). */
+  def runRaw(spark: SparkSession, jsons: Seq[String], chunks: Int,
+             totalEvents: Int, lateRatioConfigured: Double): StreamBenchResult = {
     val dir = Files.createTempDirectory("graft_streambench").toString
     val inDir = Paths.get(dir, "in")
     Files.createDirectories(inDir)
-    val chunkSize = math.max(1, totalEvents / chunks)
+    val chunkSize = math.max(1, jsons.size / chunks)
     jsons.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
       Files.write(inDir.resolve(f"chunk-$i%04d.jsonl"), chunk.mkString("\n").getBytes("UTF-8"))
     }
@@ -87,6 +102,7 @@ object StreamBench {
       val stateful = progresses.filter(_.stateOperators.nonEmpty)
       val statefulInput = stateful.map(_.numInputRows).sum
       val dropped = stateful.flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
+      val statefulByBatch = stateful.sortBy(_.batchId)
 
       val bronzeRows = spark.read.parquet(s"$dir/bronze").count()
       val quarantineRows = spark.read.parquet(s"$dir/quarantine").count()
@@ -101,7 +117,11 @@ object StreamBench {
         quarantineRows = quarantineRows,
         goldRows = goldRows,
         dropRatio = if (statefulInput == 0) 0.0 else dropped.toDouble / statefulInput,
-        lateRatioConfigured = cfg.lateEventRatio)
+        lateRatioConfigured = lateRatioConfigured,
+        stateRowsPerBatch =
+          statefulByBatch.map(_.stateOperators.toSeq.map(_.numRowsTotal).sum).toSeq,
+        stateMemPerBatch =
+          statefulByBatch.map(_.stateOperators.toSeq.map(_.memoryUsedBytes).sum).toSeq)
     } finally {
       // a throw anywhere above must not leak three running streaming
       // queries into the caller's (shared) session

@@ -70,4 +70,38 @@ class LshAnnSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian product in LSH plan:\n$plan")
   }
+
+  test("marginBitext: the ratio margin demotes the hub an absolute-cosine pick keeps") {
+    // 4-D fixture: X = the three axes; hub = their normalized mean
+    // (cos .577 to EVERY x — the textbook hub); y1/y2 are genuine
+    // partners of x1/x2 living partly in the 4th dimension. For x2 the
+    // raw-cosine argmax is the hub (.577 > .55) but the hub's own
+    // neighborhood mean is high (b_hub = .577) while y2's is low
+    // (b_y2 = .275), so the margin flips the pick to y2.
+    val s3 = (1.0 / math.sqrt(3.0)).toFloat
+    val xs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (10L, Array(s3, s3, s3, 0f)),                 // hub
+      (11L, Array(0.97f, 0f, 0f, 0.2431049f)),      // x1's partner
+      (12L, Array(0f, 0.55f, 0f, 0.8351646f)))      // x2's partner
+      .toDF("vec_id", "embedding")
+    // raw-cosine pick for x2 IS the hub
+    val raw = Similarity.bruteForceTopK(ys, xs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(2L) === 10L, s"fixture must make the hub the raw pick: $raw")
+    val m = Similarity.marginBitext(xs, ys, "vec_id", "embedding", k = 2, threshold = 1.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    // margin flips x2 to its true partner, and the pair is mutual+mined
+    assert(m(2L)._1 === 12L, s"margin must demote the hub: $m")
+    assert(m(2L)._3 && m(2L)._4, s"x2-y2 is mutual and above threshold: ${m(2L)}")
+    assert(m(1L)._1 === 11L && m(1L)._3, s"x1 keeps its genuine partner: ${m(1L)}")
+    // x3 has no partner: its best falls back to the hub, and the
+    // MUTUAL gate rejects the pair (the hub's own margin-best is x1)
+    assert(m(3L)._1 === 10L && !m(3L)._3, s"x3's hub pair must not be mutual: ${m(3L)}")
+    // margin is the hand value: m(x2,y2) = .55 / ((.56368+.275)/2) ≈ 1.3116
+    assert(math.abs(m(2L)._2 - 1.3116) < 0.001, s"hand margin: ${m(2L)._2}")
+  }
 }

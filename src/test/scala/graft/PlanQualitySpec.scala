@@ -539,4 +539,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans == 0, s"raw events log leaked into the realized plan ($scans scans)")
     assert(p.contains("ExistingRDD"), "per-(user,type) leaf missing")
   }
+
+  test("round-9 scan-grain queries stay single-scan, shuffle-free up to the output sort") {
+    // utf8 audit / url domain / gopher rules are pure projections: the
+    // ONLY exchange allowed is the final presentation orderBy's range
+    // repartition — a shuffle before it means the scan-grain contract
+    // broke (at 100 TB these must run at parquet-scan throughput)
+    Seq("q_utf8_audit", "q_url_domain", "q_gopher_rules").foreach { q =>
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"$q: ${exchanges} exchanges — projection gained a shuffle:\n$p")
+      // formatted explain prints each node twice (tree + details):
+      // count the numbered details headers only
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q: expected exactly one table scan, got $scans")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("q_bitext_mining: candidate scoring is broadcast-driven, no shuffle cross join") {
+    val p = plan("q_bitext_mining")
+    assert(!p.contains("CartesianProduct"),
+      s"bitext mining must broadcast the query side:\n$p")
+  }
 }

@@ -52,5 +52,25 @@ class VocabGrowthSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VocabGrowth.heapsCurve(corpus((0L, "a")), bucketSize = 0L)
     }
+    intercept[IllegalArgumentException] {
+      VocabGrowth.zipfFit(corpus((0L, "a")), "text", topN = 1)
+    }
+  }
+
+  test("zipfFit: hand spectrum — ranks deterministic, exact-power-law α recovered") {
+    // freqs 8/4/2/1 at ranks 1..4 is freq = 8·r^(-?) — not exact; use
+    // an EXACT power law over ranks 1,2,4: freq 8,4,2 → α = 1, C = 8
+    val df = corpus((0L, ("aa " * 8 + "bb " * 4 + "cc " * 2).trim))
+    val r = VocabGrowth.zipfFit(df, "text", topN = 3).orderBy("rank").collect()
+    assert(r.map(x => (x.getAs[Long]("rank"), x.getAs[String]("term"),
+      x.getAs[Long]("freq"))).toSeq === Seq((1L, "aa", 8L), (2L, "bb", 4L), (3L, "cc", 2L)))
+    // ln freq on ln rank over (1,8),(2,4),(3,2): closed-form OLS slope
+    // (through the 1e-9 fixed-point recipe) is −1.2336619…
+    val alpha = r.head.getAs[Double]("zipf_alpha")
+    assert(math.abs(alpha - 1.2336619) < 1e-4, s"alpha $alpha")
+    // tie-break: equal freqs rank alphabetically
+    val t = VocabGrowth.zipfFit(corpus((0L, "zz yy xx")), "text", topN = 3)
+      .orderBy("rank").collect().map(_.getAs[String]("term")).toSeq
+    assert(t === Seq("xx", "yy", "zz"))
   }
 }
