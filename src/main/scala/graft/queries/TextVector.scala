@@ -1608,6 +1608,28 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Per-SITE quota keyed by the PSL registrable domain
+    * (Curation.capPerKey over UrlExpressions.urlDomain): the
+    * anti-domination gate a 100 TB crawl mix runs — `a.blogs.co.uk`
+    * and `b.blogs.co.uk` burn ONE site's quota while each github.io
+    * user page gets its own. Fixture URLs concentrate 500 docs onto
+    * 12 registrable domains (7 co.uk sites via distinct subdomains +
+    * 5 github.io users) so the cap of 3 bites; junk URLs (NULL
+    * domain) are excluded before capping — a null key must not pool
+    * into a pseudo-site. Plans as WindowGroupLimit. */
+  def domainCapsQ(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = when(id % 2 === 0,
+        concat(lit("https://www.sub"), id, lit(".site"), id % 7, lit(".co.uk/p/"), id))
+      .when(id % 10 === 9, concat(lit("junk "), id))
+      .otherwise(concat(lit("https://u"), id % 5, lit(".github.io/r/"), id))
+    val d = docs(s, dir).select(id, col("n_chars"),
+        graft.plans.UrlExpressions.urlDomain(raw).as("site_key"))
+      .filter(col("site_key").isNotNull)
+    graft.operators.Curation.capPerKey(d, "site_key", col("n_chars").desc, id.asc, 3)
+      .orderBy("doc_id")
+  }
+
   /** Zipf's-law spectrum fit (VocabGrowth.zipfFit, top-30 terms):
     * rank-frequency spectrum with the fitted α/C — Heaps' dual, the
     * "is this slice natural language or template/ID flood" diagnostic.
@@ -1985,6 +2007,7 @@ object TextVector {
     "q_para_dedup" -> paraDedupQ,
     "q_bitext_mining" -> bitextMiningQ,
     "q_zipf_fit" -> zipfFitQ,
+    "q_domain_caps" -> domainCapsQ,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -4435,6 +4458,19 @@ object TextVector {
         |  floor(beta*1000000 + 0.5)/1000000 AS heaps_beta,
         |  floor(k*1000000 + 0.5)/1000000 AS heaps_k
         |FROM curve CROSS JOIN fit2 ORDER BY bucket""".stripMargin,
+    // the oracle derives each URL's registrable domain straight from
+    // the construction (subdomains collapse per PSL; github.io users
+    // don't) and mirrors the rank-≤-3 cap
+    "q_domain_caps" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'site' || (doc_id % 7) || '.co.uk'
+        |         WHEN doc_id % 10 = 9 THEN NULL
+        |         ELSE 'u' || (doc_id % 5) || '.github.io' END AS site_key
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY site_key ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM d WHERE site_key IS NOT NULL)
+        |SELECT doc_id, n_chars, site_key FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the spectrum and the fixed-point OLS fit
     "q_zipf_fit" ->
       """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

@@ -43,4 +43,32 @@ class CitationsSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"citations that resolve to NO file in /root/reference (${bad.size}):\n  ${bad.sorted.mkString("\n  ")}")
   }
+
+  test("every cited reference LINE RANGE fits inside the cited file") {
+    assume(Files.isDirectory(refRoot), "reference checkout not present")
+    // length of every reference file by basename (unique enough: on
+    // collision keep the LONGEST — a cite within the shorter twin
+    // still fits)
+    val refLen = Files.walk(refRoot).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .toList.groupBy(_.getFileName.toString)
+      .map { case (n, ps) =>
+        // byte-wise newline count: reference may hold non-UTF-8 files
+        n -> ps.map(p => Files.readAllBytes(p).count(_ == '\n') + 1).max }
+    val srcFiles = Files.walk(Paths.get("src/main/scala/graft")).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toList
+    val lineCiteRe = """([A-Za-z0-9_\-]*[_\-][A-Za-z0-9_\-]*\.(?:py|sql|conf|yml|yaml|md)):(\d+)(?:-(\d+))?""".r
+    val bad = for {
+      p <- srcFiles
+      src = new String(Files.readAllBytes(p), "UTF-8")
+      m <- lineCiteRe.findAllMatchIn(src).toSeq
+      base = m.group(1).split('/').last
+      if !ownDocs.contains(base)
+      len <- refLen.get(base).toSeq
+      hi = Option(m.group(3)).getOrElse(m.group(2)).toInt
+      if hi > len
+    } yield s"${p.getFileName}: ${m.matched} (file has $len lines)"
+    assert(bad.isEmpty,
+      s"citations pointing past the end of their reference file (${bad.size}):\n  ${bad.sorted.mkString("\n  ")}")
+  }
 }
