@@ -18,10 +18,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // one retry: across a ~300-query single-JVM sweep a query can
+      // fail transiently (GC pause hitting a broadcast timeout, tmp
+      // eviction) — both observed failing-then-passing unchanged. A
+      // retry that then matches the oracle is a correct result; a
+      // genuine defect fails both attempts and still reports.
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name attempt 1 failed (retrying): ${e1.getMessage}")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+        }
       }
       // per-query persists (LSH signatures, CC labels) must not pile up
       // across the 60+ query run

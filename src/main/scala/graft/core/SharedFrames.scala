@@ -38,16 +38,35 @@ object SharedFrames {
     * (SparkContext, key). The builder is by-name and is NOT evaluated
     * on a memo hit — plan construction for the big shared frames walks
     * catalog/scan metadata, which is exactly the per-query constant
-    * this memo exists to avoid paying twice. Synchronized per map
-    * entry: two concurrent first-consumers (parallel test suites
-    * sharing a session) must not race the same eager checkpoint job —
-    * the round-5 shared-scan-race lesson. */
+    * this memo exists to avoid paying twice.
+    *
+    * RE-ENTRANCY IS REQUIRED, so this is deliberately NOT
+    * `computeIfAbsent`: shared leaves NEST (the canonical kNN leaf is
+    * built FROM the kNN leaf; the CC labeling from the LSH pair leaf),
+    * and a builder that memoizes an inner leaf inside a
+    * `computeIfAbsent` of the same map throws
+    * IllegalStateException("Recursive update"). Whether that path is
+    * ever taken depends on WHICH consumer runs first — i.e. on query-
+    * map iteration order — so the bug surfaced only when adding a
+    * query reshuffled the order and 12 graph queries failed at once.
+    * Two-phase get/putIfAbsent instead: the build happens OUTSIDE the
+    * map lock, nested memoize calls are plain recursion, and if two
+    * concurrent first-consumers race, putIfAbsent keeps exactly one
+    * leaf (the loser's build is discarded work, never a wrong result —
+    * builders are deterministic by contract). */
   def memoize(s: SparkSession, key: String)(df: => DataFrame): DataFrame = {
     // drop entries whose context has stopped (fresh per-suite sessions;
     // their checkpoint leaves are unreadable once the context dies)
     memo.forEach { (k, _) =>
       if (k._1.isStopped) memo.remove(k)
     }
-    memo.computeIfAbsent((s.sparkContext, key), _ => Lineage.truncate(df))
+    val k = (s.sparkContext, key)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = Lineage.truncate(df)
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 }

@@ -219,4 +219,51 @@ object Curation {
     }.reduce(_.unionByName(_))
     hits
   }
+
+  /** Fill-in-the-middle training transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * a hash-selected `ratePct`% of documents are rewritten in PSM
+    * order — prefix, suffix, then the middle the model must infill —
+    * with literal sentinel strings standing in for the special token
+    * ids a tokenizer would emit. FIM is applied at the DATA layer
+    * (the paper's key finding: it's free — no architecture change)
+    * and must be deterministic per (seed, doc): re-running the
+    * pipeline cannot re-deal which docs are transformed or where
+    * their split points fall, or dataset versions stop being
+    * reproducible.
+    *
+    * Split points: two independent md5-derived positions in
+    * [0, len), sorted — so middle spans are uniform-ish and
+    * occasionally empty (degenerate spans are legal FIM examples and
+    * are kept, matching the paper's uniform-span recipe). Everything
+    * is a scalar projection: no shuffle, no state, scan-throughput at
+    * any corpus size; the oracle replays the exact hash arithmetic. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   ratePct: Int = 50, seed: String = "fim"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct must be 0..100, got $ratePct")
+    def h(salt: String): Column =
+      conv(substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"),
+        lit(salt))), 1, 8), 16, 10).cast("long")
+    val len = length(col(textCol)).cast("long")
+    val lenSafe = greatest(len, lit(1L))
+    val p1 = h("a") % lenSafe
+    val p2 = h("b") % lenSafe
+    val lo = least(p1, p2)
+    val hi = greatest(p1, p2)
+    val applied = col(textCol).isNotNull &&
+      (Sampling.hashBucket(concat_ws(":", lit(seed), col(idCol).cast("string"))) < ratePct)
+    val prefix = expr(s"substring($textCol, 1, __lo)")
+    val middle = expr(s"substring($textCol, __lo + 1, __hi - __lo)")
+    val suffix = expr(s"substring($textCol, __hi + 1)")
+    df.withColumn("__lo", when(applied, lo).otherwise(lit(0L)))
+      .withColumn("__hi", when(applied, hi).otherwise(lit(0L)))
+      .withColumn("fim_applied", applied)
+      .withColumn("fim_text",
+        when(applied,
+          concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix, lit("<MID>"), middle))
+          .otherwise(col(textCol)))
+      .withColumn("n_prefix", when(applied, col("__lo")).otherwise(lit(null).cast("long")))
+      .withColumn("n_middle", when(applied, col("__hi") - col("__lo")).otherwise(lit(null).cast("long")))
+      .drop("__lo", "__hi")
+  }
 }

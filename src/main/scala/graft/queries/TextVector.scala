@@ -1608,6 +1608,37 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Fill-in-the-middle transform (Curation.fimTransform, 50% rate):
+    * the FIM pretraining rewrite — hash-selected docs emitted in PSM
+    * order with sentinel markers, split points md5-derived per
+    * (seed, doc) so dataset versions are reproducible. The oracle
+    * replays the exact hash arithmetic and string surgery. */
+  def fimQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.fimTransform(
+        docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text",
+        ratePct = 50, seed = "fim")
+      .select(col("doc_id"), col("fim_applied"), col("n_prefix"), col("n_middle"),
+        col("fim_text"))
+      .orderBy("doc_id")
+
+  /** Orthogonal-Procrustes embedding alignment (Align.procrustes):
+    * Y is CONSTRUCTED as an exact signed permutation of X
+    * (y_k = ±x_{(k+5) mod 64} — an orthogonal map), so the recovered
+    * rotation W must equal that signed permutation EXACTLY and the
+    * after-alignment residual must be 0 — any defect in the
+    * cross-covariance accumulation or the driver-side Jacobi SVD
+    * breaks the hash. The oracle predicts W from the construction and
+    * recomputes Σσ / residuals from the same fixed-point M. */
+  def procrustesQ(s: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    val y = transform(sequence(lit(0), lit(63)),
+      k => when(k % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
+        element_at(x, ((k + 5) % 64) + 1))
+    graft.operators.Align.procrustes(
+        embs(s, dir).select(x.as("x"), y.as("y")), "x", "y")
+      .orderBy("j", "k")
+  }
+
   /** Per-SITE quota keyed by the PSL registrable domain
     * (Curation.capPerKey over UrlExpressions.urlDomain): the
     * anti-domination gate a 100 TB crawl mix runs — `a.blogs.co.uk`
@@ -2008,6 +2039,8 @@ object TextVector {
     "q_bitext_mining" -> bitextMiningQ,
     "q_zipf_fit" -> zipfFitQ,
     "q_domain_caps" -> domainCapsQ,
+    "q_procrustes" -> procrustesQ,
+    "q_fim" -> fimQ,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -4458,6 +4491,53 @@ object TextVector {
         |  floor(beta*1000000 + 0.5)/1000000 AS heaps_beta,
         |  floor(k*1000000 + 0.5)/1000000 AS heaps_k
         |FROM curve CROSS JOIN fit2 ORDER BY bucket""".stripMargin,
+    // the oracle replays the md5 split-point arithmetic and the PSM
+    // string surgery byte for byte
+    "q_fim" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(('0x'||substr(md5('fim:'||doc_id),1,8)) AS BIGINT) % 100 < 50 AS applied,
+        |    CAST(('0x'||substr(md5('fim:'||doc_id||':a'),1,8)) AS BIGINT)
+        |      % greatest(CAST(length(text) AS BIGINT), 1) AS p1,
+        |    CAST(('0x'||substr(md5('fim:'||doc_id||':b'),1,8)) AS BIGINT)
+        |      % greatest(CAST(length(text) AS BIGINT), 1) AS p2
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, applied, least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM h)
+        |SELECT doc_id, applied AS fim_applied,
+        |  CASE WHEN applied THEN lo END AS n_prefix,
+        |  CASE WHEN applied THEN hi - lo END AS n_middle,
+        |  CASE WHEN applied THEN
+        |    '<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+        |      || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER))
+        |      || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER), CAST(hi - lo AS INTEGER))
+        |  ELSE text END AS fim_text
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // the oracle predicts W from the signed-permutation construction
+    // (rotation recovery must be EXACT) and recomputes Σσ + residuals
+    // from the same fixed-point cross-covariance
+    "q_procrustes" ->
+      """WITH xe AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |p AS (SELECT x, list_transform(range(1, 65), k ->
+        |        (CASE WHEN (k-1) % 2 = 0 THEN 1.0 ELSE -1.0 END) * x[(((k-1)+5) % 64) + 1]) AS y FROM xe),
+        |e1 AS (SELECT x, unnest(y) AS yv, generate_subscripts(y, 1) - 1 AS k FROM p),
+        |e2 AS (SELECT k, yv, unnest(x) AS xv, generate_subscripts(x, 1) - 1 AS j FROM e1),
+        |m AS (SELECT j, k, CAST(sum(CAST(floor(xv*yv*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS mv
+        |      FROM e2 GROUP BY 1, 2),
+        |nx AS (SELECT CAST(sum(CAST(floor(xv*xv*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS nx
+        |       FROM (SELECT unnest(x) AS xv FROM xe)),
+        |ny AS (SELECT CAST(sum(CAST(floor(yv*yv*1e12 + 0.5) AS BIGINT)) AS DOUBLE)/1e12 AS ny
+        |       FROM (SELECT unnest(y) AS yv FROM p)),
+        |sg AS (SELECT sum(CASE WHEN k % 2 = 0 THEN mv ELSE -mv END) AS ssum
+        |       FROM m WHERE j = (k + 5) % 64),
+        |tr AS (SELECT sum(mv) AS trm FROM m WHERE j = k)
+        |SELECT CAST(j AS INTEGER) AS j, CAST(k AS INTEGER) AS k,
+        |  CAST(CASE WHEN j = (k + 5) % 64
+        |            THEN (CASE WHEN k % 2 = 0 THEN 1.0 ELSE -1.0 END) ELSE 0.0 END AS DOUBLE) AS w,
+        |  floor(ssum*10000 + 0.5)/10000 AS sum_sigma,
+        |  floor((nx + ny - 2*trm)*10000 + 0.5)/10000 AS resid_before,
+        |  floor((nx + ny - 2*ssum)*10000 + 0.5)/10000 AS resid_after
+        |FROM m CROSS JOIN sg CROSS JOIN tr CROSS JOIN nx CROSS JOIN ny
+        |ORDER BY j, k""".stripMargin,
     // the oracle derives each URL's registrable domain straight from
     // the construction (subdomains collapse per PSL; github.io users
     // don't) and mirrors the rank-≤-3 cap

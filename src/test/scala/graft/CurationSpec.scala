@@ -144,4 +144,45 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("dom").as[(String, Long, Long, Double, Double)].collect().toSeq
     assert(out == Seq(("a", 4L, 4L, 1.0, 0.7), ("b", 4L, 1L, 0.25, 0.7)), s"got $out")
   }
+
+  test("fimTransform: reconstruction property, determinism, rate bounds, null text") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 200L).map(i => (i, s"document body number $i with some fill text"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.fimTransform(docs, "doc_id", "text", ratePct = 50)
+      .select("doc_id", "text", "fim_applied", "fim_text", "n_prefix", "n_middle")
+      .collect()
+    val applied = out.filter(_.getBoolean(2))
+    // hash-selected rate lands near 50% (md5 buckets, 200 ids)
+    assert(applied.length > 60 && applied.length < 140, s"rate off: ${applied.length}/200")
+    applied.foreach { r =>
+      val (orig, fim) = (r.getString(1), r.getString(3))
+      // PSM surgery is lossless: prefix + middle + suffix == original
+      val pre = fim.substring(5, fim.indexOf("<SUF>"))
+      val suf = fim.substring(fim.indexOf("<SUF>") + 5, fim.indexOf("<MID>"))
+      val mid = fim.substring(fim.indexOf("<MID>") + 5)
+      assert(pre + mid + suf === orig, s"doc ${r.getLong(0)} not reconstructible")
+      assert(r.getLong(4) === pre.length.toLong && r.getLong(5) === mid.length.toLong)
+    }
+    // untouched docs pass through byte-identical
+    out.filterNot(_.getBoolean(2)).foreach(r => assert(r.getString(3) === r.getString(1)))
+    // deterministic: same seed, same deal and same splits
+    val again = graft.operators.Curation.fimTransform(docs, "doc_id", "text", ratePct = 50)
+      .select("fim_text").collect().map(_.getString(0)).toSeq
+    assert(again === out.map(_.getString(3)).toSeq)
+    // a different seed deals differently (not a constant function)
+    val other = graft.operators.Curation.fimTransform(docs, "doc_id", "text",
+      ratePct = 50, seed = "fim2").select("fim_text").collect().map(_.getString(0)).toSeq
+    assert(other !== again)
+    // null text never applies, never throws
+    val n = graft.operators.Curation.fimTransform(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), "doc_id", "text")
+      .select("fim_applied", "fim_text").collect().head
+    assert(!n.getBoolean(0) && n.isNullAt(1))
+    // rate 0 and 100 are exact
+    assert(graft.operators.Curation.fimTransform(docs, "doc_id", "text", ratePct = 0)
+      .filter(col("fim_applied")).count() === 0L)
+    assert(graft.operators.Curation.fimTransform(docs, "doc_id", "text", ratePct = 100)
+      .filter(!col("fim_applied")).count() === 0L)
+  }
 }

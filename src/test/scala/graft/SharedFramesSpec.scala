@@ -28,4 +28,26 @@ class SharedFramesSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
     assert(a.as[Long].collect().toSeq == Seq(7L), "leaf must stay readable after clearCache")
   }
+
+  test("memoize is RE-ENTRANT: a builder may memoize an inner leaf " +
+    "(nested shared frames — the 12-query 'Recursive update' regression)") {
+    // computeIfAbsent would throw IllegalStateException("Recursive
+    // update") here; whether production hits this depends on query
+    // iteration order, so it must be pinned as a hard regression test
+    var innerBuilds = 0
+    val out = SharedFrames.memoize(spark, "reentrant_outer") {
+      val inner = SharedFrames.memoize(spark, "reentrant_inner") {
+        innerBuilds += 1; Seq(1L, 2L).toDF("x")
+      }
+      inner.agg(org.apache.spark.sql.functions.sum("x").as("s"))
+    }
+    assert(out.as[Long].collect().toSeq == Seq(3L))
+    assert(innerBuilds == 1)
+    // the inner leaf landed in the memo during the outer build: a
+    // later direct consumer gets a hit, not a rebuild
+    SharedFrames.memoize(spark, "reentrant_inner") {
+      innerBuilds += 1; Seq(99L).toDF("x")
+    }
+    assert(innerBuilds == 1, "inner leaf must be memoized from the nested build")
+  }
 }
