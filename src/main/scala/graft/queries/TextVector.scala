@@ -1608,6 +1608,29 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** Per-language tokenizer fertility (tokens per whitespace word,
+    * chars per token, by lang) — the cost signal a multilingual mix
+    * designer reads before fixing per-language budgets: a language
+    * whose fertility runs high pays more sequence length for the same
+    * words, so an unweighted document mix under-trains it. Exact
+    * integer sums per language; the two ratios round at the shared
+    * grains. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("__chars"),
+        TextAnalysis.wsTokenCount("text").cast("long").as("__ws"),
+        TextAnalysis.bpeishTokenCount("text").cast("long").as("__bp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__ws").as("ws_tokens"),
+        sum("__bp").as("bpeish_tokens"), sum("__chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpeish_tokens"),
+        col("n_chars"),
+        rd(col("bpeish_tokens").cast("double") / greatest(col("ws_tokens"), lit(1L)), 6)
+          .as("fertility"),
+        rd(col("n_chars").cast("double") / greatest(col("bpeish_tokens"), lit(1L)), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+
   /** Fill-in-the-middle transform (Curation.fimTransform, 50% rate):
     * the FIM pretraining rewrite — hash-selected docs emitted in PSM
     * order with sentinel markers, split points md5-derived per
@@ -2041,6 +2064,7 @@ object TextVector {
     "q_domain_caps" -> domainCapsQ,
     "q_procrustes" -> procrustesQ,
     "q_fim" -> fimQ,
+    "q_token_fertility" -> tokenFertility,
     "q_repetition" -> repetition,
     "q_repeated_spans" -> repeatedSpans,
     "q_repeated_spans_exact" -> repeatedSpansExactQ,
@@ -2794,6 +2818,22 @@ object TextVector {
         |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin,
     // the BPE-ish pattern is the SAME constant the query compiles —
     // RE2 ∩ Java-regex subset, so both engines execute it verbatim
+    // same generated pattern; integer sums per language, two ratios
+    "q_token_fertility" -> {
+      val pat = TextAnalysis.BpeishPattern.replace("'", "''")
+      s"""WITH d AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS ch,
+        |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS bp
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |        CAST(sum(bp) AS BIGINT) AS bpeish_tokens, CAST(sum(ch) AS BIGINT) AS n_chars
+        |      FROM d GROUP BY 1)
+        |SELECT lang, n_docs, ws_tokens, bpeish_tokens, n_chars,
+        |  floor((CAST(bpeish_tokens AS DOUBLE) / greatest(ws_tokens, 1))*1000000 + 0.5)/1000000 AS fertility,
+        |  floor((CAST(n_chars AS DOUBLE) / greatest(bpeish_tokens, 1))*10000 + 0.5)/10000 AS chars_per_token
+        |FROM g ORDER BY lang""".stripMargin
+    },
     "q_token_estimate" -> {
       val pat = TextAnalysis.BpeishPattern.replace("'", "''")
       s"""SELECT doc_id,
