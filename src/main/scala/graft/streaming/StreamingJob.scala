@@ -16,7 +16,14 @@ final case class StreamingJobConfig(
     goldPath: String,
     watermark: String = "2 minutes",
     bronzeTrigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-    goldTrigger: Trigger = Trigger.ProcessingTime("1 minute"))
+    goldTrigger: Trigger = Trigger.ProcessingTime("1 minute"),
+    /** Default TRUE — dropDuplicatesWithinWatermark, so gold dedup state
+      * expires with the watermark instead of growing with every event-id
+      * ever seen (the only viable stance for an unbounded stream). Set
+      * false for the reference's exact dropDuplicates semantics (a dup
+      * arriving arbitrarily late is still dropped, at unbounded state
+      * cost). */
+    boundedDedupState: Boolean = true)
 
 final case class StreamingJob(bronze: StreamingQuery, quarantine: StreamingQuery,
                               gold: StreamingQuery) {
@@ -50,7 +57,7 @@ object StreamingJob {
 
     val goldSink = new ParquetUpsertSink(spark, cfg.goldPath,
       keys = Seq("user_id", "window_start"), orderBy = Seq("processed_at"))
-    val goldQ = EventPipeline.goldAggregate(annotated, cfg.watermark).writeStream
+    val goldQ = EventPipeline.goldAggregate(annotated, cfg.watermark, cfg.boundedDedupState).writeStream
       .foreachBatch(goldSink.foreachBatchFn)
       .option("checkpointLocation", s"${cfg.checkpointRoot}/gold")
       .trigger(cfg.goldTrigger)
