@@ -16,11 +16,13 @@ object Explain {
         "q_dedup_clusters", "q_health_gates", "q_merge_upsert", "q_action_queue",
         "q_simhash64_pairs", "q_asof_join", "q_range_join", "q_tfidf", "q_scd2",
         "q_tpch_q2", "q_tpch_q16", "q_tpch_q21", "q_triangles_oriented")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // Same session settings as Bench/Verify (ScaleDefaults: AQE, bloom
+    // pruning, UTC) so the printed plans are the measured plans; core
+    // count from the same env knob the driver uses.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.core.ScaleDefaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false"), shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -66,7 +66,13 @@ object SharedFrames {
     else {
       val built = Lineage.truncate(df)
       val prev = memo.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // racing first-consumers: the loser's eagerly built leaf is
+        // discarded — unpersist its cached blocks (best-effort) so the
+        // duplicate build doesn't leak storage for the session lifetime
+        try built.unpersist() catch { case _: Throwable => () }
+        prev
+      } else built
     }
   }
 }

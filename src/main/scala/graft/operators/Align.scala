@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * squares, which overfits anchors).
   *
   * Scale shape (the Pca.powerIteration recipe): M accumulates as ONE
-  * keyed aggregate over the doubly-exploded pairs — d² cells,
-  * 1e-12 fixed-point BIGINT sums (order-independent, engine-exact;
-  * drop to 1e9 scale beyond ~1e6 anchor rows, same int64 headroom
+  * un-keyed aggregate pass — each row folds its d² outer-product
+  * cells into an element-wise long-vector sum
+  * (plans.VectorSumAggregate; no n·d² explode is ever materialized,
+  * map-side combine ships one d²-cell array per partition), 1e-12
+  * fixed-point BIGINT sums (order-independent, engine-exact; drop to
+  * 1e9 scale beyond ~1e6 anchor rows, same int64 headroom
   * note as Pca) — then the d×d SVD runs on the driver (one-sided
   * Jacobi, ~60 LoC, deterministic sweep order): scale-correct for
   * d ≪ n, the same "driver solves only O(d²)" stance the PCA
@@ -43,29 +46,34 @@ object Align {
     val spark = pairs.sparkSession
     val base = pairs.select(col(xCol).cast("array<double>").as("__x"),
       col(yCol).cast("array<double>").as("__y"))
-    val e1 = base.select(posexplode(col("__x")).as(Seq("j", "xv")), col("__y"))
-    val e2 = e1.select(col("j"), col("xv"),
-      posexplode(col("__y")).as(Seq("k", "yv")))
-    val mRows = e2.groupBy(col("j"), col("k"))
-      .agg(unfx(sum(fx(col("xv") * col("yv")))).as("m"))
-      .collect() // d² cells — the driver-solve input, never data-sized
-    val d = mRows.map(_.getInt(0)).max + 1
-    require(mRows.length == d * d,
-      s"ragged vectors: expected ${d * d} cross-covariance cells, got ${mRows.length}")
-    val m = Array.ofDim[Double](d, d)
-    mRows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // ONE pass: each row folds its d² outer-product cells (row-major
+    // j·d + k, 1e-12 fixed point) into the element-wise long-vector
+    // sum — no n·d² posexplode materialization, no keyed exchange; the
+    // anchor norms and the pair count ride the same aggregate job. The
+    // cell values are bit-identical to the exploded groupBy(j,k)
+    // formulation (same quantized terms, order-free integer adds).
+    val cellsCol = flatten(transform(col("__x"), xv =>
+      transform(col("__y"), yv => fx(xv * yv))))
+    val r0 = base.agg(
+      graft.plans.VectorSumAggregate.longVectorSumAgg(cellsCol).as("cells"),
+      max(size(col("__y"))).as("dy"),
+      max(size(col("__x"))).as("dx"),
+      unfx(sum(aggregate(col("__x"), lit(0L), (acc, x) => acc + fx(x * x)))).as("nx"),
+      unfx(sum(aggregate(col("__y"), lit(0L), (acc, y) => acc + fx(y * y)))).as("ny"))
+      .collect()(0) // d² cells + 4 scalars — the driver-solve input, never data-sized
+    require(!r0.isNullAt(0), "procrustes needs at least one non-empty anchor pair")
+    val cells = r0.getSeq[Long](0)
+    val d = r0.getInt(1)
+    require(r0.getInt(2) == d && cells.length == d * d,
+      s"ragged vectors: expected ${d * d} cross-covariance cells " +
+        s"(dx=${r0.getInt(2)}, dy=$d), got ${cells.length}")
+    val m = Array.tabulate(d, d)((j, k) => cells(j * d + k).toDouble / 1e12)
 
     val (u, sig, v) = jacobiSvd(m)
     val w = Array.tabulate(d, d)((j, k) =>
       (0 until d).map(r => u(j)(r) * v(k)(r)).sum)
     val sumSigma = sig.sum
-
-    // per-row fixed-point fold, then one long sum — order-independent
-    val norms = base.agg(
-      unfx(sum(aggregate(col("__x"), lit(0L), (acc, x) => acc + fx(x * x)))).as("nx"),
-      unfx(sum(aggregate(col("__y"), lit(0L), (acc, y) => acc + fx(y * y)))).as("ny"))
-      .collect()(0)
-    val (nx, ny) = (norms.getDouble(0), norms.getDouble(1))
+    val (nx, ny) = (r0.getDouble(3), r0.getDouble(4))
     val trM = (0 until d).map(i => m(i)(i)).sum
     def rd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     def rd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6

@@ -150,8 +150,13 @@ object Eval {
     * decimal→double casts are value-identical to the long→double
     * casts wherever a long would not have overflowed). */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("n"))
+    // cut the |A|×|B| confusion grid to a leaf: four aggregates below
+    // consume it, and without the cut each one re-executes the whole
+    // upstream pipeline (for q_kappa that upstream is the entire
+    // NaiveBayes fit+score chain — measured ~2× the query)
+    val cells = graft.core.Lineage.truncate(
+      df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("n")))
     val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("r"))
     val cb = cells.groupBy(col("b").as("a")).agg(sum(col("n")).as("c"))
     val dec = (c: Column) => c.cast("decimal(19,0)")

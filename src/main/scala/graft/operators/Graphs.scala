@@ -353,11 +353,10 @@ object Graphs {
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // eager barrier — intra and degree both consume it. Stays cached
-    // until the caller clearCache()s (the labelPropagation contract):
-    // unpersisting here would CASCADE-invalidate the cached result
-    // frame (Spark uncaches dependent plans) and silently recompute
-    // the whole chain on first read.
+    // eager barrier — intra and degree both consume it; released as
+    // soon as the per-community leaf below is materialized (the result
+    // is a checkpoint leaf, so there is no cached dependent plan to
+    // cascade-invalidate).
     val el = e
       .join(labels.select(col(idCol).as("u"), col(labelCol).as("lu")), "u")
       .join(labels.select(col(idCol).as("v"), col(labelCol).as("lv")), "v")
@@ -371,7 +370,13 @@ object Graphs {
       .groupBy(col("label")).agg(count(lit(1)).as("degree_sum"))
     val nodes = labels.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_nodes"))
-    val per = nodes
+    // the per-community frame is cut to a |labels|-row checkpoint leaf:
+    // both its consumers (the Q reduce and the result rows) previously
+    // re-executed the whole nodes⋈deg⋈intra subtree — one as the
+    // broadcast input, one as the main branch — doubling every stage
+    // over el; the leaf also lets el be RELEASED here instead of
+    // leaking in the session cache until clearCache()
+    val per = Lineage.truncate(nodes
       .join(deg, Seq("label"), "left")
       .join(intra, Seq("label"), "left")
       .select(col("label"), col("n_nodes"),
@@ -381,13 +386,12 @@ object Graphs {
       .withColumn("contrib",
         col("intra_edges").cast("double") / col("m")
           - (col("degree_sum").cast("double") / (lit(2) * col("m")))
-            * (col("degree_sum").cast("double") / (lit(2) * col("m"))))
+            * (col("degree_sum").cast("double") / (lit(2) * col("m")))))
+    el.unpersist()
     val q = per.agg(
       (sum(floor(col("contrib") * lit(1e12) + lit(0.5)).cast("long"))
         .cast("double") / lit(1e12)).as("modularity"))
-    val out = per.crossJoin(broadcast(q)).persist()
-    out.count()
-    out
+    per.crossJoin(broadcast(q))
   }
 
   /** Degree assortativity (Newman 2002) of an undirected simple graph —
@@ -410,15 +414,15 @@ object Graphs {
     * (m ~ 1e12, d_max ~ 1e6 → 1e24), and a wrapped long here would be
     * a silently wrong sign, not an error. */
   def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // eager barrier — degree union and endpoint joins all consume it.
-    // Stays cached until the caller clearCache()s: an unpersist here
-    // would cascade-invalidate the cached result (see modularity).
-    val e = edges.select(
+    // canonical edges as a checkpoint LEAF (not a session-cached frame
+    // the caller must clearCache()): the degree frame is consumed three
+    // times below, and over a leaf those identical aggregate subtrees
+    // collapse to one exchange via reuse; the result frame itself stays
+    // lazy — it is two 1-row aggregates over the leaf.
+    val e = Lineage.truncate(edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist()
-    e.count()
+      .filter(col("u") =!= col("v")).distinct())
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
     val el = e
@@ -433,12 +437,9 @@ object Graphs {
     val mean = col("__ssum").cast("double") / (lit(2) * col("m"))
     val num = col("__sjk").cast("double") / col("m") - mean * mean
     val den = col("__ssq").cast("double") / (lit(2) * col("m")) - mean * mean
-    val out = s.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+    s.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_nodes"), col("m"),
         when(den =!= 0, num / den).as("assortativity"))
-      .persist()
-    out.count()
-    out
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) with a fixed round
@@ -1087,7 +1088,15 @@ object Graphs {
     // backward sweep: delta_fp(level top) = 0; each inner level sums
     // quantized per-successor terms over the shortest-path DAG edges.
     // deltaNext CARRIES the level's sigma so the successor lookup is
-    // ONE equi-join per level, not two (sigma and delta separately)
+    // ONE equi-join per level, not two (sigma and delta separately).
+    // The sweep stays LAZY: every forward level is already a
+    // checkpoint leaf, so the backward recurrence is a flat
+    // O(top)-join plan over leaves and the closing aggregate
+    // materializes the whole sweep in ONE job — the per-level eager
+    // truncation this replaces paid `top` extra job submissions +
+    // localCheckpoint materializations per query (r9 verdict:
+    // level-count job submissions are the betweenness floor). Deep
+    // sweeps still truncate every 4th level to bound plan depth.
     var deltaNext = levels(top)
       .select(col("seed"), col("id"), col("sigma"), lit(0L).as("delta_fp"))
     val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1104,11 +1113,12 @@ object Graphs {
             .cast("long").as("t"))
         .groupBy(col("seed"), col("id"))
         .agg(sum(col("t")).as("delta_fp"))
-      deltaNext = Lineage.truncate(
+      deltaNext =
         levels(h).select(col("seed"), col("id"), col("sigma"))
           .join(contribs, Seq("seed", "id"), "left")
           .select(col("seed"), col("id"), col("sigma"),
-            coalesce(col("delta_fp"), lit(0L)).as("delta_fp")))
+            coalesce(col("delta_fp"), lit(0L)).as("delta_fp"))
+      if (h > 0 && (top - h) % 4 == 0) deltaNext = Lineage.truncate(deltaNext)
       if (h > 0) perLevel += deltaNext.select("seed", "id", "delta_fp")
     }
     perLevel.reduce(_.union(_))
@@ -1145,10 +1155,13 @@ object Graphs {
     val und = canon.select(col("u").as("s"), col("v").as("d"))
       .union(canon.select(col("v").as("s"), col("u").as("d")))
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__l"))
-    val mix = und
+    // the |L|² mixing grid is consumed three times (two marginal
+    // aggregates + the closing reduce) — cut it to a leaf so the
+    // edge⋈label subtree runs once, not per consumer
+    val mix = Lineage.truncate(und
       .join(lab.select(col("__id").as("s"), col("__l").as("lx")), Seq("s"))
       .join(lab.select(col("__id").as("d"), col("__l").as("ly")), Seq("d"))
-      .groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("n")))
     val marg = mix.groupBy(col("lx")).agg(sum(col("n")).as("ra"))
       .join(mix.groupBy(col("ly").as("lx")).agg(sum(col("n")).as("rb")), Seq("lx"))
     mix.agg(sum(col("n")).as("m2"),

@@ -1142,7 +1142,10 @@ object TextVector {
     * generation; labels attach via two hash joins. */
   def labelNoise(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val knn = Similarity.knnGraph(e, "vec_id", "embedding", k = 3)
+    // the shared knn3 leaf IS Similarity.knnGraph(embs, k=3) — reusing
+    // it drops this query's private LSH kNN rebuild (the most expensive
+    // subtree it had) without changing a row
+    val knn = knn3(s, dir)
       .select(col("query_id"), col("neighbor_id"))
     val lab = e.select(col("vec_id"), col("label"))
     knn
