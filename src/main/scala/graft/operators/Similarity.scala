@@ -121,7 +121,11 @@ object Similarity {
         .agg(expr(s"transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS $elemSql))")
           .as("centroid_vec"))
     }
-    centroids
+    // the k×dim centroid table is model state, not data — cut it to a
+    // checkpoint leaf so consumers (count, corpus assign, query probe)
+    // don't each re-run the whole Lloyd loop (q_embed_ivf_kmeans paid
+    // the 2-round fit 3× before this)
+    graft.core.Lineage.truncate(centroids)
   }
 
   /** Mean best-centroid cosine over the corpus — the (similarity-form)
@@ -754,18 +758,27 @@ object Similarity {
     * `mined` (margin ≥ threshold) — mined ∧ mutual is the
     * high-precision pair set real pipelines keep.
     *
-    * Scale shape: two top-k passes (brute-force here; swap
-    * [[ivfTopKWith]] buckets at corpus scale — same output contract),
-    * two k-row-per-id aggregates, two windows partitioned by id. No
-    * all-pairs materialization beyond the top-k candidates. */
+    * Scale shape: two top-k passes — PLUGGABLE via `topK` (corpus,
+    * queries, idCol, vecCol, k) ⇒ (query_id, neighbor_id, cosine).
+    * The default is [[bruteForceTopK]] (the recall-truth baseline);
+    * at corpus scale pass a bucketed strategy, e.g.
+    * `(c, q, id, v, k) => ivfTopKWith(c, q, id, v, k, centroids,
+    * nprobe)` — the candidate set then shrinks by the bucket count and
+    * neither side is ever cross-joined (q_bitext_ann is the oracled,
+    * recall-gated witness that the ANN path reproduces the brute-force
+    * mining result). Then two k-row-per-id aggregates, two windows
+    * partitioned by id. No all-pairs materialization beyond the top-k
+    * candidates. */
   def marginBitext(xs: DataFrame, ys: DataFrame, idCol: String, vecCol: String,
-                   k: Int = 4, threshold: Double = 1.0): DataFrame = {
+                   k: Int = 4, threshold: Double = 1.0,
+                   topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+                     bruteForceTopK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def c9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
-    val fwd = bruteForceTopK(ys, xs, idCol, vecCol, k)
+    val fwd = topK(ys, xs, idCol, vecCol, k)
       .select(col("query_id").as("x_id"), col("neighbor_id").as("y_id"),
         c9(col("cosine")).as("c9"))
-    val rev = bruteForceTopK(xs, ys, idCol, vecCol, k)
+    val rev = topK(xs, ys, idCol, vecCol, k)
       .select(col("query_id").as("y_id"), col("neighbor_id").as("x_id"),
         c9(col("cosine")).as("c9"))
     val aX = fwd.groupBy(col("x_id")).agg(sum(col("c9")).as("a9"), count(lit(1)).as("na"))

@@ -151,6 +151,45 @@ object TextVector {
       |         w1.w_punct + (CAST(g2.g_punct AS DOUBLE) / 1e12) / g2.n AS w_punct
       |  FROM w1 CROSS JOIN g2)""".stripMargin
 
+  /** Brute-force margin-mining oracle — shared verbatim by
+    * q_bitext_mining (whose engine path is brute force) and
+    * q_bitext_ann (whose engine path is bucketed IVF ANN): a hash
+    * match on the latter is the recall gate proving the ANN path
+    * reproduces the exact mined pair set. */
+  private val bitextBruteOracle =
+    """WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 40),
+      |y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 40),
+      |px AS (
+      |  SELECT x_id, y_id,
+      |    list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+      |  FROM x, y),
+      |fwd AS (
+      |  SELECT x_id, y_id, CAST(floor(cos*1e9 + 0.5) AS BIGINT) AS c9
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk FROM px)
+      |  WHERE rk <= 4),
+      |rev AS (
+      |  SELECT y_id, x_id, CAST(floor(cos*1e9 + 0.5) AS BIGINT) AS c9
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk FROM px)
+      |  WHERE rk <= 4),
+      |ax AS (SELECT x_id, CAST(sum(c9) AS BIGINT) AS a9, count(*) AS na FROM fwd GROUP BY 1),
+      |by_ AS (SELECT y_id, CAST(sum(c9) AS BIGINT) AS b9, count(*) AS nb FROM rev GROUP BY 1),
+      |mf AS (
+      |  SELECT f.x_id, f.y_id, f.c9,
+      |    (2.0 * f.c9 * a.na * b.nb) / (a.a9 * b.nb + b.b9 * a.na) AS margin
+      |  FROM fwd f JOIN ax a USING (x_id) JOIN by_ b USING (y_id)),
+      |mr AS (
+      |  SELECT r.y_id, r.x_id,
+      |    (2.0 * r.c9 * a.na * b.nb) / (a.a9 * b.nb + b.b9 * a.na) AS margin
+      |  FROM rev r JOIN ax a USING (x_id) JOIN by_ b USING (y_id)),
+      |bf AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk FROM mf) WHERE rk = 1),
+      |br AS (SELECT y_id, x_id AS rx FROM (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS rk FROM mr) WHERE rk = 1)
+      |SELECT bf.x_id, bf.y_id,
+      |  floor((CAST(bf.c9 AS DOUBLE)/1e9)*10000 + 0.5)/10000 AS cosine,
+      |  floor(margin*1000000 + 0.5)/1000000 AS margin,
+      |  coalesce(br.rx = bf.x_id, false) AS mutual,
+      |  margin >= 1.2 AS mined
+      |FROM bf LEFT JOIN br USING (y_id) ORDER BY x_id""".stripMargin
+
   /** Shared DuckDB CTE: stride-100 coarse centroids + argmax-cosine
     * cluster assignment — mirrors Similarity.strideCentroids +
     * ivfAssign including the centroid-id tie-break. */
@@ -1564,6 +1603,31 @@ object TextVector {
       .orderBy("x_id")
   }
 
+  /** q_bitext_mining's production path: the same margin mining with
+    * the top-k passes swapped to bucketed IVF (stride-100 coarse
+    * quantizer, 3-probe) through marginBitext's `topK` parameter —
+    * neither corpus side is ever cross-joined. The oracle SIMULATES
+    * the identical ANN path (same assignment, probes, tie-breaks,
+    * margins), so the hash gate checks the bucketed pipeline
+    * end-to-end across engines; brute-force equivalence of the ANN
+    * path on cluster-structured data is pinned by LshAnnSpec's
+    * planted-pairs case (this corpus is deliberately unclustered, so
+    * equality with q_bitext_mining would not hold — recall there is a
+    * measured property, not a contract). */
+  def bitextAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = Similarity.strideCentroids(e, "vec_id", "embedding", stride = 100)
+    val ann = (c: DataFrame, q: DataFrame, id: String, vec: String, k: Int) =>
+      Similarity.ivfTopKWith(c, q, id, vec, k, centroids, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    graft.operators.Similarity.marginBitext(
+        e.filter(col("vec_id") < 40), e.filter(col("vec_id") >= 40),
+        "vec_id", "embedding", k = 4, threshold = 1.2, topK = ann)
+      .select(col("x_id"), col("y_id"), rd(col("cosine"), 4).as("cosine"),
+        rd(col("margin"), 6).as("margin"), col("mutual"), col("mined"))
+      .orderBy("x_id")
+  }
+
   /** Paragraph-grain exact dedup (Dedup.paragraphDedup) — the cheap
     * first pass before MinHash: fixture docs share a verbatim header
     * and footer paragraph (planted across two construction branches,
@@ -2063,6 +2127,7 @@ object TextVector {
     "q_url_domain" -> urlDomainQ,
     "q_para_dedup" -> paraDedupQ,
     "q_bitext_mining" -> bitextMiningQ,
+    "q_bitext_ann" -> bitextAnnQ,
     "q_zipf_fit" -> zipfFitQ,
     "q_domain_caps" -> domainCapsQ,
     "q_procrustes" -> procrustesQ,
@@ -4619,20 +4684,56 @@ object TextVector {
         |FROM t CROSS JOIN f2 ORDER BY rank""".stripMargin,
     // the oracle recomputes both top-k sweeps and the integer-exact
     // ratio margins (2·c9·na·nb / (a9·nb + b9·na)) from scratch
-    "q_bitext_mining" ->
-      """WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 40),
-        |y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 40),
-        |px AS (
-        |  SELECT x_id, y_id,
-        |    list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-        |  FROM x, y),
+    // q_bitext_ann shares this text verbatim: the ANN path's oracle IS
+    // the brute-force mining result (the recall gate — a hash match
+    // proves the bucketed path reproduced the exact mined pair set)
+    "q_bitext_mining" -> bitextBruteOracle,
+    // q_bitext_ann: the oracle SIMULATES the engine's bucketed path —
+    // stride-100 coarse centroids, argmax-cosine corpus assignment
+    // (nprobe=1), 3-probe query fan-out, bucket-join candidates, top-4
+    // per side, then the identical margin pipeline. Every tie-break
+    // (centroid_id, neighbor id) mirrors Similarity.ivfProbe /
+    // ivfTopKWith, so a hash match proves the whole ANN pipeline
+    // cross-engine, not just the margin arithmetic.
+    "q_bitext_ann" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id / 100 AS BIGINT) AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |x AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 40),
+        |y AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 40),
+        |xs AS (
+        |  SELECT id, v, centroid_id AS bucket, rn FROM (
+        |    SELECT x.id, x.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY x.id ORDER BY
+        |        list_dot_product(x.v, c.cv) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM x CROSS JOIN cent c)),
+        |ys AS (
+        |  SELECT id, v, centroid_id AS bucket, rn FROM (
+        |    SELECT y.id, y.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY y.id ORDER BY
+        |        list_dot_product(y.v, c.cv) / (sqrt(list_dot_product(y.v, y.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM y CROSS JOIN cent c)),
+        |fwdc AS (
+        |  SELECT q.id AS x_id, n.id AS y_id,
+        |    list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+        |  FROM (SELECT * FROM xs WHERE rn <= 3) q
+        |  JOIN (SELECT * FROM ys WHERE rn = 1) n USING (bucket)
+        |  WHERE q.id <> n.id),
+        |revc AS (
+        |  SELECT q.id AS y_id, n.id AS x_id,
+        |    list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cos
+        |  FROM (SELECT * FROM ys WHERE rn <= 3) q
+        |  JOIN (SELECT * FROM xs WHERE rn = 1) n USING (bucket)
+        |  WHERE q.id <> n.id),
         |fwd AS (
         |  SELECT x_id, y_id, CAST(floor(cos*1e9 + 0.5) AS BIGINT) AS c9
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk FROM px)
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk FROM fwdc)
         |  WHERE rk <= 4),
         |rev AS (
         |  SELECT y_id, x_id, CAST(floor(cos*1e9 + 0.5) AS BIGINT) AS c9
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk FROM px)
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk FROM revc)
         |  WHERE rk <= 4),
         |ax AS (SELECT x_id, CAST(sum(c9) AS BIGINT) AS a9, count(*) AS na FROM fwd GROUP BY 1),
         |by_ AS (SELECT y_id, CAST(sum(c9) AS BIGINT) AS b9, count(*) AS nb FROM rev GROUP BY 1),

@@ -104,4 +104,35 @@ class LshAnnSpec extends AnyFunSuite {
     // margin is the hand value: m(x2,y2) = .55 / ((.56368+.275)/2) ≈ 1.3116
     assert(math.abs(m(2L)._2 - 1.3116) < 0.001, s"hand margin: ${m(2L)._2}")
   }
+
+  test("marginBitext under the IVF ANN topK matches brute force on planted clustered pairs") {
+    import org.apache.spark.sql.DataFrame
+    // 4 well-separated clusters along the first 4 axes, jitter in dim 5:
+    // within-cluster cosines ≈ .95+, cross-cluster ≈ .05 — the regime
+    // bucketed ANN is built for. Buckets = the axis directions, so each
+    // side's candidates are exactly its cluster peers and the ANN
+    // mining result must equal the brute-force one row for row.
+    def vec(c: Int, jit: Float): Array[Float] = {
+      val v = Array.fill(5)(0.02f); v(c) = 1f; v(4) = jit; v
+    }
+    val xs = (0 until 8).map(i => ((i + 1).toLong, vec(i / 2, 0.2f + 0.2f * (i % 2))))
+      .toDF("vec_id", "embedding")
+    val ys = (0 until 12).map(i => ((i + 11).toLong, vec(i / 3, 0.1f + 0.15f * (i % 3))))
+      .toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(c => (c.toLong, {
+      val v = Array.fill(5)(0f); v(c) = 1f; v
+    })).toDF("centroid_id", "centroid_vec")
+    val ann = (c: DataFrame, q: DataFrame, id: String, vecCol: String, k: Int) =>
+      Similarity.ivfTopKWith(c, q, id, vecCol, k, centroids, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    def canon(df: DataFrame) = df.orderBy("x_id").collect().map(_.toSeq).toSeq
+    val brute = canon(Similarity.marginBitext(xs, ys, "vec_id", "embedding", k = 2, threshold = 1.0))
+    val viaAnn = canon(Similarity.marginBitext(xs, ys, "vec_id", "embedding",
+      k = 2, threshold = 1.0, topK = ann))
+    assert(brute.length == 8, s"every x mines a best pair: $brute")
+    // mutual-best pairs exist (the planted partners)
+    assert(brute.count(_(4) == true) >= 4, s"planted mutual pairs expected: $brute")
+    assert(viaAnn == brute,
+      s"ANN mining diverged from brute force on clustered data:\n$viaAnn\nvs\n$brute")
+  }
 }
