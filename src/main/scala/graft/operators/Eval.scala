@@ -260,6 +260,9 @@ object Eval {
       .withColumn("fpr",
         when(col("n") - col("__np") > 0,
           col("__fp").cast("double") / (col("n") - col("__np"))))
+      // |groups|-row leaf: the gap reduce and the result rows both read
+      // it, instead of each re-running the whole scored pipeline
+      .transform(graft.core.Lineage.truncate)
     val gaps = per.agg(
       (max(col("sel_rate")) - min(col("sel_rate"))).as("dp_gap"),
       (max(col("tpr")) - min(col("tpr"))).as("eo_gap"))

@@ -64,7 +64,11 @@ object LogReg {
       w = w.crossJoin(broadcast(g)).select(
         step("w_bias", "g_bias") +: features.map(f => step(s"w_$f", s"g_$f")): _*)
     }
-    w
+    // the fitted 1-row weight frame is cut to a checkpoint leaf: left
+    // lazy, every consumer (score's broadcast, a metrics crossJoin, a
+    // fairness report) re-executes the whole gradient chain — 2·iters
+    // corpus passes PER CONSUMER (q_logreg measured 2 full re-fits)
+    graft.core.Lineage.truncate(w)
   }
 
   /** Score a frame with a fitted weight row: adds `margin`, `p`, and

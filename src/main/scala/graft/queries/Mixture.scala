@@ -121,8 +121,11 @@ object Mixture {
     * est_jaccard ≥ 0.75), log-likelihood match weight + decision. */
   def linkage(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).withColumn("len_band", floor(col("n_chars") / 200))
-    val pairs = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(d, "doc_id", "text"), "doc_id", k = 8, rowsPerBand = 2)
+    // the session-shared LSH pair leaf IS this exact chain (k=8,
+    // rowsPerBand=2; min over duplicate shingles == min over distinct,
+    // so the FromShingles path yields identical signatures) — reuse it
+    // instead of re-running minhash + banding per sweep
+    val pairs = TextVector.lshPairsShared(s, dir)
       .select(col("id_a"), col("id_b"), (col("est_jaccard") >= 0.75).as("pseudo"))
     Linkage.fellegiSunter(d, "doc_id", pairs, Seq("source", "lang", "len_band"), "pseudo")
       .select(col("id_a"), col("id_b"), col("agree_source"), col("agree_lang"),

@@ -31,7 +31,7 @@ object TextVector {
     graft.core.SharedFrames.memoize(s, s"doc_sh3:$dir")(
       Dedup.shingled3(docs(s, dir), "doc_id", "text"))
 
-  private def lshPairsShared(s: SparkSession, dir: String): DataFrame =
+  private[queries] def lshPairsShared(s: SparkSession, dir: String): DataFrame =
     graft.core.SharedFrames.memoize(s, s"lsh_pairs_k8_r2:$dir")(
       Dedup.lshCandidatePairs(
         Dedup.minhashSignaturesFromShingles(docSh3(s, dir), "doc_id", "sh"),
@@ -589,8 +589,13 @@ object TextVector {
     val sketch = terms.agg(mgHeavyHitters(col("term"), 32).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.item").as("term"), col("e.est").as("est"))
-    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
-    val tot = terms.agg(count(lit(1)).as("total"))
+    // exact term counts as a |vocab|-row leaf; the total derives from
+    // it (Σn ≡ count over terms) — the corpus is tokenized twice
+    // (sketch + exact), not three times, and the heavy filter + total
+    // both read the leaf
+    val exact = graft.core.Lineage.truncate(
+      terms.groupBy(col("term")).agg(count(lit(1)).as("n")))
+    val tot = exact.agg(sum(col("n")).as("total"))
     exact.crossJoin(broadcast(tot))
       .filter(col("n") * 33 > col("total"))
       .join(sketch, Seq("term"), "left")
@@ -2007,12 +2012,19 @@ object TextVector {
     * by ROUNDED rank (1e-10 — the q_pagerank quantum) with a term
     * tiebreak, so float-sum ulp drift can't reorder the cut. */
   def textrank(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), posexplode(TextAnalysis.tokens("text")).as(Seq("pos", "term")))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val adj = toks
-      .withColumn("next", lead(col("term"), 1).over(byDoc))
-      .filter(col("next").isNotNull && col("term") =!= col("next"))
+    // adjacent-token bigrams straight from the token ARRAY (zip of the
+    // array with its own 1-shift): value-identical to the old
+    // posexplode + per-doc window lead, but with NO (doc_id, pos)
+    // shuffle and NO WindowExec sort — the pairs never leave the row
+    // until the symmetric groupBy (guide §2.4: remove shuffles outright)
+    val adj = docs(s, dir)
+      .select(TextAnalysis.tokens("text").as("toks"))
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("term"), b.as("next")))).as("e"))
+      .select(col("e.term").as("term"), col("e.next").as("next"))
+      .filter(col("term") =!= col("next"))
     val edges = adj.select(col("term").as("src"), col("next").as("dst"))
       .union(adj.select(col("next").as("src"), col("term").as("dst")))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
