@@ -106,12 +106,11 @@ object Graphs {
       // small job); the contractual iters=2 path never pays it
       if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
     }
-    // materialize the final |V|-row result. The returned frame stays
-    // persisted (one |V|-row frame); the caller unpersists (or
-    // clearCache()s) when done with it.
-    val result = ranks.persist()
-    result.count()
-    result
+    // materialize the final |V|-row result as a checkpoint LEAF (not a
+    // cache entry): downstream actions then read a flat scan instead of
+    // re-analyzing the whole iteration lineage per action, and there is
+    // no session cache entry to leak or cascade-invalidate.
+    Lineage.truncate(ranks)
   }
 
   /** Synchronous label propagation (community detection): every node
@@ -159,9 +158,9 @@ object Graphs {
       // same depth bound as pageRank: 2 nested joins per round
       if (i % 4 == 0 && i < iters) labels = Lineage.truncate(labels)
     }
-    // materialize the |V|-row result, release the edge-scale cache
-    val result = labels.persist()
-    result.count()
+    // materialize the |V|-row result as a checkpoint leaf (see
+    // pageRankOn), then release the edge-scale cache
+    val result = Lineage.truncate(labels)
     und.unpersist()
     result
   }
@@ -201,10 +200,8 @@ object Graphs {
     val wedgeAgg = ab.join(bc, col("b") === col("wb"))
       .join(closing, col("a") === col("ca") && col("c") === col("cc"), "left")
       .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
-    val result = counts.crossJoin(wedgeAgg)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
-      .persist()
-    result.count()
+    val result = Lineage.truncate(counts.crossJoin(wedgeAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles")))
     e.unpersist()
     result
   }
@@ -263,10 +260,8 @@ object Graphs {
     val closing = oriented.select(col("s").as("p"), col("d").as("q"), lit(1).as("closed"))
     val wedgeAgg = wedges.join(closing, Seq("p", "q"), "left")
       .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
-    val result = counts.crossJoin(wedgeAgg)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
-      .persist()
-    result.count()
+    val result = Lineage.truncate(counts.crossJoin(wedgeAgg)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles")))
     e.unpersist()
     deg.unpersist()
     oriented.unpersist()
@@ -685,8 +680,7 @@ object Graphs {
             + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
     }
-    val result = ranks.persist()
-    result.count()
+    val result = Lineage.truncate(ranks)
     teleport.unpersist()
     result
   }
@@ -784,8 +778,7 @@ object Graphs {
             .as("rank"))
       if (i % 4 == 0 && i < iters) ranks = Lineage.truncate(ranks)
     }
-    val result = ranks.persist()
-    result.count()
+    val result = Lineage.truncate(ranks)
     nodes.unpersist()
     withDeg.unpersist()
     result
