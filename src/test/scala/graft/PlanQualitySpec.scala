@@ -327,10 +327,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // queries ARE the corpus here: without the shared persisted
     // signature frame, both band legs re-run the plane fan-out +
     // groupBy chain over the full corpus (measured ~0.5s of pure
-    // recompute per consumer query at sf0.1)
+    // recompute per consumer query at sf0.1). Since round 10 the
+    // census result is materialized to a checkpoint LEAF (r10
+    // optimization: downstream actions read a flat scan instead of
+    // re-analyzing the lineage), so the strongest acceptable plan is
+    // a bare ExistingRDD scan — nothing left to recompute at all; a
+    // cached InMemoryTableScan (the pre-r10 shape) also satisfies the
+    // computed-once property.
     val p = plan("q_knn_triangles")
-    assert(p.contains("InMemoryTableScan"),
-      "kNN-graph signature cache barrier lost — both band legs will recompute the LSH chain")
+    assert(p.contains("InMemoryTableScan") ||
+      (p.contains("Scan ExistingRDD") && !p.contains("BroadcastNestedLoopJoin")),
+      "kNN-graph signature barrier lost — both band legs will recompute the LSH chain")
   }
 
   test("q_ema_decay/q_paths: one window partitioning, no extra shuffles") {
